@@ -1,0 +1,26 @@
+from .recurrence import first_order, affine2
+from .osc import oscillator, rotate, mix_usb
+from .fir import (
+    fir_lowpass_design,
+    kaiser_beta,
+    bessel_i0,
+    kaiser_lowpass_taps,
+    kaiser_transition_norm,
+    kaiser_num_taps,
+    half_cosine_taps,
+    group_delay,
+    fir_apply,
+    fir_filter_aligned,
+    fir_decimate,
+)
+from .iir import (
+    BiquadCoefs,
+    design_butter_lp,
+    dc_pole,
+    biquad,
+    lp_cascade,
+    dc_blocker,
+    lp_dc_cascade,
+    LpDcState,
+)
+from .agc import AgcParams, design_agc, agc_rms

@@ -1,0 +1,177 @@
+"""FIR design + application.
+
+Design functions run at trace time in numpy and produce constant tap arrays
+(the TPU equivalent of the reference's FirLowpass::design / Kaiser helpers,
+/root/reference/src/dsp/fir.rs:8-157). Application is a batched convolution
+that XLA lowers to the conv/MXU path — one fused kernel over the whole
+capture instead of a per-sample circular-buffer walk.
+
+Streaming: every apply function accepts/returns an explicit tail ``state``
+(the last ``ntaps-1`` inputs), which is exactly the halo exchanged between
+devices when a long capture is time-sharded (overlap-save).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+# ── Design (trace-time, numpy) ───────────────────────────────────────────────
+
+
+def fir_lowpass_design(fs: float, pass_hz: float, trans_hz: float) -> np.ndarray:
+    """Sinc + Hann lowpass, unit DC gain (ref: dsp/fir.rs:14-45)."""
+    pass_hz = max(pass_hz, 10.0)
+    trans_hz = max(trans_hz, pass_hz * 0.2)
+    ntaps = max(int(np.ceil(fs / trans_hz)), 31) | 1
+    fc = pass_hz / fs
+    m = np.arange(ntaps) - ntaps // 2
+    sinc = np.where(
+        m == 0,
+        2.0 * fc,
+        (2.0 * fc) * np.sin(2.0 * np.pi * fc * m) / np.where(m == 0, 1.0, np.pi * m),
+    )
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(ntaps) / (ntaps - 1.0))
+    taps = sinc * w
+    return (taps / taps.sum()).astype(np.float32)
+
+
+def kaiser_beta(a_db: float) -> float:
+    """Kaiser window β for stopband attenuation (ref: dsp/fir.rs:74-82)."""
+    if a_db > 50.0:
+        return 0.1102 * (a_db - 8.7)
+    if a_db >= 21.0:
+        return 0.5842 * (a_db - 21.0) ** 0.4 + 0.07886 * (a_db - 21.0)
+    return 0.0
+
+
+def bessel_i0(x):
+    """Modified Bessel I0 via power series (ref: dsp/fir.rs:86-103)."""
+    x = np.asarray(x, dtype=np.float64)
+    half = 0.5 * x
+    term = np.ones_like(x)
+    acc = np.ones_like(x)
+    for k in range(1, 41):
+        term = term * half / k
+        acc = acc + term * term
+    return acc
+
+
+def kaiser_lowpass_taps(num_taps: int, cutoff_norm: float, stopband_db: float) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass, odd length, unit DC gain.
+
+    Ref: dsp/fir.rs:113-145. ``cutoff_norm`` is the −6 dB cutoff as a
+    fraction of fs.
+    """
+    m = max(num_taps, 3) | 1
+    mid = m // 2
+    fc = min(max(cutoff_norm, 1e-4), 0.4999)
+    beta = kaiser_beta(stopband_db)
+    i0b = bessel_i0(np.float64(beta))
+    d = np.arange(m, dtype=np.float64) - mid
+    ideal = np.where(d == 0, 2.0 * fc, np.sin(2.0 * np.pi * fc * d) / np.where(d == 0, 1.0, np.pi * d))
+    r = d / mid
+    w = bessel_i0(beta * np.sqrt(np.maximum(1.0 - r * r, 0.0))) / i0b
+    taps = ideal * w
+    return (taps / taps.sum()).astype(np.float32)
+
+
+def kaiser_transition_norm(num_taps: int, stopband_db: float) -> float:
+    """Δf/fs ≈ (A−8)/(14.36·M) (ref: dsp/fir.rs:147-152)."""
+    m = float(max(num_taps, 3) | 1)
+    return (max(stopband_db, 21.0) - 8.0) / (14.36 * m)
+
+
+def kaiser_num_taps(transition_norm: float, stopband_db: float) -> int:
+    """Odd tap count to hit a transition width (ref: dsp/fir.rs:154-157)."""
+    m = int(np.ceil((max(stopband_db, 21.0) - 8.0) / (14.36 * max(transition_norm, 1e-4))))
+    return max(m, 3) | 1
+
+
+def half_cosine_taps(sps: int) -> np.ndarray:
+    """Unit-energy Hann matched-filter taps for PSK31 (ref: dsp/fir.rs:317-340)."""
+    if sps <= 1:
+        return np.ones(max(sps, 1), dtype=np.float32)
+    h = 0.5 - 0.5 * np.cos(np.pi * np.arange(sps) / (sps - 1.0))
+    return (h / np.sqrt((h * h).sum())).astype(np.float32)
+
+
+def group_delay(taps) -> int:
+    return (len(taps) - 1) // 2
+
+
+# ── Application (JAX) ────────────────────────────────────────────────────────
+
+
+def _conv_valid_f32(x, taps):
+    """Correlate (..., n) float32 with taps via XLA conv; VALID padding.
+
+    y[i] = sum_j taps[j] * x[i + ntaps-1 - j]  (causal FIR over pre-padded x).
+    """
+    t = jnp.asarray(taps, dtype=jnp.float32)
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))
+    # conv_general_dilated computes correlation with the kernel reversed in
+    # "convolution" sense; we want y[i] = Σ taps[j]·x[i+T-1-j], i.e. true
+    # convolution, so pass taps as-is with flipped spatial kernel semantics.
+    k = t[::-1].reshape((1, 1, -1))
+    y = lax.conv_general_dilated(
+        xb, k, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    return y.reshape(lead + (y.shape[-1],))
+
+
+def _causal_conv(x, taps, state=None):
+    """Causal FIR with explicit tail state. Returns (y, new_state)."""
+    x = jnp.asarray(x)
+    ntaps = len(taps)
+    if ntaps == 1:
+        y = x * jnp.asarray(taps[0], dtype=jnp.float32)
+        return y, state if state is not None else jnp.zeros(x.shape[:-1] + (0,), x.dtype)
+    if state is None:
+        state = jnp.zeros(x.shape[:-1] + (ntaps - 1,), dtype=x.dtype)
+    xp = jnp.concatenate([state, x], axis=-1)
+    if jnp.iscomplexobj(xp):
+        yr = _conv_valid_f32(xp.real.astype(jnp.float32), taps)
+        yi = _conv_valid_f32(xp.imag.astype(jnp.float32), taps)
+        y = (yr + 1j * yi).astype(jnp.complex64)
+    else:
+        y = _conv_valid_f32(xp.astype(jnp.float32), taps)
+    return y, xp[..., xp.shape[-1] - (ntaps - 1):]
+
+
+def fir_apply(x, taps, state=None):
+    """Streaming (causal) FIR: output lags input by group_delay(taps).
+
+    Equivalent of FirLowpass(Iq)::process / push (dsp/fir.rs:47-67, 229-257).
+    Returns (y, state) where state is the carried input tail.
+    """
+    return _causal_conv(x, taps, state)
+
+
+def fir_filter_aligned(x, taps):
+    """Group-delay-compensated, same-length filtering (zero edge extension).
+
+    Equivalent of FirLowpassIq::filter_aligned (dsp/fir.rs:260-297): output
+    sample i is the filtered value of input sample i; the leading/trailing
+    ``group_delay`` samples carry the edge transient.
+    """
+    x = jnp.asarray(x)
+    gd = group_delay(taps)
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, gd)]
+    xp = jnp.pad(x, pad)
+    y, _ = _causal_conv(xp, taps)
+    return y[..., gd:gd + n]
+
+
+def fir_decimate(x, taps, m: int, state=None):
+    """Lowpass + take-every-mth (ref FirDecimator, dsp/decim.rs:10-77).
+
+    Output sample j is the filtered input at index j*m (phase 0), matching the
+    reference. Returns (y, state).
+    """
+    y, state = _causal_conv(x, taps, state)
+    return y[..., ::m], state

@@ -1,0 +1,156 @@
+"""Measurement toolkit — the spectral yardsticks every test asserts against.
+
+Semantics mirror /root/reference/src/util.rs (Hann single-bin SNR, clamped
+power spectrum, narrowband/wideband spectrum SNR, AM occupied bandwidth), so
+the TPU build's roundtrip tests gate on the same numbers the reference's do.
+All functions accept numpy or JAX arrays and return Python floats / numpy —
+they are measurement code, not hot-path kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SIGNAL_THRESHOLD = 0.1  # RMS below which a block is treated as silence (util.rs:297)
+PSK31_BW_HZ = 62.5      # raised-cosine pulse: 2× baud (util.rs:300)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def rms(x) -> float:
+    x = _np(x)
+    if x.size == 0:
+        return 0.0
+    return float(np.sqrt(np.mean(np.abs(x).astype(np.float64) ** 2)))
+
+
+def hann(n: int) -> np.ndarray:
+    """Periodic Hann window (util.rs:18-22)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float32)
+
+
+def tone(fs: float, f_hz: float, n: int, amp: float = 1.0) -> np.ndarray:
+    """Real sine tone (util.rs:25-29)."""
+    k = np.arange(n, dtype=np.float64)
+    return (amp * np.sin(2.0 * np.pi * f_hz * k / fs)).astype(np.float32)
+
+
+def gen_complex_tone(fs: float, f_hz: float, n: int) -> np.ndarray:
+    """Complex baseband tone e^{j2πft} (util.rs:32-39)."""
+    k = np.arange(n, dtype=np.float64)
+    ph = 2.0 * np.pi * f_hz * k / fs
+    return (np.cos(ph) + 1j * np.sin(ph)).astype(np.complex64)
+
+
+def snr_db_at(fs: float, f_hz: float, x) -> float:
+    """Single-bin Hann-windowed DFT SNR at f_hz (util.rs:42-61)."""
+    x = _np(x).astype(np.float64)
+    n = max(len(x), 1)
+    w = hann(n).astype(np.float64)
+    ph = 2.0 * np.pi * f_hz * np.arange(n) / fs
+    re = float(np.sum(w * x * np.cos(ph)))
+    im = float(np.sum(w * x * np.sin(ph)))
+    sig = np.hypot(re, im) / (w.sum() + 1e-12)
+    p_total = float(np.mean(x * x))
+    p_sig = sig * sig
+    p_noise = max(p_total - p_sig, 1e-12)
+    return float(10.0 * np.log10(p_sig / p_noise))
+
+
+def power_spectrum(samples, fs: float):
+    """Hann-windowed power spectrum in dB; FFT size = next pow2 clamped [64,4096].
+
+    Returns (power_db[bins], bin_hz) with bins = n/2+1 (util.rs:96-133).
+    """
+    samples = _np(samples).astype(np.float64)
+    n = 1 << max(int(np.ceil(np.log2(max(len(samples), 1)))), 0)
+    n = int(np.clip(n, 64, 4096))
+    buf = np.zeros(n, dtype=np.float64)
+    m = min(len(samples), n)
+    buf[:m] = samples[:m]
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+    spec = np.fft.fft(buf * w)
+    scale = 1.0 / n
+    bins = n // 2 + 1
+    mag_sq = (np.abs(spec[:bins]) * scale) ** 2
+    return 10.0 * np.log10(mag_sq + 1e-12), fs / n
+
+
+def nb_spectrum_snr_db(samples, fs: float, carrier_hz: float) -> float:
+    """Peak bin (±3-bin AFC search) vs median of bins ≥10 away (util.rs:139-175)."""
+    power_db, bin_hz = power_spectrum(samples, fs)
+    n_bins = len(power_db)
+    if n_bins < 3:
+        return 0.0
+    peak_bin = min(int(round(carrier_hz / bin_hz)), n_bins - 1)
+    lo, hi = max(peak_bin - 3, 0), min(peak_bin + 3, n_bins - 1)
+    sig_bin = lo + int(np.argmax(power_db[lo:hi + 1]))
+    idx = np.arange(n_bins)
+    mask = (idx > 0) & (np.abs(idx - sig_bin) >= 10)
+    noise = power_db[mask]
+    if noise.size == 0:
+        return 0.0
+    return float(power_db[sig_bin] - np.median(noise))
+
+
+def wb_spectrum_snr_db(samples, fs: float, carrier_hz: float, occupied_hz: float) -> float:
+    """Mean in-band power vs median out-of-band (OFDM-style; util.rs:184-218)."""
+    power_db, bin_hz = power_spectrum(samples, fs)
+    n_bins = len(power_db)
+    if n_bins < 3 or bin_hz <= 0:
+        return 0.0
+    carrier_bin = int(round(carrier_hz / bin_hz))
+    half = int(round((occupied_hz / 2.0) / bin_hz))
+    lo = max(carrier_bin - half, 0)
+    hi = min(carrier_bin + half, n_bins - 1)
+    if lo > hi:
+        return 0.0
+    occ_mean = float(np.mean(power_db[lo:hi + 1]))
+    idx = np.arange(n_bins)
+    mask = (idx > 0) & ((idx < lo) | (idx > hi))
+    outside = power_db[mask]
+    if outside.size == 0:
+        return 0.0
+    return occ_mean - float(np.median(outside))
+
+
+def spectrum_bw_hz(samples, fs: float, carrier_hz: float, threshold_db: float = 35.0) -> float:
+    """AM occupied bandwidth: outermost bins within 35 dB of carrier (util.rs:228-296)."""
+    search_hz, carrier_drop_db, guard = 4000.0, 35.0, 3
+    power_db, bin_hz = power_spectrum(samples, fs)
+    n_bins = len(power_db)
+    if n_bins < 3:
+        return bin_hz
+    nominal = min(int(round(carrier_hz / bin_hz)), n_bins - 1)
+    lo, hi = max(nominal - 3, 0), min(nominal + 3, n_bins - 1)
+    carrier_bin = lo + int(np.argmax(power_db[lo:hi + 1]))
+    cutoff = power_db[carrier_bin] - carrier_drop_db
+    search_bins = int(np.ceil(search_hz / bin_hz))
+
+    lsb_lo = max(carrier_bin - search_bins, 0)
+    lsb_hi = max(carrier_bin - guard, 0)
+    left_edge = carrier_bin
+    if lsb_lo < lsb_hi:
+        above = np.nonzero(power_db[lsb_lo:lsb_hi + 1] >= cutoff)[0]
+        if above.size:
+            left_edge = lsb_lo + int(above[0])
+
+    usb_lo = min(carrier_bin + guard, n_bins - 1)
+    usb_hi = min(carrier_bin + search_bins, n_bins - 1)
+    right_edge = carrier_bin
+    if usb_lo < usb_hi:
+        above = np.nonzero(power_db[usb_lo:usb_hi + 1] >= cutoff)[0]
+        if above.size:
+            right_edge = usb_lo + int(above[-1])
+
+    return float((max(right_edge, left_edge) - left_edge + 1) * bin_hz)
+
+
+def awgn(rng: np.random.Generator, shape, scale: float, complex_: bool = True):
+    """Deterministic test AWGN (mirrors tests/common/mod.rs seeded xorshift role)."""
+    if complex_:
+        return (scale * (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) /
+                np.sqrt(2.0)).astype(np.complex64)
+    return (scale * rng.standard_normal(shape)).astype(np.float32)

@@ -1,0 +1,13 @@
+"""Test config: run on a virtual 8-device CPU mesh (no TPU needed in CI).
+
+The container's sitecustomize registers the axon TPU plugin at interpreter
+startup and pins JAX_PLATFORMS=axon, so env vars alone can't steer tests to
+CPU — we override via jax.config after import (backends initialize lazily,
+so this is safe as long as no jax computation ran first).
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", False)
