@@ -1,0 +1,6 @@
+from .analog import (
+    cw_demod,
+    am_demod,
+    ssb_demod, SsbDemodState,
+    fm_demod, pm_demod, QuadDemodState,
+)

@@ -1,0 +1,117 @@
+"""Analog demodulators: CW / AM / SSB / FM / PM.
+
+TPU-native versions of /root/reference/src/demodulate/{cw,am,ssb,fm,pm}.rs.
+Every per-sample IIR loop becomes a parallel scan; the quadrature
+discriminators are one fused elementwise pass (delay-conjugate product +
+arctan2 — we use exact arctan2 instead of the reference's 5th-order minimax
+approximation, util.rs:305, which only helps accuracy).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..dsp.osc import rotate, mix_usb
+from ..dsp.iir import design_butter_lp, dc_pole, lp_cascade, lp_dc_cascade, LpDcState
+from ..dsp.recurrence import first_order
+
+
+def cw_demod(iq, fs, env_bw_hz=300.0, gain=1.0, y0=0.0):
+    """Envelope detector: |z| through a one-pole LP (ref: demodulate/cw.rs:8-50).
+
+    Returns (audio, lp_state).
+    """
+    z = jnp.asarray(iq)
+    mag = jnp.abs(z).astype(jnp.float32)
+    a = float(np.exp(-2.0 * np.pi * max(env_bw_hz, 1.0) / fs))
+    y, y_last = first_order(a, (1.0 - a) * mag, y0=y0)
+    return gain * y, y_last
+
+
+def am_demod(iq, fs, audio_bw_hz, method="power_sqrt", abs_k=(0.947543636291, 0.392485425092),
+             state: LpDcState | None = None):
+    """AM envelope demod (ref: demodulate/am.rs:9-46).
+
+    ``power_sqrt``: LP4(|z|²) → sqrt → DC block (highest fidelity).
+    ``abs_approx``: k1·|I| + k2·|Q| → LP4 → DC block (cheaper; on TPU both
+    are one fused pass, the option is kept for output parity).
+    """
+    z = jnp.asarray(iq)
+    c = design_butter_lp(fs, audio_bw_hz * 0.9)
+    r = dc_pole(fs, 2.0)
+    if method == "power_sqrt":
+        p = (z.real * z.real + z.imag * z.imag).astype(jnp.float32)
+        return lp_dc_cascade(p, c, r, state=state, map_fn=lambda v: jnp.sqrt(jnp.maximum(v, 0.0)))
+    k1, k2 = abs_k
+    e = (k1 * jnp.abs(z.real) + k2 * jnp.abs(z.imag)).astype(jnp.float32)
+    return lp_dc_cascade(e, c, r, state=state)
+
+
+class SsbDemodState(NamedTuple):
+    filt: LpDcState
+    bfo_phase: jnp.ndarray
+
+
+def ssb_demod(iq, fs, bfo_hz, audio_bw_hz, state: SsbDemodState | None = None):
+    """Product detector: I·cos + Q·sin with a BFO, then LP+DC
+    (ref: demodulate/ssb.rs:9-70)."""
+    z = jnp.asarray(iq)
+    c = design_butter_lp(fs, audio_bw_hz * 0.9)
+    r = dc_pole(fs, 2.0)
+    phase0 = state.bfo_phase if state is not None else 0.0
+    y, bfo_phase = mix_usb(z, bfo_hz, fs, phase0)
+    audio, filt = lp_dc_cascade(y, c, r, state=state.filt if state is not None else None)
+    return audio, SsbDemodState(filt=filt, bfo_phase=bfo_phase)
+
+
+class QuadDemodState(NamedTuple):
+    prev: jnp.ndarray       # previous complex sample
+    lp: jnp.ndarray         # (..., 2, 2) LpCascade state
+    xlate_phase: jnp.ndarray
+
+
+def _delay_conj_product(z, prev):
+    zprev = jnp.concatenate([prev[..., None], z[..., :-1]], axis=-1)
+    return z * jnp.conj(zprev)
+
+
+def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
+             state: QuadDemodState | None = None):
+    """Quadrature discriminator: angle(z·conj(z₋₁))·(1/dev) → LP4
+    (ref: demodulate/fm.rs:12-90). Returns (audio, state)."""
+    z = jnp.asarray(iq)
+    if state is None:
+        state = QuadDemodState(
+            prev=jnp.ones(z.shape[:-1], jnp.complex64),
+            lp=jnp.zeros(z.shape[:-1] + (2, 2), jnp.float32),
+            xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
+        )
+    xlate_phase = state.xlate_phase
+    if translate_hz is not None:
+        # multiply by conj of a +translate_hz phasor == rotate by -translate_hz
+        z, xlate_phase = rotate(z, -translate_hz, fs, xlate_phase)
+    k = 1.0 / max(deviation_hz, 1.0)
+    prod = _delay_conj_product(z, state.prev)
+    disc = (jnp.arctan2(prod.imag, prod.real) * k).astype(jnp.float32)
+    c = design_butter_lp(fs, audio_bw_hz * 0.9)
+    audio, lp = lp_cascade(disc, c, state.lp)
+    return audio, QuadDemodState(prev=z[..., -1], lp=lp, xlate_phase=xlate_phase)
+
+
+def pm_demod(iq, fs, k, audio_bw_hz, state: QuadDemodState | None = None):
+    """PM via phase difference (ref: demodulate/pm.rs:12-80). Returns (audio, state)."""
+    z = jnp.asarray(iq)
+    if state is None:
+        state = QuadDemodState(
+            prev=jnp.ones(z.shape[:-1], jnp.complex64),
+            lp=jnp.zeros(z.shape[:-1] + (2, 2), jnp.float32),
+            xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
+        )
+    prod = _delay_conj_product(z, state.prev)
+    disc = (k * jnp.arctan2(prod.imag, prod.real)).astype(jnp.float32)
+    c = design_butter_lp(fs, audio_bw_hz * 0.9)
+    audio, lp = lp_cascade(disc, c, state.lp)
+    return audio, QuadDemodState(prev=z[..., -1], lp=lp, xlate_phase=state.xlate_phase)

@@ -1,0 +1,7 @@
+from .analog import (
+    cw_mod, CwState,
+    am_mod,
+    ssb_mod, SsbState,
+    fm_mod, FmState,
+    pm_mod,
+)
