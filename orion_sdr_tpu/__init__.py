@@ -24,5 +24,7 @@ from .util import (
     SIGNAL_THRESHOLD, PSK31_BW_HZ, awgn,
 )
 from . import dsp
+from . import constellation
+from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 
 __version__ = "0.1.0"

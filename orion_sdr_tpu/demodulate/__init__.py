@@ -4,3 +4,4 @@ from .analog import (
     ssb_demod, SsbDemodState,
     fm_demod, pm_demod, QuadDemodState,
 )
+from .digital import psk_qam_demod, digital_demod

@@ -5,3 +5,4 @@ from .analog import (
     fm_mod, FmState,
     pm_mod,
 )
+from .digital import psk_qam_mod, digital_mod

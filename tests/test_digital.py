@@ -1,0 +1,93 @@
+"""Single-carrier digital tests (mirrors reference roundtrip/{bpsk,qpsk,qam}.rs)."""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as sdr
+from orion_sdr_tpu import constellation as con
+from orion_sdr_tpu.modulate.digital import digital_mod
+from orion_sdr_tpu.demodulate.digital import digital_demod
+
+FS = 48_000.0
+ALL_ORDERS = ["bpsk", "qpsk", "qam16", "qam64", "qam256"]
+
+
+def rand_bits(rng, n):
+    return rng.integers(0, 2, n).astype(np.uint8)
+
+
+class TestConstellation:
+    @pytest.mark.parametrize("order", ALL_ORDERS)
+    def test_map_decide_roundtrip(self, order):
+        rng = np.random.default_rng(0)
+        bps = con.BITS_PER_SYMBOL[order]
+        bits = rand_bits(rng, 240 * bps)
+        syms = con.map_bits(bits, order)
+        out = np.asarray(con.decide(syms, order))
+        np.testing.assert_array_equal(out, bits)
+
+    @pytest.mark.parametrize("order", ALL_ORDERS)
+    def test_unit_average_energy(self, order):
+        # every constellation is normalized to unit average symbol energy
+        pts = con.constellation_points(order)
+        assert np.mean(np.abs(pts) ** 2) == pytest.approx(1.0, rel=1e-5)
+
+    def test_qam16_gray_adjacency(self):
+        # adjacent amplitude levels must differ in exactly one bit (Gray)
+        lv = con._axis_table(4)
+        order_idx = np.argsort(lv)
+        for a, b in zip(order_idx[:-1], order_idx[1:]):
+            assert bin(a ^ b).count("1") == 1
+
+    @pytest.mark.parametrize("order", ALL_ORDERS)
+    def test_soft_llr_signs_match_hard(self, order):
+        rng = np.random.default_rng(1)
+        bps = con.BITS_PER_SYMBOL[order]
+        bits = rand_bits(rng, 64 * bps)
+        syms = con.map_bits(bits, order)
+        llr = np.asarray(con.soft_llr(syms, order))
+        # positive LLR => bit 0
+        hard = (llr < 0).astype(np.uint8)
+        np.testing.assert_array_equal(hard, bits)
+
+    def test_bpsk_llr_scale(self):
+        syms = np.array([1.0 + 0j, -0.5 + 0j], np.complex64)
+        llr = np.asarray(con.soft_llr(syms, "bpsk"))
+        np.testing.assert_allclose(llr, [4.0, -2.0], atol=1e-6)
+
+
+class TestPipeline:
+    @pytest.mark.parametrize("order", ALL_ORDERS)
+    def test_noiseless_roundtrip_baseband(self, order):
+        rng = np.random.default_rng(2)
+        bps = con.BITS_PER_SYMBOL[order]
+        bits = rand_bits(rng, 120 * bps)
+        iq, _ = digital_mod(bits, order, FS, 0.0, 1.0)
+        out, _ = digital_demod(iq, order, FS, 0.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(out), bits)
+
+    @pytest.mark.parametrize("order", ["qpsk", "qam64"])
+    def test_noiseless_roundtrip_with_carrier(self, order):
+        rng = np.random.default_rng(3)
+        bps = con.BITS_PER_SYMBOL[order]
+        bits = rand_bits(rng, 120 * bps)
+        iq, _ = digital_mod(bits, order, FS, 12_000.0, 1.0)
+        out, _ = digital_demod(iq, order, FS, 12_000.0, 1.0)
+        np.testing.assert_array_equal(np.asarray(out), bits)
+
+    def test_qam16_awgn_low_ber(self):
+        rng = np.random.default_rng(4)
+        bits = rand_bits(rng, 4 * 4096)
+        iq, _ = digital_mod(bits, "qam16", FS, 0.0, 1.0)
+        iq = np.asarray(iq) + sdr.awgn(rng, iq.shape, 0.05)
+        out, _ = digital_demod(iq, "qam16", FS, 0.0, 1.0)
+        ber = np.mean(np.asarray(out) != bits)
+        assert ber < 1e-3, f"BER {ber}"
+
+    def test_batched_channels(self):
+        rng = np.random.default_rng(5)
+        bits = rng.integers(0, 2, (8, 2 * 256)).astype(np.uint8)
+        iq, _ = digital_mod(bits, "qpsk", FS)
+        assert iq.shape == (8, 256)
+        out, _ = digital_demod(iq, "qpsk", FS)
+        np.testing.assert_array_equal(np.asarray(out), bits)
