@@ -129,7 +129,7 @@ def soft_llr(symbols, order: str, gain: float = 1.0):
     if order == "bpsk":
         return (4.0 * gain * z.real).astype(jnp.float32)
     if order == "qpsk":
-        s = 4.0 / np.sqrt(2.0)
+        s = 4.0 * np.sqrt(2.0)  # reference scale (demodulate/ofdm.rs:476-479)
         llr = jnp.stack([s * gain * z.real, s * gain * z.imag], axis=-1)
         return llr.reshape(z.shape[:-1] + (-1,)).astype(jnp.float32)
     bps = BITS_PER_SYMBOL[order]

@@ -1,0 +1,107 @@
+"""Whole-frame multicarrier ops: grid map/extract, IFFT/CP, symbol window/FFT.
+
+The reference processes one symbol per call through Block objects
+(/root/reference/src/multicarrier/{grid,fft,cyclic_prefix,symbol_window,
+symbol_fft}.rs). Here a frame of N symbols is a single batched tensor op:
+scatter → ifft → CP concat → taper is one fused XLA graph over
+``(..., n_symbols, n_fft)`` — the MXU/VPU-friendly formulation.
+
+FFT conventions match the reference (docs/ofdm.md:22-35): unity forward,
+1/N-folded inverse (numpy's default), natural bin order internally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .plan import CarrierGrid
+
+
+def grid_map(grid: CarrierGrid, data_symbols, pilot_bins=None, pilot_values=None):
+    """Scatter dense data symbols into sparse FFT bins (ref: grid.rs:103-155).
+
+    ``data_symbols``: (..., n_sym, n_data) complex64 →
+    returns (..., n_sym, n_fft) with nulls zeroed and pilots inserted.
+    ``pilot_bins/values`` override the grid's static pilots (used by
+    scattered-pilot waveforms where pilots rotate per symbol — pass arrays
+    shaped (n_sym, n_pilots) or (n_pilots,)).
+    """
+    d = jnp.asarray(data_symbols)
+    out = jnp.zeros(d.shape[:-1] + (grid.n_fft,), dtype=jnp.complex64)
+    out = out.at[..., grid.data_bins].set(d.astype(jnp.complex64))
+    pb = grid.pilot_bins if pilot_bins is None else pilot_bins
+    pv = grid.pilot_values if pilot_values is None else pilot_values
+    if np.size(pb):
+        pb = jnp.asarray(pb)
+        pv = jnp.asarray(pv, dtype=jnp.complex64)
+        if pb.ndim == 1:
+            out = out.at[..., pb].set(pv)
+        else:
+            # per-symbol pilot layout (scattered pilots): pb (n_sym, n_pilots)
+            sym_idx = jnp.arange(out.shape[-2])[:, None]
+            out = out.at[..., sym_idx, pb].set(jnp.broadcast_to(pv, pb.shape))
+    return out
+
+
+def grid_extract(grid: CarrierGrid, freq_symbols):
+    """Gather data bins back to a dense stream (ref: grid.rs:157-192).
+
+    (..., n_sym, n_fft) → (..., n_sym, n_data)."""
+    return jnp.asarray(freq_symbols)[..., grid.data_bins]
+
+
+def ofdm_assemble(freq_grid, cp_len: int, taper=None):
+    """IFFT + cyclic-prefix insert + optional per-symbol edge taper.
+
+    ``freq_grid``: (..., n_sym, n_fft) → time (..., n_sym*(n_fft+cp_len)).
+    Equivalent of IfftBlock + CyclicPrefixInsert + SymbolWindow
+    (ref: multicarrier/fft.rs:62, cyclic_prefix.rs:16, symbol_window.rs:40-130).
+    """
+    x = jnp.fft.ifft(jnp.asarray(freq_grid), axis=-1).astype(jnp.complex64)
+    if cp_len > 0:
+        x = jnp.concatenate([x[..., -cp_len:], x], axis=-1)
+    if taper is not None:
+        x = x * taper
+    return x.reshape(x.shape[:-2] + (-1,))
+
+
+def symbol_taper(symbol_len: int, roll_off: int) -> np.ndarray | None:
+    """Raised-cosine (Tukey) edge taper table (ref: symbol_window.rs:63-84).
+
+    ramp[i] = 0.5·(1 − cos(π(i+0.5)/L)); applied to the first and last
+    ``roll_off`` samples of each symbol. Returns None when roll_off == 0.
+    """
+    roll_off = min(roll_off, symbol_len // 2)
+    if roll_off == 0:
+        return None
+    w = np.ones(symbol_len, dtype=np.float32)
+    i = np.arange(roll_off)
+    ramp = 0.5 * (1.0 - np.cos(np.pi * (i + 0.5) / roll_off))
+    w[:roll_off] = ramp
+    w[symbol_len - 1 - i] = ramp
+    return w
+
+
+def symbol_fft(time_stream, n_fft: int, cp_len: int, backoff: int = 0, n_symbols=None):
+    """RX window-select + FFT over whole frames (ref: symbol_fft.rs:38-160).
+
+    ``time_stream``: (..., ≥ n_sym·(n_fft+cp_len)). The FFT window within each
+    symbol starts at ``cp_len − backoff`` (backoff clamped to cp_len) — the one
+    place the window position is chosen. Returns (..., n_sym, n_fft).
+    """
+    x = jnp.asarray(time_stream)
+    sym_len = n_fft + cp_len
+    backoff = min(backoff, cp_len)
+    if n_symbols is None:
+        n_symbols = x.shape[-1] // sym_len
+    x = x[..., : n_symbols * sym_len].reshape(x.shape[:-1] + (n_symbols, sym_len))
+    start = cp_len - backoff
+    win = x[..., start:start + n_fft]
+    return jnp.fft.fft(win, axis=-1).astype(jnp.complex64)
+
+
+def max_pilot_safe_backoff(n_fft: int, pilot_spacing: int) -> int:
+    """b < n_fft/(2·spacing): beyond it pilot interpolation aliases
+    (ref: symbol_fft.rs:120-141)."""
+    return n_fft // (2 * max(pilot_spacing, 1))

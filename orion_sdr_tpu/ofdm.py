@@ -1,0 +1,201 @@
+"""Generic OFDM waveform: config, mod/demod, equalization, soft demap, EVM.
+
+Behavioral spec: /root/reference/src/modulate/ofdm.rs + demodulate/ofdm.rs.
+TPU design: the reference's one-symbol-per-call Block chain
+(mapper→GridMap→IFFT→CP→Rotator) collapses into one batched tensor program
+over (..., n_symbols, n_fft) — map, scatter, IFFT, CP-concat, taper, rotate
+in a single jitted graph. The equalizer is a pure function over whole frames;
+per-symbol pilot interpolation is a vmapped jnp.interp instead of a
+binary-search loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
+from .multicarrier import (
+    CarrierPlan, CarrierGrid, grid_map, grid_extract,
+    ofdm_assemble, symbol_taper, symbol_fft, TxLowpass,
+)
+from .dsp.osc import rotate
+
+EQUALIZER_FLOOR = 1e-6  # |h|² floor in ZF division (demodulate/ofdm.rs)
+
+
+@dataclass(frozen=True)
+class OfdmConfig:
+    """OFDM waveform config (ref: modulate/ofdm.rs:56-366).
+
+    Frame-layer (COFDM) fields live in frame.FrameConfig; this is the bare
+    symbol pipeline config.
+    """
+
+    carrier_plan: CarrierPlan
+    fs: float
+    rf_hz: float = 0.0
+    gain: float = 1.0
+    constellation: str = "qpsk"
+    rx_window_backoff: int = 0
+    tx_lowpass: Optional[TxLowpass] = None
+
+    def bits_per_ofdm_symbol(self) -> int:
+        return self.carrier_plan.num_data_carriers() * BITS_PER_SYMBOL[self.constellation]
+
+    def samples_per_ofdm_symbol(self) -> int:
+        return self.carrier_plan.n_fft + self.carrier_plan.cp_len
+
+    def grid(self) -> CarrierGrid:
+        return CarrierGrid(self.carrier_plan)
+
+
+# ── TX ───────────────────────────────────────────────────────────────────────
+
+
+def ofdm_mod(cfg: OfdmConfig, bits, phase0=0.0, pilot_bins=None, pilot_values=None):
+    """bits → IQ for whole frames (ref OfdmMod, modulate/ofdm.rs:422-544).
+
+    bits length is zero-padded up to a whole number of OFDM symbols (matching
+    OfdmMod::modulate). Applies the plan's symbol-window taper and the
+    config's TX lowpass when present. Returns (iq, rf_phase_out).
+    """
+    g = cfg.grid()
+    bits = jnp.asarray(bits)
+    bps = cfg.bits_per_ofdm_symbol()
+    n_sym = -(-bits.shape[-1] // bps)
+    pad = n_sym * bps - bits.shape[-1]
+    if pad:
+        bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    syms = map_bits(bits, cfg.constellation)
+    syms = syms.reshape(syms.shape[:-1] + (n_sym, g.num_data_carriers))
+    freq = grid_map(g, syms, pilot_bins=pilot_bins, pilot_values=pilot_values)
+    taper = symbol_taper(cfg.samples_per_ofdm_symbol(), cfg.carrier_plan.window_roll_off)
+    t = ofdm_assemble(freq, cfg.carrier_plan.cp_len, taper=taper)
+    t = t * cfg.gain
+    if cfg.rf_hz != 0.0:
+        t, phase0 = rotate(t, cfg.rf_hz, cfg.fs, phase0)
+    if cfg.tx_lowpass is not None:
+        t = cfg.tx_lowpass.apply(t)
+    return t.astype(jnp.complex64), phase0
+
+
+# ── Channel estimation / equalization ────────────────────────────────────────
+
+
+def zf_equalize(freq_syms, estimate):
+    """Per-bin zero-forcing: x·conj(h)/max(|h|², 1e−6)
+    (ref: demodulate/ofdm.rs:427-448)."""
+    h = jnp.asarray(estimate)
+    x = jnp.asarray(freq_syms)
+    mag2 = jnp.maximum(jnp.abs(h) ** 2, EQUALIZER_FLOOR)
+    return (x * jnp.conj(h) / mag2).astype(jnp.complex64)
+
+
+def channel_estimate_training(rx_training_freq, known_freq):
+    """TrainingSymbolHold: h[bin] = rx[bin]/known[bin]
+    (ref: demodulate/ofdm.rs:347-356)."""
+    return (jnp.asarray(rx_training_freq) / jnp.asarray(known_freq)).astype(jnp.complex64)
+
+
+def channel_estimate_pilots(freq_syms, pilot_bins, pilot_values, n_fft: int):
+    """PerSymbolPilotInterp: linear complex interpolation between bin-sorted
+    pilot known-vs-received ratios, edge hold (ref: demodulate/ofdm.rs:357-426).
+
+    ``freq_syms``: (..., n_sym, n_fft). ``pilot_bins``: (n_pilots,) or
+    (n_sym, n_pilots); ``pilot_values`` matching. Returns (..., n_sym, n_fft)
+    channel estimate.
+    """
+    x = jnp.asarray(freq_syms)
+    pb = jnp.asarray(pilot_bins)
+    pv = jnp.asarray(pilot_values, dtype=jnp.complex64)
+    if pb.ndim == 1:
+        pb = jnp.broadcast_to(pb, x.shape[-2:-1] + pb.shape)
+        pv = jnp.broadcast_to(pv, x.shape[-2:-1] + pv.shape)
+    # sort pilots by bin per symbol
+    order = jnp.argsort(pb, axis=-1)
+    pb = jnp.take_along_axis(pb, order, axis=-1)
+    pv = jnp.take_along_axis(pv, order, axis=-1)
+    rx = jnp.take_along_axis(x, jnp.broadcast_to(pb, x.shape[:-1] + pb.shape[-1:]), axis=-1)
+    ratio = rx / pv
+    bins = jnp.arange(n_fft, dtype=jnp.float32)
+
+    def interp_sym(pbins, rat):
+        re = jnp.interp(bins, pbins.astype(jnp.float32), rat.real)
+        im = jnp.interp(bins, pbins.astype(jnp.float32), rat.imag)
+        return re + 1j * im
+
+    # vmap over symbol axis (and any leading axes by broadcasting through reshape)
+    lead = ratio.shape[:-1]
+    flat_pb = jnp.broadcast_to(pb, lead + pb.shape[-1:]).reshape((-1, pb.shape[-1]))
+    flat_ratio = ratio.reshape((-1, ratio.shape[-1]))
+    import jax
+    est = jax.vmap(interp_sym)(flat_pb, flat_ratio)
+    return est.reshape(lead + (n_fft,)).astype(jnp.complex64)
+
+
+# ── RX ───────────────────────────────────────────────────────────────────────
+
+
+def ofdm_demod(cfg: OfdmConfig, iq, n_symbols=None, estimate=None, gain=1.0, phase0=0.0):
+    """IQ → soft data symbols (ref OfdmDemod, demodulate/ofdm.rs:26-95).
+
+    Optional ``estimate`` (n_fft,) or (..., n_sym, n_fft) applies ZF
+    equalization between the FFT and grid extraction (the composable
+    OfdmEqualizer stage). Returns (soft_symbols (..., n_sym, n_data), phase).
+    """
+    g = cfg.grid()
+    z = jnp.asarray(iq)
+    if cfg.rf_hz != 0.0:
+        z, phase0 = rotate(z, -cfg.rf_hz, cfg.fs, phase0)
+    freq = symbol_fft(z, g.n_fft, g.cp_len, backoff=cfg.rx_window_backoff,
+                      n_symbols=n_symbols)
+    if estimate is not None:
+        freq = zf_equalize(freq, estimate)
+    soft = grid_extract(g, freq) * gain
+    return soft.astype(jnp.complex64), phase0
+
+
+def ofdm_decide(cfg: OfdmConfig, soft_symbols):
+    """Hard bits from soft symbols (ref OfdmDecider). Output (..., n_sym·bps)."""
+    s = jnp.asarray(soft_symbols)
+    flat = s.reshape(s.shape[:-2] + (-1,))
+    return decide(flat, cfg.constellation)
+
+
+def ofdm_soft_demod(cfg: OfdmConfig, soft_symbols):
+    """Max-log LLRs, positive ⇒ bit 0 (ref OfdmSoftDemod,
+    demodulate/ofdm.rs:460-610)."""
+    s = jnp.asarray(soft_symbols)
+    flat = s.reshape(s.shape[:-2] + (-1,))
+    return soft_llr(flat, cfg.constellation)
+
+
+class OfdmRxFrame(NamedTuple):
+    """Per-packet diagnostics (ref: demodulate/ofdm.rs:174-211)."""
+    bits: np.ndarray
+    num_symbols: int
+    evm_db: Optional[float]
+    cfo_hz: Optional[float] = None
+    timing_offset_samples: Optional[int] = None
+    channel_mse: Optional[float] = None
+
+
+def build_ofdm_rx_frame(cfg: OfdmConfig, soft_symbols, bits) -> OfdmRxFrame:
+    """EVM by re-mapping hard bits to ideal points (ref: demodulate/ofdm.rs:213-238)."""
+    s = np.asarray(soft_symbols).reshape(-1)
+    b = np.asarray(bits)
+    n_data = cfg.carrier_plan.num_data_carriers()
+    num_symbols = len(s) // max(n_data, 1)
+    evm = None
+    if num_symbols and len(s):
+        ideal = np.asarray(map_bits(b, cfg.constellation))
+        if len(ideal) == len(s):
+            err = float(np.sum(np.abs(s - ideal) ** 2))
+            ref = float(np.sum(np.abs(ideal) ** 2))
+            if ref > 0:
+                evm = 10.0 * np.log10(err / ref) if err > 0 else -np.inf
+    return OfdmRxFrame(bits=b, num_symbols=num_symbols, evm_db=evm)

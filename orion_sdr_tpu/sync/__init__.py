@@ -1,0 +1,11 @@
+from .ofdm_sync import (
+    OfdmPreamble,
+    TrainingSymbol,
+    OfdmSyncResult,
+    ofdm_sync,
+    sc_metric,
+    generate_ofdm_preamble,
+    training_symbol_freq_pattern,
+    pseudo_random_unit_sequence,
+    estimate_integer_cfo_bins,
+)

@@ -1,0 +1,190 @@
+"""Multicarrier unit tests (mirrors reference tests/unit/multicarrier.rs)."""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as sdr
+from orion_sdr_tpu import constellation as con
+from orion_sdr_tpu.multicarrier import (
+    CarrierPlan, CarrierPlanError, CarrierGrid,
+    grid_map, grid_extract, ofdm_assemble, symbol_taper, symbol_fft,
+    max_pilot_safe_backoff, TxLowpass,
+)
+
+
+def simple_plan(n_fft=64, cp_len=16, **kw):
+    return CarrierPlan(n_fft, cp_len).with_contiguous_data(**kw)
+
+
+class TestPlan:
+    def test_index_bounds(self):
+        p = CarrierPlan(64, 16)
+        assert p.index_bounds() == (-32, 31)
+
+    def test_contiguous_data_excludes_dc_and_nyquist(self):
+        p = simple_plan()
+        assert 0 not in p.data_carriers
+        assert -32 not in p.data_carriers
+        assert len(p.data_carriers) == 62  # -31..31 minus DC
+
+    def test_contiguous_data_edge_guard(self):
+        p = simple_plan(edge_guard=4)
+        assert min(p.data_carriers) == -27
+        assert max(p.data_carriers) == 27
+        p.validate_edge_guard(4)
+        with pytest.raises(CarrierPlanError):
+            p.validate_edge_guard(5)
+
+    def test_contiguous_data_skips_pilots(self):
+        p = CarrierPlan(64, 16).with_pilot_carriers([(5, 1 + 0j)]).with_contiguous_data()
+        assert 5 not in p.data_carriers
+        p.validate()
+
+    def test_validate_errors(self):
+        with pytest.raises(CarrierPlanError):
+            CarrierPlan(64, 16).validate()  # empty data
+        with pytest.raises(CarrierPlanError):
+            CarrierPlan(64, 16).with_data_carriers([40]).validate()  # out of range
+        with pytest.raises(CarrierPlanError):
+            CarrierPlan(64, 16).with_data_carriers([3]).with_pilot_carriers(
+                [(3, 1 + 0j)]).validate()  # overlap
+
+    def test_occupied_half_carriers(self):
+        p = simple_plan(edge_guard=6)
+        assert p.occupied_half_carriers() == 25
+
+
+class TestGridOps:
+    def test_map_extract_roundtrip(self):
+        rng = np.random.default_rng(0)
+        p = CarrierPlan(64, 16).with_pilot_carriers(
+            [(-20, 1 + 0j), (20, -1 + 0j)]).with_contiguous_data()
+        g = CarrierGrid(p)
+        d = (rng.standard_normal((3, g.num_data_carriers)) +
+             1j * rng.standard_normal((3, g.num_data_carriers))).astype(np.complex64)
+        f = grid_map(g, d)
+        assert f.shape == (3, 64)
+        # pilots present at their bins
+        np.testing.assert_allclose(np.asarray(f)[:, (-20) % 64], 1.0, atol=1e-6)
+        # unassigned bins (DC) are zero
+        assert np.all(np.asarray(f)[:, 0] == 0)
+        out = grid_extract(g, f)
+        np.testing.assert_allclose(np.asarray(out), d, atol=1e-7)
+
+    def test_fft_normalization_roundtrip(self):
+        # unity forward / (1/N) inverse: assemble then symbol_fft recovers grid
+        rng = np.random.default_rng(1)
+        g = CarrierGrid(simple_plan())
+        d = (rng.standard_normal((5, 62)) + 1j * rng.standard_normal((5, 62))).astype(np.complex64)
+        f = grid_map(g, d)
+        t = ofdm_assemble(f, cp_len=16)
+        assert t.shape == (5 * 80,)[0:1] or t.shape == (400,)
+        f2 = symbol_fft(t, 64, 16)
+        np.testing.assert_allclose(np.asarray(f2), np.asarray(f), atol=1e-5)
+
+    def test_cp_is_cyclic(self):
+        g = CarrierGrid(simple_plan())
+        d = np.ones((1, 62), np.complex64)
+        t = np.asarray(ofdm_assemble(grid_map(g, d), cp_len=16)).reshape(1, 80)
+        np.testing.assert_allclose(t[:, :16], t[:, 64:], atol=1e-7)
+
+    def test_backoff_is_phase_ramp(self):
+        # window back-off b multiplies bin k by exp(-j 2π k b / n)... on a
+        # cyclic symbol: FFT of circularly-shifted window == phase ramp.
+        rng = np.random.default_rng(2)
+        g = CarrierGrid(simple_plan())
+        d = (rng.standard_normal((1, 62)) + 1j * rng.standard_normal((1, 62))).astype(np.complex64)
+        f = grid_map(g, d)
+        t = ofdm_assemble(f, cp_len=16)
+        b = 8
+        f_b = np.asarray(symbol_fft(t, 64, 16, backoff=b))
+        k = np.arange(64)
+        ramp = np.exp(-1j * 2 * np.pi * k * b / 64)
+        np.testing.assert_allclose(f_b, np.asarray(f) * ramp, atol=1e-4)
+
+    def test_per_symbol_pilots(self):
+        g = CarrierGrid(simple_plan())
+        d = np.zeros((2, 62), np.complex64)
+        pb = np.array([[1, 2], [3, 4]], np.int32)
+        pv = np.array([[1 + 0j, 1 + 0j], [-1 + 0j, -1 + 0j]], np.complex64)
+        f = np.asarray(grid_map(g, d, pilot_bins=pb, pilot_values=pv))
+        assert f[0, 1] == 1 and f[0, 2] == 1
+        assert f[1, 3] == -1 and f[1, 4] == -1
+        assert f[0, 3] == 0
+
+
+class TestWindowMask:
+    def test_taper_geometry(self):
+        w = symbol_taper(80, 8)
+        assert w.shape == (80,)
+        assert w[0] < 0.1 and w[-1] < 0.1
+        np.testing.assert_allclose(w[8:72], 1.0)
+        np.testing.assert_allclose(w[:8], w[::-1][:8])  # symmetric
+
+    def test_taper_rx_transparent(self):
+        # roll_off ≤ min(cp−b, b) leaves the RX core bit-identical
+        rng = np.random.default_rng(3)
+        g = CarrierGrid(simple_plan())
+        d = (rng.standard_normal((4, 62)) + 1j * rng.standard_normal((4, 62))).astype(np.complex64)
+        f = grid_map(g, d)
+        b = 8
+        taper = symbol_taper(80, 8)
+        t = ofdm_assemble(f, cp_len=16, taper=taper)
+        f2 = np.asarray(symbol_fft(t, 64, 16, backoff=b))
+        k = np.arange(64)
+        ramp = np.exp(-1j * 2 * np.pi * k * b / 64)
+        np.testing.assert_allclose(f2, np.asarray(f) * ramp, atol=1e-4)
+
+    def test_max_pilot_safe_backoff(self):
+        assert max_pilot_safe_backoff(2048, 12) == 85
+
+    def test_txlp_design(self):
+        tl = TxLowpass.for_null_band(256, 96, 65, 60.0)
+        assert tl.group_delay() == 32
+        assert tl.transition_fits(256, 96)
+        assert tl.fits_guard(cp_len=64, roll_off=0, backoff=32)
+        assert not tl.fits_guard(cp_len=64, roll_off=8, backoff=32)
+
+    def test_spectral_levers_stack(self):
+        # mirror of all_three_spectral_levers_stack (unit/multicarrier.rs):
+        # edge guard + taper + mask each push OOB power further down.
+        rng = np.random.default_rng(4)
+        n_fft, cp = 256, 64
+        n_sym = 64
+
+        def make(plan, taper_ro, mask):
+            g = CarrierGrid(plan)
+            bits = rng.integers(0, 2, (n_sym, g.num_data_carriers * 2)).astype(np.uint8)
+            d = con.map_bits(bits, "qpsk").reshape(n_sym, g.num_data_carriers)
+            t = ofdm_assemble(grid_map(g, d), cp_len=cp,
+                              taper=symbol_taper(n_fft + cp, taper_ro))
+            if mask is not None:
+                t = mask.apply(t)
+            return np.asarray(t)
+
+        def oob_db(x, guard):
+            # mean power in the outer (stop) band vs in-band, 4-term
+            # Blackman-Harris window (docs/performance.md:588-593)
+            n = len(x)
+            i = np.arange(n)
+            a = [0.35875, 0.48829, 0.14128, 0.01168]
+            w = a[0] - a[1]*np.cos(2*np.pi*i/n) + a[2]*np.cos(4*np.pi*i/n) - a[3]*np.cos(6*np.pi*i/n)
+            S = np.fft.fftshift(np.abs(np.fft.fft(x * w)) ** 2)
+            f = np.fft.fftshift(np.fft.fftfreq(n))
+            inband = S[np.abs(f) < (128 - guard - 8) / 256 * 0.5].mean()
+            stop = S[np.abs(f) > 0.42].mean()
+            return 10 * np.log10(stop / inband)
+
+        guard = 31
+        base = make(CarrierPlan(n_fft, cp).with_contiguous_data(), 0, None)
+        guarded = make(CarrierPlan(n_fft, cp).with_contiguous_data(edge_guard=guard), 0, None)
+        plan_g = CarrierPlan(n_fft, cp).with_contiguous_data(edge_guard=guard)
+        tapered = make(plan_g, 32, None)
+        mask = TxLowpass.for_null_band(n_fft, plan_g.occupied_half_carriers(), 65, 60.0)
+        all3 = make(plan_g, 32, mask)
+
+        d_base, d_guard, d_taper, d_all = (oob_db(base, 0), oob_db(guarded, guard),
+                                           oob_db(tapered, guard), oob_db(all3, guard))
+        assert d_guard < d_base - 10
+        assert d_taper < d_guard - 10
+        assert d_all < d_taper - 20

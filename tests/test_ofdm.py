@@ -1,0 +1,158 @@
+"""OFDM mod/demod/equalizer/sync tests (mirrors reference unit/ofdm.rs +
+roundtrip/ofdm.rs highlights)."""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as sdr
+from orion_sdr_tpu.multicarrier import CarrierPlan
+from orion_sdr_tpu.ofdm import (
+    OfdmConfig, ofdm_mod, ofdm_demod, ofdm_decide, ofdm_soft_demod,
+    zf_equalize, channel_estimate_training, channel_estimate_pilots,
+    build_ofdm_rx_frame,
+)
+from orion_sdr_tpu.sync import (
+    OfdmPreamble, ofdm_sync, generate_ofdm_preamble, training_symbol_freq_pattern,
+)
+from orion_sdr_tpu.dsp.osc import rotate
+
+FS = 48_000.0
+
+
+def make_cfg(order="qpsk", n_fft=64, cp=16, **kw):
+    plan = CarrierPlan(n_fft, cp).with_contiguous_data()
+    return OfdmConfig(plan, FS, constellation=order, **kw)
+
+
+class TestOfdmRoundtrip:
+    @pytest.mark.parametrize("order", ["bpsk", "qpsk", "qam16", "qam64", "qam256"])
+    def test_noiseless_bit_exact(self, order):
+        rng = np.random.default_rng(0)
+        cfg = make_cfg(order)
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 6).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        soft, _ = ofdm_demod(cfg, iq)
+        out = np.asarray(ofdm_decide(cfg, soft))
+        np.testing.assert_array_equal(out, bits)
+
+    def test_rf_carrier_roundtrip(self):
+        rng = np.random.default_rng(1)
+        cfg = make_cfg("qam16", rf_hz=6000.0)
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 4).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        soft, _ = ofdm_demod(cfg, iq)
+        out = np.asarray(ofdm_decide(cfg, soft))
+        np.testing.assert_array_equal(out, bits)
+
+    def test_soft_llr_signs(self):
+        rng = np.random.default_rng(2)
+        cfg = make_cfg("qam64")
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 2).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        soft, _ = ofdm_demod(cfg, iq)
+        llr = np.asarray(ofdm_soft_demod(cfg, soft))
+        np.testing.assert_array_equal((llr < 0).astype(np.uint8), bits)
+
+    def test_evm_diagnostics(self):
+        rng = np.random.default_rng(3)
+        cfg = make_cfg("qpsk")
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 2).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        iq = np.asarray(iq) + sdr.awgn(rng, iq.shape, 0.02)
+        soft, _ = ofdm_demod(cfg, iq)
+        out = ofdm_decide(cfg, soft)
+        frame = build_ofdm_rx_frame(cfg, soft, out)
+        assert frame.num_symbols == 2
+        assert frame.evm_db is not None and -60 < frame.evm_db < -10
+
+
+class TestEqualizer:
+    def test_training_hold_flat_gain_phase(self):
+        rng = np.random.default_rng(4)
+        cfg = make_cfg("qam16")
+        g = cfg.grid()
+        known = training_symbol_freq_pattern(g.n_fft)
+        h = 0.7 * np.exp(1j * 0.8)
+        rx_train = known * h
+        est = channel_estimate_training(rx_train, known)
+        np.testing.assert_allclose(np.asarray(est), h * np.ones(g.n_fft), atol=1e-5)
+
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 3).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        soft, _ = ofdm_demod(cfg, np.asarray(iq) * h, estimate=est)
+        np.testing.assert_array_equal(np.asarray(ofdm_decide(cfg, soft)), bits)
+
+    def test_pilot_interp_multipath(self):
+        # per-symbol pilot interpolation must undo a 2-tap channel
+        rng = np.random.default_rng(5)
+        n_fft, cp = 64, 16
+        pilot_idx = list(range(-28, 29, 7))  # every 7 bins
+        pilots = [(i, 1.0 + 0j) for i in pilot_idx]
+        plan = CarrierPlan(n_fft, cp).with_pilot_carriers(pilots).with_contiguous_data()
+        cfg = OfdmConfig(plan, FS, constellation="qpsk")
+        g = cfg.grid()
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 4).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        iq = np.asarray(iq)
+        # 2-tap multipath (short vs cp)
+        chan = np.array([1.0, 0.35 * np.exp(1j * 1.1)], np.complex64)
+        rx = np.convolve(iq, chan)[:len(iq)]
+
+        from orion_sdr_tpu.multicarrier import symbol_fft, grid_extract
+        freq = symbol_fft(rx, n_fft, cp)
+        est = channel_estimate_pilots(freq, g.pilot_bins, g.pilot_values, n_fft)
+        eq = zf_equalize(freq, est)
+        soft = grid_extract(g, eq)
+        out = np.asarray(ofdm_decide(cfg, soft))
+        np.testing.assert_array_equal(out, bits)
+
+
+class TestSync:
+    def test_preamble_deterministic(self):
+        p = OfdmPreamble(4, 64).with_training_symbol(64, 16)
+        a = generate_ofdm_preamble(p)
+        b = generate_ofdm_preamble(p)
+        np.testing.assert_array_equal(a, b)
+        assert len(a) == 4 * 64 + 80
+        # unit average energy on the repeats
+        assert np.mean(np.abs(a[:256]) ** 2) == pytest.approx(1.0, rel=1e-5)
+
+    def test_sc_acquisition_timing_and_cfo(self):
+        rng = np.random.default_rng(6)
+        cfg = make_cfg("qpsk")
+        p = OfdmPreamble(4, 64)
+        pre = generate_ofdm_preamble(p)
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 8).astype(np.uint8)
+        body, _ = ofdm_mod(cfg, bits)
+        offset = 333
+        buf = np.concatenate([
+            sdr.awgn(rng, offset, 0.05), pre, np.asarray(body),
+            sdr.awgn(rng, 200, 0.05)])
+        # apply a fractional CFO within capture range ±fs/(2·64)=±375 Hz
+        cfo_true = 140.0
+        buf, _ = rotate(buf, cfo_true, FS)
+        buf = np.asarray(buf) + sdr.awgn(rng, len(buf), 0.05)
+
+        res = ofdm_sync(buf, FS, p)
+        assert res, "no sync candidates"
+        best = res[0]
+        assert abs(best.start_sample - offset) <= 2
+        assert best.cfo_hz == pytest.approx(cfo_true, abs=15.0)
+        assert best.score > 0.5
+
+    def test_integer_cfo_recovery(self):
+        rng = np.random.default_rng(7)
+        p = OfdmPreamble(4, 64).with_training_symbol(64, 16)
+        pre = generate_ofdm_preamble(p)
+        buf = np.concatenate([np.zeros(100, np.complex64), pre,
+                              sdr.awgn(rng, 100, 0.01)])
+        # integer CFO of +3 bins = 3*fs/64
+        shift_hz = 3 * FS / 64 + 50.0  # plus a fractional part
+        buf, _ = rotate(buf, shift_hz, FS)
+        buf = np.asarray(buf) + sdr.awgn(rng, len(buf), 0.02)
+        res = ofdm_sync(buf, FS, p)
+        assert res
+        best = res[0]
+        total = best.cfo_hz + best.integer_cfo_bins * FS / 64
+        assert best.integer_cfo_bins == 3
+        assert total == pytest.approx(shift_hz, abs=20.0)
