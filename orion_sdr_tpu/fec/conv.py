@@ -1,0 +1,179 @@
+"""Punctured convolutional codes + soft Viterbi (ref: /root/reference/src/fec/conv.rs).
+
+Mother codes: K5 (G0=0o25, G1=0o23 — also PSK31's code, codec/psk31.rs:45) and
+DvbK7 (G0=0o171, G1=0o133, ETSI EN 300 744 §4.3.3). Zero-tail termination,
+standard DVB/802.11 puncture matrices for rates 2/3, 3/4, 5/6, 7/8.
+
+TPU design:
+* encode — a rate-1/2 convolutional encoder is two binary FIR convolutions
+  (XOR-dot of the generator taps over the bit stream): one batched int conv,
+  no sequential register.
+* puncture/depuncture — precomputed boolean masks (trace-time numpy),
+  applied as gathers/scatters.
+* Viterbi — ACS as a lax.scan over trellis steps with all 2^(K−1) states
+  updated as one vectorized max; decisions recorded per step, then a cheap
+  reverse scan traceback. Batch over codewords via leading axes.
+Branch metric = LLR correlation Σ(1−2c)·llr, maximized (positive ⇒ bit 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+CONV_CODES = {
+    "k5": {"K": 5, "g0": 0b10101, "g1": 0b10011},
+    "dvb_k7": {"K": 7, "g0": 0b1111001, "g1": 0b1011011},
+}
+
+PUNCTURE = {
+    "1/2": ([1], [1]),
+    "2/3": ([1, 1], [1, 0]),
+    "3/4": ([1, 1, 0], [1, 0, 1]),
+    "5/6": ([1, 1, 0, 1, 0], [1, 0, 1, 0, 1]),
+    "7/8": ([1, 1, 1, 1, 0, 1, 0], [1, 0, 0, 0, 1, 0, 1]),
+}
+
+
+def tail_bits(code: str) -> int:
+    return CONV_CODES[code]["K"] - 1
+
+
+@lru_cache(maxsize=None)
+def _tables(code: str):
+    """Trellis tables: generator taps (time order), predecessor/branch arrays."""
+    c = CONV_CODES[code]
+    K, g0, g1 = c["K"], c["g0"], c["g1"]
+    S = 1 << (K - 1)
+    top = K - 2
+    # taps[j] multiplies b_{t-j}: window bit (K-1-j)
+    taps0 = np.array([(g0 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
+    taps1 = np.array([(g1 >> (K - 1 - j)) & 1 for j in range(K)], np.int32)
+    # next_state(s, b) = (s >> 1) | (b << top);  predecessors of ns:
+    prev = np.zeros((S, 2), np.int32)
+    sign0 = np.zeros((S, 2), np.float32)  # (1-2c0) for branch prev→ns
+    sign1 = np.zeros((S, 2), np.float32)
+    for ns in range(S):
+        b = (ns >> top) & 1
+        base = (ns & ((S >> 1) - 1)) << 1 if S > 1 else 0
+        for z in range(2):
+            p = base | z
+            prev[ns, z] = p
+            window = (b << (K - 1)) | p
+            c0 = bin(window & g0).count("1") & 1
+            c1 = bin(window & g1).count("1") & 1
+            sign0[ns, z] = 1.0 - 2.0 * c0
+            sign1[ns, z] = 1.0 - 2.0 * c1
+    return K, S, top, taps0, taps1, prev, sign0, sign1
+
+
+def conv_encode(bits, code: str = "k5"):
+    """Rate-1/2 mother encode (no tail): interleaved [g0_0, g1_0, g0_1, …].
+
+    Equivalent of codec::conv_encode (K5) / conv_encode_code (ref).
+    Implemented as two binary convolutions over the bit stream.
+    """
+    K, S, top, taps0, taps1, *_ = _tables(code)
+    b = jnp.asarray(bits).astype(jnp.int32) & 1
+    lead = b.shape[:-1]
+    n = b.shape[-1]
+    # prepend K-1 zeros (initial register), correlate with taps
+    bp = jnp.concatenate([jnp.zeros(lead + (K - 1,), jnp.int32), b], axis=-1)
+    # window for step t: bits b_t..b_{t-K+1}; build via stacked slices
+    wins = jnp.stack([bp[..., j:j + n] for j in range(K)], axis=-1)  # b_{t-K+1+j}
+    # taps ordering: taps[j] multiplies b_{t-j} → align: wins[..., K-1-j] = b_{t-j}
+    t0 = jnp.asarray(taps0[::-1].copy())
+    t1 = jnp.asarray(taps1[::-1].copy())
+    c0 = jnp.sum(wins * t0, axis=-1) & 1
+    c1 = jnp.sum(wins * t1, axis=-1) & 1
+    out = jnp.stack([c0, c1], axis=-1).reshape(lead + (2 * n,))
+    return out.astype(jnp.uint8)
+
+
+def _puncture_mask(rate: str, n_steps: int) -> np.ndarray:
+    """Boolean keep-mask over the interleaved 2·n_steps mother output."""
+    g0, g1 = PUNCTURE[rate]
+    period = len(g0)
+    cols = np.arange(n_steps) % period
+    keep = np.empty(2 * n_steps, dtype=bool)
+    keep[0::2] = np.asarray(g0, bool)[cols]
+    keep[1::2] = np.asarray(g1, bool)[cols]
+    return keep
+
+
+def punctured_coded_len(info_bits: int, rate: str, code: str = "k5") -> int:
+    """Deterministic coded length (ref: conv.rs:229-251)."""
+    n_steps = info_bits + tail_bits(code)
+    return int(_puncture_mask(rate, n_steps).sum())
+
+
+def conv_encode_punctured(info_bits, rate: str = "1/2", code: str = "k5"):
+    """Zero-tail + mother encode + puncture (ref: conv.rs:190-201)."""
+    b = jnp.asarray(info_bits)
+    lead = b.shape[:-1]
+    tb = tail_bits(code)
+    padded = jnp.concatenate([b, jnp.zeros(lead + (tb,), b.dtype)], axis=-1)
+    coded = conv_encode(padded, code)
+    if rate == "1/2":
+        return coded
+    keep = _puncture_mask(rate, padded.shape[-1])
+    return coded[..., np.nonzero(keep)[0]]
+
+
+def depuncture_llrs(coded_llrs, info_bits: int, rate: str, code: str = "k5"):
+    """Reinsert LLR-0 erasures at punctured positions → (..., 2·n_steps)."""
+    l = jnp.asarray(coded_llrs, dtype=jnp.float32)
+    n_steps = info_bits + tail_bits(code)
+    if rate == "1/2":
+        out = jnp.zeros(l.shape[:-1] + (2 * n_steps,), jnp.float32)
+        n = min(l.shape[-1], 2 * n_steps)
+        return out.at[..., :n].set(l[..., :n])
+    keep_idx = np.nonzero(_puncture_mask(rate, n_steps))[0]
+    out = jnp.zeros(l.shape[:-1] + (2 * n_steps,), jnp.float32)
+    n = min(l.shape[-1], len(keep_idx))
+    return out.at[..., keep_idx[:n]].set(l[..., :n])
+
+
+def viterbi_decode_soft(coded_llrs, info_bits: int, rate: str = "1/2",
+                        code: str = "k5"):
+    """Soft Viterbi over a zero-tail-terminated punctured stream
+    (ref: conv.rs:262-348). Returns (..., info_bits) uint8."""
+    K, S, top, _, _, prev, sign0, sign1 = _tables(code)
+    full = depuncture_llrs(coded_llrs, info_bits, rate, code)
+    lead = full.shape[:-1]
+    n_steps = info_bits + tail_bits(code)
+    l0 = full[..., 0::2]  # (..., n_steps)
+    l1 = full[..., 1::2]
+    prev_j = jnp.asarray(prev)       # (S, 2)
+    s0 = jnp.asarray(sign0)
+    s1 = jnp.asarray(sign1)
+    neg_inf = jnp.float32(-1e30)
+
+    pm0 = jnp.full(lead + (S,), neg_inf).at[..., 0].set(0.0)
+
+    def acs(pm, ls):
+        la, lb = ls
+        cand = pm[..., prev_j] + s0 * la[..., None, None] + s1 * lb[..., None, None]
+        dec = jnp.argmax(cand, axis=-1)          # (..., S)
+        new_pm = jnp.max(cand, axis=-1)
+        return new_pm, dec.astype(jnp.uint8)
+
+    lt0 = jnp.moveaxis(l0, -1, 0)
+    lt1 = jnp.moveaxis(l1, -1, 0)
+    _, decs = jax.lax.scan(lambda pm, ls: acs(pm, ls), pm0, (lt0, lt1))
+    # decs: (n_steps, ..., S)
+
+    def traceback(state, dec_t):
+        bit = (state >> top) & 1
+        z = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0].astype(jnp.int32)
+        nxt = prev_j[state, z]
+        return nxt, bit
+
+    state0 = jnp.zeros(lead, jnp.int32)
+    _, bits_rev = jax.lax.scan(traceback, state0, decs[::-1])
+    bits = jnp.moveaxis(bits_rev[::-1], 0, -1)
+    return bits[..., :info_bits].astype(jnp.uint8)

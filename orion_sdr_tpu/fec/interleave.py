@@ -1,0 +1,89 @@
+"""Block + Forney convolutional interleavers (ref: /root/reference/src/fec/interleaver.rs).
+
+TPU design:
+* Block interleaver — a reshape/transpose, generic over dtype (the inner
+  deinterleaver permutes f32 LLRs, the outer permutes u8 bytes).
+* Forney interleaver — the reference streams bytes through per-branch FIFOs;
+  here the identity "a byte entering branch j = t mod I at position t exits
+  at t + j·M·I" turns the whole device into ONE gather with a carried
+  history window (length (I−1)·M·I) — fully vectorized, chunk-invariant.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ── Block interleaver ────────────────────────────────────────────────────────
+
+
+def block_interleave(x, rows: int, cols: int):
+    """Row-in / column-out over exactly rows·cols elements (interleaver.rs:56-99)."""
+    x = jnp.asarray(x)
+    n = rows * cols
+    assert x.shape[-1] == n, "interleave input must be one full block"
+    m = x.reshape(x.shape[:-1] + (rows, cols))
+    return jnp.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
+
+
+def block_deinterleave(x, rows: int, cols: int):
+    x = jnp.asarray(x)
+    n = rows * cols
+    assert x.shape[-1] == n, "deinterleave input must be one full block"
+    m = x.reshape(x.shape[:-1] + (cols, rows))
+    return jnp.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
+
+
+# ── Forney convolutional interleaver ─────────────────────────────────────────
+
+
+def conv_roundtrip_delay(branches: int, depth: int) -> int:
+    return branches * (branches - 1) * depth
+
+
+class ForneyState(NamedTuple):
+    history: jnp.ndarray  # last (I−1)·M·I inputs (zeros initially)
+    pos: int              # commutator offset of the next input byte
+
+
+def _forney_apply(x, branches: int, depth: int, state: Optional[ForneyState],
+                  deinterleave: bool):
+    x = jnp.asarray(x)
+    I, M = branches, depth
+    D = (I - 1) * M * I  # max per-byte delay in stream positions
+    if state is None:
+        state = ForneyState(
+            history=jnp.zeros(x.shape[:-1] + (D,), dtype=x.dtype), pos=0)
+    xp = jnp.concatenate([state.history, x], axis=-1)
+    n = x.shape[-1]
+    t = np.arange(n)
+    j = (t + state.pos) % I
+    delay = ((I - 1 - j) if deinterleave else j) * M * I
+    src = D + t - delay
+    out = xp[..., src]
+    new_state = ForneyState(history=xp[..., xp.shape[-1] - D:],
+                            pos=int((state.pos + n) % I))
+    return out, new_state
+
+
+def forney_interleave(x, branches: int = 12, depth: int = 17,
+                      state: Optional[ForneyState] = None):
+    """Streaming Forney interleave; 1:1 length, state carried
+    (ref: interleaver.rs:137-230). DVB-T outer: I=12, M=17."""
+    return _forney_apply(x, branches, depth, state, deinterleave=False)
+
+
+def forney_deinterleave(x, branches: int = 12, depth: int = 17,
+                        state: Optional[ForneyState] = None):
+    """Matched deinterleaver: branch j delay (I−1−j)·M (interleaver.rs:232-305)."""
+    return _forney_apply(x, branches, depth, state, deinterleave=True)
+
+
+def forney_flush(branches: int, depth: int, state: ForneyState, deinterleave=False):
+    """Drain: feed roundtrip_delay zeros (frame-orchestrator shape)."""
+    d = conv_roundtrip_delay(branches, depth)
+    zeros = jnp.zeros(state.history.shape[:-1] + (d,), dtype=state.history.dtype)
+    return _forney_apply(zeros, branches, depth, state, deinterleave)

@@ -1,0 +1,257 @@
+"""Constructive IRA/staircase LDPC family (ref: /root/reference/src/fec/ldpc_codes.rs).
+
+Wire compatibility: H = [A | T] is rebuilt from the same deterministic greedy
+fill (row-load balance + 4-cycle guard, xorshift64 tie-break with the
+reference's per-code seeds), so TX here decodes on the reference and vice
+versa. Codes: N512R12 (512,256), N576R23 (576,384), N512R34 (512,384),
+column weight 3.
+
+TPU design:
+* encode — parity = cumulative-XOR of A·msg row sums: one int matmul
+  (batched over codewords, MXU) + a parity prefix scan.
+* decode — belief propagation over a *dense padded* Tanner graph: the
+  check→bit incidence is a (M, max_deg) index array + mask, so the
+  check-node update is a leave-one-out product over a fixed tiny axis and
+  the variable-node update is one segment-sum — no jagged lists, no Python
+  loops, fully batchable with vmap over codewords.
+* rules — SumProduct (tanh/atanh rational approximations matching the
+  reference's fast_tanh/fast_atanh), MinSum, ScaledMinSum(α).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LDPC_CODES = {
+    "N512R12": (512, 256, 0x4C44_5043_3531_3200),
+    "N576R23": (576, 384, 0x4C44_5043_3531_3201),
+    "N512R34": (512, 384, 0x4C44_5043_3531_3202),
+}
+
+COL_WEIGHT = 3
+_MASK64 = (1 << 64) - 1
+
+
+def _build_msg_col_rows(k: int, m: int, seed: int) -> list:
+    """Deterministic A-block fill (ref: ldpc_codes.rs:134-215): per message
+    column pick COL_WEIGHT rows, least-loaded first, rotating xorshift offset
+    as tie-break, rejecting rows that would form an A-block 4-cycle."""
+    state = seed
+
+    def nxt():
+        nonlocal state
+        state = (state ^ (state << 13)) & _MASK64
+        state = (state ^ (state >> 7)) & _MASK64
+        state = (state ^ (state << 17)) & _MASK64
+        return state
+
+    row_load = [0] * m
+    used_pairs = set()
+    cols = []
+    for _ in range(k):
+        rows = []
+        while len(rows) < COL_WEIGHT:
+            offset = nxt() % m
+            best, best_load = None, None
+            for step in range(m):
+                r = (offset + step) % m
+                if r in rows:
+                    continue
+                if any((min(q, r), max(q, r)) in used_pairs for q in rows):
+                    continue
+                if best_load is None or row_load[r] < best_load:
+                    best_load = row_load[r]
+                    best = r
+            if best is not None:
+                rows.append(best)
+            else:
+                # relax the girth constraint rather than loop forever
+                for step in range(m):
+                    r = (offset + step) % m
+                    if r not in rows:
+                        rows.append(r)
+                        break
+        for i in range(len(rows)):
+            row_load[rows[i]] += 1
+            for j in range(i + 1, len(rows)):
+                used_pairs.add((min(rows[i], rows[j]), max(rows[i], rows[j])))
+        cols.append(sorted(rows))
+    return cols
+
+
+@dataclass(frozen=True)
+class LdpcGraph:
+    """Trace-time constants describing one code's Tanner graph."""
+    name: str
+    n: int
+    k: int
+    m: int
+    A: np.ndarray              # (m, k) uint8 — dense A block (for encode matmul)
+    check_bits: np.ndarray     # (m, max_deg) int32, padded with n (dummy bit)
+    check_mask: np.ndarray     # (m, max_deg) bool
+    max_deg: int
+
+
+@lru_cache(maxsize=None)
+def ldpc_graph(name: str) -> LdpcGraph:
+    """Construct (and cache — the TPU CodecCache equivalent) a code's graph."""
+    n, k, seed = LDPC_CODES[name]
+    m = n - k
+    cols = _build_msg_col_rows(k, m, seed)
+
+    A = np.zeros((m, k), dtype=np.uint8)
+    check_bits = [[] for _ in range(m)]
+    for col, rows in enumerate(cols):
+        for r in rows:
+            A[r, col] = 1
+            check_bits[r].append(col)
+    for i in range(m):
+        check_bits[i].append(k + i)
+        if i > 0:
+            check_bits[i].append(k + i - 1)
+
+    max_deg = max(len(b) for b in check_bits)
+    cb = np.full((m, max_deg), n, dtype=np.int32)  # pad with dummy bit index n
+    mask = np.zeros((m, max_deg), dtype=bool)
+    for i, bits in enumerate(check_bits):
+        cb[i, :len(bits)] = bits
+        mask[i, :len(bits)] = True
+    return LdpcGraph(name=name, n=n, k=k, m=m, A=A,
+                     check_bits=cb, check_mask=mask, max_deg=max_deg)
+
+
+# ── encode ───────────────────────────────────────────────────────────────────
+
+
+def ldpc_encode(name: str, message):
+    """Systematic encode (..., K) bits → (..., N) codeword
+    (ref: ldpc_codes.rs:304-328): s = A·msg mod 2, p = prefix-XOR(s)."""
+    g = ldpc_graph(name)
+    msg = jnp.asarray(message).astype(jnp.int32) & 1
+    A = jnp.asarray(g.A.astype(np.int32))
+    s = jnp.einsum("mk,...k->...m", A, msg) & 1
+    # prefix XOR == cumulative sum mod 2
+    p = jnp.cumsum(s, axis=-1) & 1
+    return jnp.concatenate([msg, p], axis=-1).astype(jnp.uint8)
+
+
+# ── decode ───────────────────────────────────────────────────────────────────
+
+
+def _fast_tanh(x):
+    """Rational tanh approximation (ref: ldpc_codes.rs:561-573)."""
+    x2 = x * x
+    a = x * (945.0 + x2 * (105.0 + x2))
+    b = 945.0 + x2 * (420.0 + x2 * 15.0)
+    return jnp.clip(a / b, -1.0, 1.0)
+
+
+def _fast_atanh(x):
+    x2 = x * x
+    a = x * (945.0 + x2 * (-735.0 + x2 * 64.0))
+    b = 945.0 + x2 * (-1050.0 + x2 * 225.0)
+    return a / b
+
+
+def _syndrome_weight(g: LdpcGraph, hard_padded):
+    """hard_padded: (..., N+1) with dummy 0 at index N."""
+    bits = hard_padded[..., g.check_bits]          # (..., m, D)
+    x = jnp.sum(jnp.where(g.check_mask, bits, 0), axis=-1) & 1
+    return jnp.sum(x, axis=-1)
+
+
+def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
+                alpha: float = 0.75):
+    """Belief-propagation decode (ref: ldpc_codes.rs:357-536).
+
+    ``llr``: (..., N) float32, positive ⇒ bit 0. Returns
+    (message (..., K) uint8, unsat (...,) int32) — 0 unsatisfied checks means
+    a valid codeword was reached. Runs a fixed ``max_iter`` iterations with
+    best-snapshot tracking (batch-friendly; XLA-compatible control flow).
+    """
+    g = ldpc_graph(name)
+    llr = jnp.asarray(llr, dtype=jnp.float32)
+    cb = jnp.asarray(g.check_bits)                 # (m, D)
+    mask = jnp.asarray(g.check_mask)               # (m, D)
+    D = g.max_deg
+    lead = llr.shape[:-1]
+
+    def pad(x):
+        return jnp.concatenate([x, jnp.zeros(lead + (1,), x.dtype)], axis=-1)
+
+    llr_p = pad(llr)
+    hard0 = (llr <= 0.0).astype(jnp.int32)
+    unsat0 = _syndrome_weight(g, pad(hard0.astype(jnp.float32)).astype(jnp.int32))
+
+    # edge messages live as (..., m, D); padded lanes carry +inf-ish neutral
+    msg0 = jnp.where(mask, llr_p[..., cb], 1e30)
+
+    # flat bit index per edge for the variable-node segment sums
+    flat_bits = g.check_bits.reshape(-1)           # (m*D,)
+
+    def check_update(msg):
+        if rule == "sum_product":
+            t = jnp.where(mask, _fast_tanh(msg / 2.0), 1.0)
+            # leave-one-out product over the tiny degree axis
+            loo = []
+            for i in range(D):
+                idx = [j for j in range(D) if j != i]
+                loo.append(jnp.prod(t[..., idx], axis=-1))
+            prod = jnp.stack(loo, axis=-1)
+            ext = 2.0 * _fast_atanh(jnp.clip(prod, -1.0, 1.0))
+        else:
+            a = jnp.where(mask, jnp.abs(msg), jnp.inf)
+            sign = jnp.where(mask & (msg < 0), -1.0, 1.0)
+            sign_par = jnp.prod(sign, axis=-1, keepdims=True)
+            min1 = jnp.min(a, axis=-1, keepdims=True)
+            argmin = jnp.argmin(a, axis=-1)
+            # second smallest: mask out the argmin lane
+            onehot = jax.nn.one_hot(argmin, D, dtype=bool)
+            min2 = jnp.min(jnp.where(onehot, jnp.inf, a), axis=-1, keepdims=True)
+            mag = jnp.where(onehot, min2, min1)
+            s_other = sign_par * sign  # sign product excluding own edge
+            scale = alpha if rule == "scaled_min_sum" else 1.0
+            ext = scale * s_other * mag
+        return jnp.where(mask, ext, 0.0)
+
+    def bit_totals(ext):
+        """Sum of extrinsic messages per bit: (..., N+1)."""
+        flat = ext.reshape(lead + (-1,))
+        if lead:
+            flat2 = flat.reshape((-1, flat.shape[-1]))
+            out = jax.vmap(lambda f: jax.ops.segment_sum(
+                f, flat_bits, num_segments=g.n + 1))(flat2)
+            return out.reshape(lead + (g.n + 1,))
+        return jax.ops.segment_sum(flat, flat_bits, num_segments=g.n + 1)
+
+    def body(carry, _):
+        msg, best, min_unsat = carry
+        ext = check_update(msg)
+        sums = bit_totals(ext)                       # (..., N+1)
+        total = llr_p + sums
+        hard = (total[..., :g.n] <= 0.0).astype(jnp.int32)
+        unsat = _syndrome_weight(g, pad(hard.astype(jnp.float32)).astype(jnp.int32))
+        better = unsat < min_unsat
+        best = jnp.where(better[..., None], hard, best)
+        min_unsat = jnp.where(better, unsat, min_unsat)
+        # variable→check: msg = total[bit] − ext (own edge excluded)
+        msg_new = jnp.where(mask, total[..., cb] - ext, 1e30)
+        return (msg_new, best, min_unsat), None
+
+    (_, best, min_unsat), _ = jax.lax.scan(
+        body, (msg0, hard0, unsat0), None, length=max_iter)
+
+    return best[..., :g.k].astype(jnp.uint8), min_unsat.astype(jnp.int32)
+
+
+def ldpc_syndrome_weight(name: str, hard):
+    g = ldpc_graph(name)
+    h = jnp.asarray(hard).astype(jnp.int32) & 1
+    hp = jnp.concatenate([h, jnp.zeros(h.shape[:-1] + (1,), h.dtype)], axis=-1)
+    return _syndrome_weight(g, hp)
