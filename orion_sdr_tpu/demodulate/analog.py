@@ -15,7 +15,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..dsp.osc import rotate, mix_usb
-from ..dsp.iir import design_butter_lp, dc_pole, lp_cascade, lp_dc_cascade, LpDcState
+from ..dsp.iir import (
+    design_butter_lp, dc_pole, lp_cascade, lp_dc_cascade, LpDcState, biquad_init,
+)
 from ..dsp.recurrence import first_order
 
 
@@ -69,7 +71,7 @@ def ssb_demod(iq, fs, bfo_hz, audio_bw_hz, state: SsbDemodState | None = None):
 
 class QuadDemodState(NamedTuple):
     prev: jnp.ndarray       # previous complex sample
-    lp: jnp.ndarray         # (..., 2, 2) LpCascade state
+    lp: tuple               # (BiquadState, BiquadState) LpCascade state
     xlate_phase: jnp.ndarray
 
 
@@ -86,7 +88,7 @@ def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
     if state is None:
         state = QuadDemodState(
             prev=jnp.ones(z.shape[:-1], jnp.complex64),
-            lp=jnp.zeros(z.shape[:-1] + (2, 2), jnp.float32),
+            lp=(biquad_init(z.shape[:-1]), biquad_init(z.shape[:-1])),
             xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
         )
     xlate_phase = state.xlate_phase
@@ -107,7 +109,7 @@ def pm_demod(iq, fs, k, audio_bw_hz, state: QuadDemodState | None = None):
     if state is None:
         state = QuadDemodState(
             prev=jnp.ones(z.shape[:-1], jnp.complex64),
-            lp=jnp.zeros(z.shape[:-1] + (2, 2), jnp.float32),
+            lp=(biquad_init(z.shape[:-1]), biquad_init(z.shape[:-1])),
             xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
         )
     prod = _delay_conj_product(z, state.prev)

@@ -18,9 +18,12 @@ from .iir import (
     design_butter_lp,
     dc_pole,
     biquad,
+    biquad_init,
+    BiquadState,
     lp_cascade,
     dc_blocker,
     lp_dc_cascade,
+    lp_dc_init,
     LpDcState,
 )
 from .agc import AgcParams, design_agc, agc_rms

@@ -1,13 +1,18 @@
 """IIR sections as parallel linear recurrences.
 
 The reference implements biquads/cascades as per-sample TDF-II loops
-(/root/reference/src/dsp/iir.rs). Here each section's 2-state TDF-II
-recurrence is solved with an O(log n) associative scan (dsp.recurrence),
-so whole captures filter in one vectorized pass. Identical difference
-equations → identical outputs (to f32 rounding).
+(/root/reference/src/dsp/iir.rs). Here each second-order section is
+decomposed by partial fractions into a complex one-pole: for the
+complex-conjugate pole pair (p, p̄) of 1 + a1·z⁻¹ + a2·z⁻²,
 
-State pytrees: a biquad state is a (..., 2) array (z1, z2); a DC blocker
-state is a (..., 2) array (x1, y1).
+    y = 2·Re( A · s ),   s[n] = p·s[n−1] + v[n],   A = p/(p − p̄),
+
+where v is the 3-tap numerator FIR of x. The one-pole solves as an O(log n)
+parallel prefix (dsp.recurrence.first_order) with bounded memory — identical
+difference equation, whole-capture vectorized.
+
+State pytrees: BiquadState(sp complex carry, x_tail last-2 inputs);
+a cascade carries a tuple of them; the DC blocker a (..., 2) array (x1, y1).
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from .recurrence import first_order, affine2
+from .recurrence import first_order
 
 
 class BiquadCoefs(NamedTuple):
@@ -45,33 +50,51 @@ def dc_pole(fs: float, cut_hz: float) -> float:
     return float(np.clip(1.0 - 2.0 * np.pi * (max(cut_hz, 0.1) / fs), 0.0, 0.9999))
 
 
-def biquad(x, c: BiquadCoefs, state=None):
-    """One TDF-II biquad over the last axis. Returns (y, state).
+class BiquadState(NamedTuple):
+    sp: jnp.ndarray      # (...,) complex64 one-pole carry
+    x_tail: jnp.ndarray  # (..., 2) last two inputs [x[n−2], x[n−1]]
 
-    TDF-II:  y = b0·x + z1;  z1' = b1·x + z2 − a1·y;  z2' = b2·x − a2·y.
-    As a state recurrence s = (z1, z2):
-      s[n] = A s[n−1] + B x[n],  A = [[−a1, 1], [−a2, 0]],
-      B = (b1 − a1·b0, b2 − a2·b0),  y[n] = b0·x[n] + z1[n−1].
+
+def _pole(c: BiquadCoefs) -> complex:
+    disc = c.a1 * c.a1 - 4.0 * c.a2
+    if disc >= 0:
+        raise ValueError("biquad fast path requires a complex-conjugate pole pair")
+    return complex(-c.a1 / 2.0, np.sqrt(-disc) / 2.0)
+
+
+def biquad_init(lead_shape, dtype=jnp.float32) -> BiquadState:
+    return BiquadState(sp=jnp.zeros(lead_shape, jnp.complex64),
+                       x_tail=jnp.zeros(lead_shape + (2,), dtype))
+
+
+def biquad(x, c: BiquadCoefs, state: BiquadState | None = None):
+    """One second-order section over the last axis. Returns (y, state).
+
+    Same difference equation as the reference's TDF-II loop; evaluated via
+    the partial-fraction one-pole (see module docstring).
     """
     x = jnp.asarray(x)
     if state is None:
-        state = jnp.zeros(x.shape[:-1] + (2,), dtype=x.dtype)
-    A = np.array([[-c.a1, 1.0], [-c.a2, 0.0]], dtype=np.float32)
-    B = np.array([c.b1 - c.a1 * c.b0, c.b2 - c.a2 * c.b0], dtype=np.float32)
-    s, s_last = affine2(A, B, x, s0=state)
-    z1_prev = jnp.concatenate([state[..., 0:1], s[..., :-1, 0]], axis=-1)
-    y = c.b0 * x + z1_prev
-    return y, s_last
+        state = biquad_init(x.shape[:-1], x.dtype)
+    p = _pole(c)
+    A = p / (p - np.conj(p))
+    xp = jnp.concatenate([state.x_tail, x], axis=-1)
+    v = c.b0 * xp[..., 2:] + c.b1 * xp[..., 1:-1] + c.b2 * xp[..., :-2]
+    s, s_last = first_order(jnp.complex64(p), v.astype(jnp.complex64), y0=state.sp)
+    y = 2.0 * (jnp.complex64(A) * s).real
+    return y.astype(x.dtype), BiquadState(sp=s_last, x_tail=xp[..., -2:])
 
 
 def lp_cascade(x, c: BiquadCoefs, state=None):
-    """Two cascaded identical biquads = 4th-order LR lowpass (ref: dsp/iir.rs:44-87)."""
+    """Two cascaded identical biquads = 4th-order LR lowpass (ref: dsp/iir.rs:44-87).
+
+    ``state``: (BiquadState, BiquadState) or None."""
     x = jnp.asarray(x)
     if state is None:
-        state = jnp.zeros(x.shape[:-1] + (2, 2), dtype=x.dtype)
-    y0, s0 = biquad(x, c, state[..., 0, :])
-    y1, s1 = biquad(y0, c, state[..., 1, :])
-    return y1, jnp.stack([s0, s1], axis=-2)
+        state = (biquad_init(x.shape[:-1], x.dtype), biquad_init(x.shape[:-1], x.dtype))
+    y0, s0 = biquad(x, c, state[0])
+    y1, s1 = biquad(y0, c, state[1])
+    return y1, (s0, s1)
 
 
 def dc_blocker(x, r: float, state=None):
@@ -90,23 +113,25 @@ def dc_blocker(x, r: float, state=None):
 
 
 class LpDcState(NamedTuple):
-    bq: jnp.ndarray  # (..., 2, 2) two biquad states
-    dc: jnp.ndarray  # (..., 2) dc blocker state
+    bq: tuple            # (BiquadState, BiquadState)
+    dc: jnp.ndarray      # (..., 2) dc blocker state
+
+
+def lp_dc_init(lead_shape, dtype=jnp.float32) -> LpDcState:
+    return LpDcState(bq=(biquad_init(lead_shape, dtype), biquad_init(lead_shape, dtype)),
+                     dc=jnp.zeros(lead_shape + (2,), dtype))
 
 
 def lp_dc_cascade(x, c: BiquadCoefs, r: float, state: LpDcState | None = None, map_fn=None):
     """Fused LP4 + optional elementwise map + DC blocker (ref: dsp/iir.rs:90-187).
 
-    ``map_fn`` (e.g. jnp.sqrt for AM-PowerSqrt) is applied between the LP and
-    the DC blocker — all three stages remain whole-capture vectorized because
-    the nonlinearity sits *between* two linear recurrences.
+    ``map_fn`` (e.g. sqrt for AM-PowerSqrt) sits between the LP and the DC
+    blocker — all three stages stay whole-capture vectorized because the
+    nonlinearity sits *between* two linear recurrences.
     """
     x = jnp.asarray(x)
     if state is None:
-        state = LpDcState(
-            bq=jnp.zeros(x.shape[:-1] + (2, 2), dtype=x.dtype),
-            dc=jnp.zeros(x.shape[:-1] + (2,), dtype=x.dtype),
-        )
+        state = lp_dc_init(x.shape[:-1], x.dtype)
     y, bq_state = lp_cascade(x, c, state.bq)
     if map_fn is not None:
         y = map_fn(y)

@@ -21,8 +21,9 @@ TAU = 6.283185307179586
 def _ramp(freq_hz, fs, n, phase0):
     w = TAU * freq_hz / fs
     k = jnp.arange(1, n + 1, dtype=jnp.float32)
-    ph = phase0 + w * k
-    return ph, jnp.remainder(phase0 + w * n, TAU)
+    p0 = jnp.asarray(phase0, dtype=jnp.float32)
+    ph = p0[..., None] + w * k  # broadcasts batched phase carries
+    return ph, jnp.remainder(p0 + w * n, TAU)
 
 
 def oscillator(freq_hz, fs, n, phase0=0.0):

@@ -20,17 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-def first_order(a, b, y0=None):
-    """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along the last axis.
-
-    ``a`` may be a scalar (constant-coefficient one-pole) or an array
-    broadcastable to ``b``. ``y0`` is the carry-in (defaults to 0).
-
-    Returns ``(y, y_last)`` where ``y_last`` is the carry-out (``y[..., -1]``).
-
-    Implemented as an associative scan over affine maps
-    ``(a2, b2) ∘ (a1, b1) = (a1*a2, a2*b1 + b2)``.
-    """
+def _first_order_assoc(a, b, y0=None):
+    """Associative-scan core of first_order (one shot, O(n) temp memory)."""
     b = jnp.asarray(b)
     a = jnp.broadcast_to(jnp.asarray(a, dtype=b.dtype), b.shape)
     if y0 is not None:
@@ -44,6 +35,46 @@ def first_order(a, b, y0=None):
 
     _, y = jax.lax.associative_scan(combine, (a, b), axis=-1)
     return y, y[..., -1]
+
+
+_CHUNK = 8192  # cap associative-scan working set; scan chunks sequentially
+
+
+def first_order(a, b, y0=None):
+    """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along the last axis.
+
+    ``a`` may be a scalar (constant-coefficient one-pole) or an array
+    broadcastable to ``b``. ``y0`` is the carry-in (defaults to 0).
+
+    Returns ``(y, y_last)`` where ``y_last`` is the carry-out (``y[..., -1]``).
+
+    O(log n)-depth associative scan over affine maps; for long captures the
+    time axis is processed in fixed chunks under a ``lax.scan`` so peak
+    memory stays bounded (the scan carry is the one-pole state — the same
+    carry a streaming caller would thread).
+    """
+    b = jnp.asarray(b)
+    n = b.shape[-1]
+    if n <= _CHUNK or n % _CHUNK != 0:
+        return _first_order_assoc(a, b, y0)
+    a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=b.dtype), b.shape)
+    lead = b.shape[:-1]
+    nchunks = n // _CHUNK
+    bc = jnp.moveaxis(b.reshape(lead + (nchunks, _CHUNK)), -2, 0)
+    ac = jnp.moveaxis(a_arr.reshape(lead + (nchunks, _CHUNK)), -2, 0)
+    if y0 is None:
+        y0 = jnp.zeros(lead, dtype=b.dtype)
+    else:
+        y0 = jnp.broadcast_to(jnp.asarray(y0, dtype=b.dtype), lead)
+
+    def step(carry, ab):
+        ai, bi = ab
+        y, y_last = _first_order_assoc(ai, bi, carry)
+        return y_last, y
+
+    y_last, yc = jax.lax.scan(step, y0, (ac, bc))
+    y = jnp.moveaxis(yc, 0, -2).reshape(lead + (n,))
+    return y, y_last
 
 
 def affine2(A, B, x, s0=None):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dsp.osc import rotate, oscillator, TAU
-from ..dsp.iir import design_butter_lp, lp_cascade
+from ..dsp.iir import design_butter_lp, lp_cascade, biquad_init
 
 
 class CwState(NamedTuple):
@@ -63,8 +63,8 @@ def am_mod(audio, fs, rf_hz=0.0, carrier_level=1.0, modulation_index=1.0,
 
 
 class SsbState(NamedTuple):
-    lp_i: jnp.ndarray
-    lp_q: jnp.ndarray
+    lp_i: tuple  # (BiquadState, BiquadState)
+    lp_q: tuple
     aud_phase: jnp.ndarray
     rf_phase: jnp.ndarray
 
@@ -79,8 +79,8 @@ def ssb_mod(audio, fs, audio_bw_hz, audio_if_hz, rf_hz=0.0, usb=True,
     x = jnp.asarray(audio, dtype=jnp.float32)
     c = design_butter_lp(fs, audio_bw_hz * 0.9)
     if state is None:
-        z2 = jnp.zeros(x.shape[:-1] + (2, 2), jnp.float32)
-        state = SsbState(lp_i=z2, lp_q=z2,
+        mk = lambda: (biquad_init(x.shape[:-1]), biquad_init(x.shape[:-1]))
+        state = SsbState(lp_i=mk(), lp_q=mk(),
                          aud_phase=jnp.zeros(x.shape[:-1], jnp.float32),
                          rf_phase=jnp.zeros(x.shape[:-1], jnp.float32))
     p, aud_phase = oscillator(audio_if_hz, fs, x.shape[-1], state.aud_phase)

@@ -1,0 +1,6 @@
+from .sharding import (
+    make_mesh,
+    shard_channels,
+    fir_overlap_save_sharded,
+    fm_demod_sharded,
+)

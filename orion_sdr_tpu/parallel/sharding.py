@@ -1,0 +1,112 @@
+"""Multi-device scaling: channel-parallel and time-parallel sharding.
+
+The reference is a single-core sample pipeline (SURVEY.md §2: no threads, no
+collectives). The TPU-native scaling story (BASELINE.json north star):
+
+* channel parallel — many independent signals (FT8 windows, PSK31 candidates,
+  DVB-T services) shard over the mesh's ``ch`` axis with NO communication:
+  annotate the leading axis and let XLA partition the whole pipeline.
+* time parallel — ONE fast stream shards its time axis into blocks; FIR
+  overlap-save needs each device to see its left neighbor's last
+  ``ntaps − 1`` samples. That halo rides ICI via ``ppermute`` inside a
+  ``shard_map`` — exactly the reference's streaming-state carry, turned into
+  a collective.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from ..dsp import fir as _fir
+from ..dsp.osc import TAU
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("ch", "t"), shape=None):
+    """A 2-D (channel × time) device mesh. Defaults to all devices on ``ch``."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        shape = (n, 1)
+    arr = np.array(devs[:n]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def shard_channels(fn, mesh: Mesh, axis: str = "ch"):
+    """Jit ``fn`` with its first argument sharded on the leading (channel)
+    axis — embarrassing parallelism, no collectives."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def wrapped(x, *args, **kw):
+        x = jax.device_put(x, sharding)
+        return jax.jit(fn)(x, *args, **kw)
+
+    return wrapped
+
+
+def fir_overlap_save_sharded(x, taps, mesh: Mesh, time_axis: str = "t"):
+    """Causal FIR over a time-sharded stream with halo exchange.
+
+    ``x``: (..., n) with n divisible by the mesh's ``time_axis`` size. Each
+    device convolves its own block after receiving the previous block's tail
+    (ntaps−1 samples) from its left neighbor over ICI (`ppermute`) —
+    overlap-save, bit-identical to the single-device causal FIR.
+    """
+    taps = np.asarray(taps, np.float32)
+    ntaps = len(taps)
+    nd = mesh.shape[time_axis]
+
+    def block_fn(xb):
+        # xb: this device's contiguous time block (leading dims intact)
+        tail = xb[..., -(ntaps - 1):] if ntaps > 1 else xb[..., :0]
+        left = jax.lax.ppermute(
+            tail, time_axis,
+            perm=[(i, (i + 1) % nd) for i in range(nd)])
+        # device 0 has no left neighbor: zero its halo
+        idx = jax.lax.axis_index(time_axis)
+        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+        y, _ = _fir.fir_apply(xb, taps, state=left)
+        return y
+
+    spec = P(*([None] * (x.ndim - 1) + [time_axis]))
+    f = jax.shard_map(block_fn, mesh=mesh, in_specs=spec, out_specs=spec)
+    return f(x)
+
+
+def fm_demod_sharded(iq, taps, mesh: Mesh, fs: float, deviation_hz: float):
+    """A demod chain sharded over BOTH axes: channels across ``ch``, the time
+    axis across ``t`` with FIR + discriminator halo exchange.
+
+    iq: (channels, n). Returns the discriminator output at the input rate.
+    Demonstrates the full sharding recipe the framework scales by:
+    elementwise ops partition freely; the FIR tail and the delay-conjugate
+    product's previous sample are the only cross-block state, both exchanged
+    via one fused ppermute.
+    """
+    taps = np.asarray(taps, np.float32)
+    ntaps = len(taps)
+    nd = mesh.shape["t"]
+    k = 1.0 / max(deviation_hz, 1.0)
+
+    def block_fn(zb):
+        tail = zb[..., -ntaps:]  # FIR tail (ntaps−1) + 1 discriminator sample
+        left = jax.lax.ppermute(
+            tail, "t", perm=[(i, (i + 1) % nd) for i in range(nd)])
+        idx = jax.lax.axis_index("t")
+        left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+        y, _ = _fir.fir_apply(zb, taps, state=left[..., 1:])
+        # previous *filtered* sample: filter the halo's last input against the
+        # same state — equivalently take the filtered tail's last output. For
+        # the boundary sample we recompute it from the halo (exact).
+        yl, _ = _fir.fir_apply(left[..., -1:], taps, state=left[..., :-1])
+        prev = jnp.concatenate([yl, y[..., :-1]], axis=-1)
+        prod = y * jnp.conj(prev)
+        return (jnp.arctan2(prod.imag, prod.real) * k).astype(jnp.float32)
+
+    f = jax.shard_map(block_fn, mesh=mesh,
+                      in_specs=P("ch", "t"), out_specs=P("ch", "t"))
+    return f(iq)
