@@ -28,3 +28,10 @@ from . import constellation
 from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 
 __version__ = "0.1.0"
+
+from . import codec
+from .codec import (
+    varicode_encode, varicode_decode, VaricodeEncoder, VaricodeDecoder,
+    Psk31Stream,
+)
+from . import modulate, demodulate, sync

@@ -5,3 +5,7 @@ from .analog import (
     fm_demod, pm_demod, QuadDemodState,
 )
 from .digital import psk_qam_demod, digital_demod
+from .psk31 import (
+    bpsk31_demod, qpsk31_demod, bpsk31_decide,
+    hard_decide_dbpsk, hard_decide_dqpsk,
+)

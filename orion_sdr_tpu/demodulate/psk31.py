@@ -1,0 +1,132 @@
+"""PSK31 demodulators (behavioral spec: demodulate/psk31.rs).
+
+Decision-feedback matched filtering over the full symbol period with a
+first-order decision-directed PLL (AFC, K = 0.05) at each symbol boundary.
+
+TPU design: the reference runs a per-sample loop
+    corrected[n] = s[n] − prev_sym·(1−h[n]);   acc += h[n]·corrected[n]
+but the feedback term is linear in prev_sym, so the whole symbol integral
+collapses to
+    sym = (⟨h, s_k⟩ − prev_sym·Σh(1−h)) · gain / Σh²
+The heavy part ⟨h, s_k⟩ for all symbols is ONE matmul of the reshaped
+(n_syms, sps) capture against the Hann window — MXU work — leaving only a
+light per-symbol `lax.scan` for the PLL/feedback recurrence (batch across
+channels/candidates via vmap for throughput, per SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..dsp.osc import rotate
+from ..modulate.psk31 import psk31_sps, psk31_hann
+
+BPSK31_LOOP_GAIN = 0.05
+QPSK31_LOOP_GAIN = 0.05
+
+
+def hard_decide_dbpsk(d_re):
+    """±1.0 by sign of the differential real component."""
+    return jnp.where(d_re >= 0.0, 1.0, -1.0)
+
+
+def hard_decide_dqpsk(d_re, d_im):
+    """Nearest unit-axis phasor (±1, 0) or (0, ±1), as (re, im)."""
+    re_wins = jnp.abs(d_re) >= jnp.abs(d_im)
+    dec_re = jnp.where(re_wins, jnp.where(d_re >= 0.0, 1.0, -1.0), 0.0)
+    dec_im = jnp.where(re_wins, 0.0, jnp.where(d_im >= 0.0, 1.0, -1.0))
+    return dec_re, dec_im
+
+
+def _wrap_pi(x):
+    return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+@partial(jax.jit, static_argnames=("sps", "qpsk"))
+def _dfm_core(z, sps: int, gain: float, qpsk: bool,
+              prev_sym0=1.0 + 0.0j, phase_acc0=0.0):
+    """Shared decision-feedback matched filter + PLL.
+
+    z: (..., n) complex64 baseband at sps samples/symbol (n a multiple of sps).
+    Returns (soft, (prev_sym, phase_acc)): soft is (..., n_syms) for BPSK
+    (Re of the differential product) or (..., n_syms, 2) for QPSK
+    (phase-corrected [Re, Im] differential products).
+    """
+    h = jnp.asarray(psk31_hann(sps))
+    c_fb = jnp.sum(h * (1.0 - h))          # decision-feedback constant Σh(1−h)
+    scale = gain / jnp.sum(h * h)
+    loop_gain = QPSK31_LOOP_GAIN if qpsk else BPSK31_LOOP_GAIN
+
+    seg = z.reshape(z.shape[:-1] + (-1, sps))
+    dots = seg @ h.astype(seg.real.dtype)   # (..., n_syms) — the MXU matmul
+
+    def step(carry, dot_k):
+        prev_sym, phase_acc = carry
+        sym = (dot_k - prev_sym * c_fb) * scale
+        sym_c = sym * jnp.exp(-1j * phase_acc)
+        d = sym_c * jnp.conj(prev_sym)
+        d_re, d_im = d.real, d.imag
+        if qpsk:
+            dec_re, dec_im = hard_decide_dqpsk(d_re, d_im)
+            cross_im = d_im * dec_re - d_re * dec_im
+            out = jnp.stack([d_re, d_im], axis=-1)
+        else:
+            dec_re = hard_decide_dbpsk(d_re)
+            cross_im = d_im * dec_re
+            out = d_re
+        mag_sq = d_re * d_re + d_im * d_im
+        phase_err = jnp.where(mag_sq > 1e-6, cross_im * jax.lax.rsqrt(mag_sq), 0.0)
+        phase_acc = _wrap_pi(phase_acc + loop_gain * phase_err)
+        return (sym_c, phase_acc), out
+
+    # scan over the symbol axis (second-to-last of dots' layout)
+    dots_t = jnp.moveaxis(dots, -1, 0)
+    carry0 = (jnp.broadcast_to(jnp.asarray(prev_sym0, jnp.complex64), dots_t.shape[1:]),
+              jnp.broadcast_to(jnp.asarray(phase_acc0, jnp.float32), dots_t.shape[1:]))
+    carry, soft = jax.lax.scan(step, carry0, dots_t)
+    return jnp.moveaxis(soft, 0, -1 if not qpsk else -2), carry
+
+
+def _prep(iq, fs: float, rf_hz: float, offset: int):
+    """Down-mix and trim to whole symbols starting at the symbol boundary
+    implied by ``offset`` samples already consumed (ref new_with_offset)."""
+    sps = psk31_sps(fs)
+    z = jnp.asarray(iq)
+    if rf_hz != 0.0:
+        z, _ = rotate(z, -rf_hz, fs)
+    lead = (sps - (offset % sps)) % sps
+    n = z.shape[-1]
+    n_syms = max((n - lead) // sps, 0)
+    z = jax.lax.slice_in_dim(z, lead, lead + n_syms * sps, axis=-1)
+    return z, sps, n_syms
+
+
+def bpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
+                 offset: int = 0):
+    """IQ → one soft value per symbol: Re(sym_c·conj(prev_sym)).
+    Positive ⇒ bit 1 (no phase change), negative ⇒ bit 0 (flip)."""
+    z, sps, n_syms = _prep(iq, fs, rf_hz, offset)
+    if n_syms == 0:
+        return jnp.zeros(z.shape[:-1] + (0,), jnp.float32)
+    soft, _ = _dfm_core(z, sps, gain, qpsk=False)
+    return soft.real.astype(jnp.float32)
+
+
+def qpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
+                 offset: int = 0):
+    """IQ → (n_syms, 2) float32 [Re(d), Im(d)] differential products for the
+    Viterbi MLSE (ref Qpsk31Demod)."""
+    z, sps, n_syms = _prep(iq, fs, rf_hz, offset)
+    if n_syms == 0:
+        return jnp.zeros(z.shape[:-1] + (0, 2), jnp.float32)
+    soft, _ = _dfm_core(z, sps, gain, qpsk=True)
+    return soft.astype(jnp.float32)
+
+
+def bpsk31_decide(soft) -> np.ndarray:
+    """Hard decision: soft ≥ 0 → bit 1 (ref Bpsk31Decider)."""
+    return (np.asarray(soft) >= 0.0).astype(np.uint8)

@@ -9,3 +9,5 @@ from .ofdm_sync import (
     pseudo_random_unit_sequence,
     estimate_integer_cfo_bins,
 )
+from .waterfall import compute_waterfall
+from .psk31_sync import psk31_sync, best_sync, Psk31SyncResult
