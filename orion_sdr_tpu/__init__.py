@@ -35,3 +35,6 @@ from .codec import (
     Psk31Stream,
 )
 from . import modulate, demodulate, sync
+from . import message
+from .message import pack77, unpack77, CallsignHashTable
+from .codec import Ft8StreamDecoder

@@ -6,6 +6,19 @@ from .psk31 import (
     DQPSK_EXP, conv_encode, viterbi_decode, viterbi_decode_coherent,
     viterbi_decode_hard, StreamingViterbi,
 )
+from .gray import (
+    FT8_GRAY, FT4_GRAY, gray8_encode, gray8_decode, gray4_encode, gray4_decode,
+)
+from .ft8_crc import (
+    ft8_crc14, ft8_add_crc, ft8_extract_crc, ft8_check_crc, CRC14_POLY,
+)
+from . import ft8_ldpc
+from .ft8 import (
+    FT4_XOR, ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
+    ft8_decode_hard, ft4_decode_hard, ft8_frame_llr_hard, ft4_frame_llr_hard,
+)
+from .ft8_stream import Ft8StreamDecoder, Ft8DecodeResult
+
 
 def __getattr__(name):
     # lazy: psk31_stream pulls in demodulate→modulate, which import this

@@ -1,0 +1,93 @@
+"""FT8/FT4 streaming decoder (behavioral spec: codec/ft8.rs:159-400).
+
+Host-side accumulate-and-decode driver: feed IQ at 12 kHz; when a full frame
+is buffered, run sync (device) → LDPC decode per candidate (device, stops at
+the first CRC pass) → unpack77. A CallsignHashTable persists across frames
+so hashed nonstandard calls resolve in later messages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..message import CallsignHashTable, unpack77, Ft8Message
+from ..modulate.ft8 import (FT8_FRAME_LEN, FT4_FRAME_LEN,
+                            FT8_TONE_SPACING_HZ, FT4_TONE_SPACING_HZ)
+from ..sync.ft8_sync import ft8_sync, ft4_sync
+from .ft8 import ft8_decode_soft, ft4_decode_soft
+
+
+@dataclass
+class Ft8DecodeResult:
+    """(ref Ft8DecodeResult)"""
+    message: Ft8Message
+    carrier_hz: float
+    snr_db: float       # Costas score — monotone with true SNR
+
+
+class Ft8StreamDecoder:
+    """Accumulates IQ at 12 kHz and decodes FT8 or FT4 frames."""
+
+    def __init__(self, fs: float, base_hz: float, max_hz: float,
+                 max_cand: int = 4, ft8: bool = True) -> None:
+        self.fs = float(fs)
+        self.base_hz = float(base_hz)
+        self.max_hz = float(max_hz)
+        self.max_cand = max(int(max_cand), 1)
+        self.is_ft8 = ft8
+        self.frame_len = FT8_FRAME_LEN if ft8 else FT4_FRAME_LEN
+        self._buf = np.zeros(0, np.complex64)
+        self.hash_table = CallsignHashTable()
+
+    @classmethod
+    def new_ft8(cls, fs: float, base_hz: float, max_hz: float,
+                max_cand: int = 4):
+        return cls(fs, base_hz, max_hz, max_cand, ft8=True)
+
+    @classmethod
+    def new_ft4(cls, fs: float, base_hz: float, max_hz: float,
+                max_cand: int = 4):
+        return cls(fs, base_hz, max_hz, max_cand, ft8=False)
+
+    def __len__(self) -> int:
+        return len(self._buf)
+
+    def view_buf(self) -> np.ndarray:
+        return self._buf
+
+    def clear(self) -> None:
+        self._buf = np.zeros(0, np.complex64)
+
+    def feed(self, iq) -> List[Ft8DecodeResult]:
+        """Append samples; decode when a full frame is buffered."""
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(iq, dtype=np.complex64)])
+        if len(self._buf) >= self.frame_len:
+            return self._decode_buf()
+        return []
+
+    def flush(self) -> List[Ft8DecodeResult]:
+        """Decode whatever is buffered (does not clear the buffer)."""
+        if len(self._buf) == 0:
+            return []
+        return self._decode_buf()
+
+    def _decode_buf(self) -> List[Ft8DecodeResult]:
+        spacing = FT8_TONE_SPACING_HZ if self.is_ft8 else FT4_TONE_SPACING_HZ
+        search_min = self.base_hz
+        search_max = max(self.max_hz + spacing, search_min + spacing)
+        sync = ft8_sync if self.is_ft8 else ft4_sync
+        decode = ft8_decode_soft if self.is_ft8 else ft4_decode_soft
+        for cand in sync(self._buf, self.fs, search_min, search_max,
+                         0, 0, self.max_cand):
+            payload = decode(cand.llr)
+            if payload is not None:
+                msg = unpack77(payload, self.hash_table)
+                return [Ft8DecodeResult(
+                    message=msg,
+                    carrier_hz=self.base_hz + cand.freq_bin * spacing,
+                    snr_db=cand.score)]
+        return []

@@ -9,3 +9,4 @@ from .psk31 import (
     bpsk31_demod, qpsk31_demod, bpsk31_decide,
     hard_decide_dbpsk, hard_decide_dqpsk,
 )
+from .ft8 import ft8_demod, ft4_demod

@@ -1,5 +1,6 @@
 from .ldpc import (
-    LDPC_CODES, ldpc_graph, ldpc_encode, ldpc_decode, ldpc_syndrome_weight,
+    LDPC_CODES, LdpcGraph, ldpc_graph, ldpc_encode, ldpc_decode, bp_decode,
+    ldpc_syndrome_weight,
 )
 from .conv import (
     CONV_CODES, PUNCTURE, tail_bits, conv_encode, conv_encode_punctured,

@@ -175,7 +175,13 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     a valid codeword was reached. Runs a fixed ``max_iter`` iterations with
     best-snapshot tracking (batch-friendly; XLA-compatible control flow).
     """
-    g = ldpc_graph(name)
+    return bp_decode(ldpc_graph(name), llr, max_iter, rule, alpha)
+
+
+def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
+              alpha: float = 0.75):
+    """BP over any padded Tanner graph (shared by the staircase family and
+    the FT8 LDPC(174,91) in codec/ft8_ldpc.py). See ldpc_decode."""
     llr = jnp.asarray(llr, dtype=jnp.float32)
     cb = jnp.asarray(g.check_bits)                 # (m, D)
     mask = jnp.asarray(g.check_mask)               # (m, D)

@@ -12,3 +12,10 @@ from .psk31 import (
     psk31_sps, psk31_hann,
     bpsk31_mod_bits, qpsk31_mod_bits, bpsk31_mod_text, qpsk31_mod_text,
 )
+from .ft8 import (
+    FT8_BAUD, FT8_TONE_SPACING_HZ, FT8_SAMPLES_PER_SYM, FT8_TOTAL_SYMS,
+    FT8_DATA_SYMS, FT8_TONES, FT8_FRAME_LEN, FT8_COSTAS,
+    FT4_BAUD, FT4_TONE_SPACING_HZ, FT4_SAMPLES_PER_SYM, FT4_TOTAL_SYMS,
+    FT4_DATA_SYMS, FT4_TONES, FT4_FRAME_LEN, FT4_COSTAS,
+    ft8_mod, ft4_mod, cpfsk_mod, ft8_symbol_sequence, ft4_symbol_sequence,
+)

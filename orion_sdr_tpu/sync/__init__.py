@@ -11,3 +11,5 @@ from .ofdm_sync import (
 )
 from .waterfall import compute_waterfall
 from .psk31_sync import psk31_sync, best_sync, Psk31SyncResult
+from .costas import Candidate, costas_score, find_candidates
+from .ft8_sync import ft8_sync, ft4_sync, FtSyncResult

@@ -1,0 +1,119 @@
+"""FT8/FT4 sync + soft LLR extraction (behavioral spec: sync/ft8_sync.rs,
+sync/ft4_sync.rs).
+
+Waterfall (one matmul) → Costas candidate search (vectorized shifted-sum
+grid + top-k) → per-candidate max-log LLRs from Gray-reordered per-tone
+log-energies, normalized by √(24/var). All candidates' LLRs are gathered in
+one vectorized indexing pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from .waterfall import compute_waterfall
+from .costas import find_candidates
+from ..modulate.ft8 import (
+    FT8_COSTAS, FT8_SYNC_POS, FT8_TONE_SPACING_HZ, FT8_SAMPLES_PER_SYM,
+    FT8_TOTAL_SYMS, FT8_TONES, ft8_data_positions,
+    FT4_COSTAS, FT4_SYNC_POS, FT4_TONE_SPACING_HZ, FT4_SAMPLES_PER_SYM,
+    FT4_TOTAL_SYMS, FT4_TONES, ft4_data_positions,
+)
+from ..codec.gray import FT8_GRAY, FT4_GRAY
+
+_N = 174
+
+
+@dataclass
+class FtSyncResult:
+    """(ref Ft8SyncResult / Ft4SyncResult)"""
+    time_sym: int
+    freq_bin: int
+    score: float
+    llr: np.ndarray      # (174,) float32, positive ⇒ bit 0
+
+
+def _normalise_llr(llr: np.ndarray) -> np.ndarray:
+    """scale = √(24/var) — prevents LDPC saturation (ref normalise_llr)."""
+    var = float(np.mean(llr * llr, axis=-1))
+    if var > 1e-10:
+        llr = llr * np.sqrt(24.0 / var)
+    return llr.astype(np.float32)
+
+
+def _extract_llrs(wf: np.ndarray, cands, data_pos: np.ndarray,
+                  gray: np.ndarray, bits_per_sym: int) -> List[np.ndarray]:
+    """Max-log LLRs for every candidate in one gather.
+
+    s2[j] = log-energy of tone gray[j] (energy indexed by binary value);
+    bit b's LLR = max over values with bit b set − max with bit b clear,
+    negated into the positive ⇒ bit 0 convention.
+    """
+    S, B = wf.shape
+    n_tones = len(gray)
+    out = []
+    for c in cands:
+        syms = c.time_sym + data_pos                        # (n_data,)
+        bins = c.freq_bin + gray.astype(np.int64)           # (n_tones,)
+        valid = (syms >= 0) & (syms < S)
+        ok = valid[:, None] & (bins < B)[None, :]
+        g = wf[np.clip(syms, 0, S - 1)[:, None], np.clip(bins, 0, B - 1)[None, :]]
+        s2 = np.where(ok, g, -1.0e30).astype(np.float32)
+        llr = np.zeros(len(data_pos) * bits_per_sym, np.float32)
+        vals = np.arange(n_tones)
+        for b in range(bits_per_sym):
+            bit_mask = (vals >> (bits_per_sym - 1 - b)) & 1
+            hi = np.max(s2[:, bit_mask == 1], axis=1)
+            lo = np.max(s2[:, bit_mask == 0], axis=1)
+            # missing symbols → zero LLR (maximum uncertainty)
+            llr[b::bits_per_sym] = np.where(valid, -(hi - lo), 0.0)
+        out.append(_normalise_llr(llr))
+    return out
+
+
+def _sync(iq, fs, base_hz, max_hz, t_min, t_max, max_cand, *, spacing, sps,
+          total_syms, n_tones, costas, sync_pos, data_pos, bits_per_sym
+          ) -> List[FtSyncResult]:
+    freq_range = max(max_hz - base_hz, 0.0)
+    num_bins = int(np.ceil(freq_range / spacing)) + n_tones + 1
+    wf_syms = max(t_max + total_syms - t_min, 1)
+    wf_sample_start = t_min * sps if t_min >= 0 else 0
+    sym_offset_adj = -t_min if t_min < 0 else 0
+
+    wf = np.asarray(compute_waterfall(iq, fs, base_hz, spacing, sps,
+                                      wf_syms, num_bins, wf_sample_start))
+    wf_t_max = max(wf_syms - total_syms, 0)
+    cands = find_candidates(wf, costas, list(sync_pos), n_tones,
+                            0, wf_t_max, max_cand)
+    llrs = _extract_llrs(wf, cands, data_pos, gray=np.asarray(
+        FT8_GRAY if n_tones == 8 else FT4_GRAY), bits_per_sym=bits_per_sym)
+    return [FtSyncResult(time_sym=c.time_sym - sym_offset_adj,
+                         freq_bin=c.freq_bin, score=c.score, llr=l)
+            for c, l in zip(cands, llrs)]
+
+
+def ft8_sync(iq, fs: float, base_hz: float, max_hz: float,
+             t_min: int = 0, t_max: int = 0, max_cand: int = 4
+             ) -> List[FtSyncResult]:
+    """Search an IQ buffer for FT8 frames; top candidates with 174 LLRs."""
+    sync_pos = [s for s, _ in FT8_SYNC_POS]
+    return _sync(iq, fs, base_hz, max_hz, t_min, t_max, max_cand,
+                 spacing=FT8_TONE_SPACING_HZ, sps=FT8_SAMPLES_PER_SYM,
+                 total_syms=FT8_TOTAL_SYMS, n_tones=FT8_TONES,
+                 costas=FT8_COSTAS, sync_pos=sync_pos,
+                 data_pos=ft8_data_positions(), bits_per_sym=3)
+
+
+def ft4_sync(iq, fs: float, base_hz: float, max_hz: float,
+             t_min: int = 0, t_max: int = 0, max_cand: int = 4
+             ) -> List[FtSyncResult]:
+    """Search an IQ buffer for FT4 frames; top candidates with 174 LLRs."""
+    sync_pos = [s for s, _ in FT4_SYNC_POS]
+    return _sync(iq, fs, base_hz, max_hz, t_min, t_max, max_cand,
+                 spacing=FT4_TONE_SPACING_HZ, sps=FT4_SAMPLES_PER_SYM,
+                 total_syms=FT4_TOTAL_SYMS, n_tones=FT4_TONES,
+                 costas=FT4_COSTAS, sync_pos=sync_pos,
+                 data_pos=ft4_data_positions(), bits_per_sym=2)

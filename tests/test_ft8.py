@@ -1,0 +1,247 @@
+"""FT8/FT4 stack tests — mirrors reference tests/unit/{ft8,ft4,message}.rs +
+roundtrip/ft8.rs + performance/snr thresholds (FT8 −15 dB, FT4 −11 dB)."""
+
+import numpy as np
+import pytest
+
+from orion_sdr_tpu.codec import ft8_crc, ft8_ldpc, gray
+from orion_sdr_tpu.codec.ft8 import (
+    ft8_encode, ft4_encode, ft8_decode_hard, ft4_decode_hard,
+    ft8_decode_soft, ft8_frame_llr_hard,
+)
+from orion_sdr_tpu.codec.ft8_stream import Ft8StreamDecoder
+from orion_sdr_tpu.message import (
+    pack77, unpack77, CallsignHashTable, Standard, FreeText, Telemetry,
+    NonStd, hash22, packgrid, unpackgrid,
+)
+from orion_sdr_tpu.modulate.ft8 import (
+    ft8_mod, ft4_mod, ft8_symbol_sequence, ft4_symbol_sequence,
+    FT8_FRAME_LEN, FT4_FRAME_LEN, FT8_COSTAS,
+)
+from orion_sdr_tpu.demodulate.ft8 import ft8_demod, ft4_demod
+from orion_sdr_tpu.sync.ft8_sync import ft8_sync, ft4_sync
+
+FS = 12000.0
+
+
+def _rand_payload(seed=0):
+    rng = np.random.default_rng(seed)
+    p = rng.integers(0, 256, 10).astype(np.uint8)
+    p[9] &= 0xF8
+    return p
+
+
+def _awgn(rng, n, power):
+    return ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            * np.sqrt(power / 2)).astype(np.complex64)
+
+
+def snr_to_noise_power(snr_db, fs=FS, ref_bw=2500.0):
+    return fs / (ref_bw * 10.0 ** (snr_db / 10.0))
+
+
+# ── crc14 ────────────────────────────────────────────────────────────────────
+
+def test_crc14_all_ones_payload():
+    # byte 9 slack: 77 ones → byte 9 = 0xF8 (ref codec/crc.rs:22-26)
+    payload = np.full(10, 0xFF, np.uint8)
+    a91 = ft8_crc.ft8_add_crc(payload)
+    assert a91[9] & 0xF8 == 0xF8
+    assert ft8_crc.ft8_check_crc(a91)
+
+
+def test_crc14_detects_bit_error():
+    a91 = ft8_crc.ft8_add_crc(_rand_payload(1))
+    assert ft8_crc.ft8_check_crc(a91)
+    bad = a91.copy()
+    bad[3] ^= 0x10
+    assert not ft8_crc.ft8_check_crc(bad)
+
+
+# ── gray ─────────────────────────────────────────────────────────────────────
+
+def test_gray_maps_are_inverses():
+    for i in range(8):
+        assert gray.gray8_decode(gray.gray8_encode(i)) == i
+    for i in range(4):
+        assert gray.gray4_decode(gray.gray4_encode(i)) == i
+    assert list(gray.FT8_GRAY) == [0, 1, 3, 2, 5, 6, 4, 7]
+
+
+# ── ldpc(174,91) ─────────────────────────────────────────────────────────────
+
+def test_ldpc174_encode_valid_codeword():
+    rng = np.random.default_rng(2)
+    msg = rng.integers(0, 2, 91).astype(np.uint8)
+    cw = np.asarray(ft8_ldpc.ldpc_encode(msg))
+    assert cw.shape == (174,)
+    assert np.array_equal(cw[:91], msg)          # systematic
+    assert ft8_ldpc.ldpc_count_errors(cw) == 0
+
+
+def test_ldpc174_corrects_flips():
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, 91).astype(np.uint8)
+    cw = np.asarray(ft8_ldpc.ldpc_encode(msg))
+    llr = np.where(cw == 0, 4.0, -4.0).astype(np.float32)
+    llr[rng.choice(174, 8, replace=False)] *= -1
+    bits, errs = ft8_ldpc.ldpc_decode_soft(llr)
+    assert int(errs) == 0
+    assert np.array_equal(np.asarray(bits), msg)
+
+
+# ── message layer ────────────────────────────────────────────────────────────
+
+def test_message_standard_roundtrips():
+    ht = CallsignHashTable()
+    cases = [
+        Standard("CQ", "KA1ABC", "FN42"),
+        Standard("KA1ABC", "W9XYZ", "-12"),
+        Standard("W9XYZ", "KA1ABC", "R+03"),
+        Standard("KA1ABC", "W9XYZ", "RR73"),
+        Standard("K1ABC/R", "W9XYZ/R", "FN42"),
+        Standard("CQ TEST", "K1ABC", "FN42"),
+        Standard("CQ 013", "K1ABC", ""),
+    ]
+    for msg in cases:
+        out = unpack77(pack77(msg, ht), ht)
+        assert (out.call_to, out.call_de, out.extra) == \
+            (msg.call_to, msg.call_de, msg.extra)
+
+
+def test_message_free_text_and_telemetry():
+    ht = CallsignHashTable()
+    out = unpack77(pack77(FreeText("TNX BOB 73 GL"), ht), ht)
+    assert out.text == "TNX BOB 73 GL"
+    data = np.frombuffer(bytes.fromhex("123456789abcdef012"), np.uint8).copy()
+    out = unpack77(pack77(Telemetry(data), ht), ht)
+    assert np.array_equal(out.data, data & np.array([0x7F] + [0xFF] * 8, np.uint8))
+
+
+def test_message_nonstd_with_hash():
+    ht = CallsignHashTable()
+    out = unpack77(pack77(NonStd("CQ", "PJ4/K1ABC"), ht), ht)
+    assert out.call_to == "CQ" and out.call_de == "PJ4/K1ABC"
+    out = unpack77(pack77(NonStd("W9XYZ", "PJ4/K1ABC", "RR73"), ht), ht)
+    assert out.call_de == "PJ4/K1ABC" and out.call_to == "<W9XYZ>"
+    assert out.extra == "RR73"
+
+
+def test_hash22_deterministic():
+    assert hash22("KA1ABC") == hash22("KA1ABC")
+    assert hash22("KA1ABC") != hash22("W9XYZ")
+    assert hash22("KA1ABC") < (1 << 22)
+
+
+def test_grid_pack_unpack():
+    for extra in ["FN31", "AA00", "RR99", "+07", "-24", "R-12", "RRR",
+                  "RR73", "73", ""]:
+        ig, ir = packgrid(extra)
+        assert unpackgrid(ig, ir) == extra, extra
+
+
+# ── codec ────────────────────────────────────────────────────────────────────
+
+def test_ft8_codec_roundtrip():
+    p = _rand_payload(4)
+    tones = ft8_encode(p)
+    assert tones.shape == (58,) and tones.max() <= 7
+    assert np.array_equal(ft8_decode_hard(tones), p)
+
+
+def test_ft4_codec_roundtrip_with_scramble():
+    p = _rand_payload(5)
+    tones = ft4_encode(p)
+    assert tones.shape == (87,) and tones.max() <= 3
+    assert np.array_equal(ft4_decode_hard(tones), p)
+
+
+def test_ft8_codec_rejects_garbage():
+    p = _rand_payload(6)
+    bad = (ft8_encode(p) + 1) % 8
+    assert ft8_decode_soft(ft8_frame_llr_hard(bad)) is None
+
+
+# ── mod/demod ────────────────────────────────────────────────────────────────
+
+def test_ft8_symbol_sequence_costas():
+    seq = ft8_symbol_sequence(np.arange(58) % 8)
+    assert len(seq) == 79
+    for s in (0, 36, 72):
+        assert np.array_equal(seq[s:s + 7], FT8_COSTAS)
+
+
+def test_ft8_mod_constants_and_phase_continuity():
+    iq = np.asarray(ft8_mod(np.zeros(58, np.uint8), FS, 1000.0))
+    assert len(iq) == FT8_FRAME_LEN == 151_680
+    assert np.allclose(np.abs(iq), 1.0, atol=1e-4)
+    d = np.abs(np.diff(np.angle(iq)))
+    d = np.minimum(d, 2 * np.pi - d)
+    assert d.max() < 2 * np.pi * (1000.0 + 7 * 6.25) / FS + 1e-3
+
+
+def test_ft8_mod_demod_bit_exact():
+    rng = np.random.default_rng(7)
+    tones = rng.integers(0, 8, 58).astype(np.uint8)
+    rx = ft8_demod(ft8_mod(tones, FS, 1000.0), FS, 1000.0)
+    assert np.array_equal(rx, tones)
+
+
+def test_ft4_mod_demod_bit_exact():
+    rng = np.random.default_rng(8)
+    tones = rng.integers(0, 4, 87).astype(np.uint8)
+    iq = ft4_mod(tones, FS, 1000.0)
+    assert np.shape(iq)[-1] == FT4_FRAME_LEN == 60_480
+    assert np.array_equal(ft4_demod(iq, FS, 1000.0), tones)
+
+
+def test_ft8_demod_short_input_none():
+    assert ft8_demod(np.zeros(100, np.complex64)) is None
+
+
+# ── sync + end-to-end SNR floors ─────────────────────────────────────────────
+
+def test_ft8_sync_finds_frame():
+    ht = CallsignHashTable()
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), ht)
+    base = 1000.0 + 3 * 6.25
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS, base_hz=base))
+    res = ft8_sync(iq, FS, 1000.0, 1100.0, 0, 0, 4)
+    assert res and res[0].freq_bin == 3 and res[0].time_sym == 0
+    payload = ft8_decode_soft(res[0].llr)
+    assert payload is not None and np.array_equal(payload, p)
+
+
+@pytest.mark.parametrize("ft8,snr_db", [(True, -15.0), (False, -11.0)])
+def test_ftx_decode_at_snr_floor(ft8, snr_db):
+    ht = CallsignHashTable()
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), ht)
+    base = 1012.5
+    if ft8:
+        iq = np.asarray(ft8_mod(ft8_encode(p), FS, base_hz=base))
+        mk = Ft8StreamDecoder.new_ft8
+    else:
+        iq = np.asarray(ft4_mod(ft4_encode(p), FS, base_hz=base))
+        mk = Ft8StreamDecoder.new_ft4
+    power = snr_to_noise_power(snr_db)
+    trials, ok = 5, 0
+    for seed in range(trials):
+        rng = np.random.default_rng(2000 + seed)
+        dec = mk(FS, 950.0, 1150.0, max_cand=4)
+        res = dec.feed(iq + _awgn(rng, len(iq), power))
+        ok += bool(res and res[0].message.call_de == "KA1ABC"
+                   and res[0].message.extra == "FN42")
+    assert ok == trials, f"{ok}/{trials} at {snr_db} dB"
+
+
+def test_ft8_stream_decoder_hash_table_persists():
+    dec = Ft8StreamDecoder.new_ft8(FS, 950.0, 1150.0)
+    p1 = pack77(NonStd("CQ", "PJ4/K1ABC"), dec.hash_table)
+    res = dec.feed(np.asarray(ft8_mod(ft8_encode(p1), FS, base_hz=1012.5)))
+    assert res and res[0].message.call_de == "PJ4/K1ABC"
+    dec.clear()
+    ht2 = CallsignHashTable()
+    p2 = pack77(NonStd("PJ4/K1ABC", "W9XYZ"), ht2)  # call_to hashed
+    # lower-level check: hash resolution through the decoder's table
+    msg = unpack77(p2, dec.hash_table)
+    assert msg.call_to == "<PJ4/K1ABC>"
