@@ -38,3 +38,12 @@ from . import modulate, demodulate, sync
 from . import message
 from .message import pack77, unpack77, CallsignHashTable
 from .codec import Ft8StreamDecoder
+from . import frame, waveform
+from .frame import (
+    FramePacket, FrameMetadata, RxError, Mcs, McsTable,
+    OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
+)
+from . import ofdm as _ofdm_mod
+from .ofdm import OfdmConfig
+from .multicarrier import CarrierPlan, CarrierGrid, TxLowpass
+from .sync.ofdm_sync import OfdmPreamble, TrainingSymbol

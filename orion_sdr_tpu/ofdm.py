@@ -29,11 +29,9 @@ EQUALIZER_FLOOR = 1e-6  # |h|² floor in ZF division (demodulate/ofdm.rs)
 
 @dataclass(frozen=True)
 class OfdmConfig:
-    """OFDM waveform config (ref: modulate/ofdm.rs:56-366).
-
-    Frame-layer (COFDM) fields live in frame.FrameConfig; this is the bare
-    symbol pipeline config.
-    """
+    """OFDM waveform config incl. the frame-layer surface
+    (ref: modulate/ofdm.rs:56-366 — one config carries both the per-symbol
+    pipeline and the COFDM frame fields, all defaulted off)."""
 
     carrier_plan: CarrierPlan
     fs: float
@@ -42,6 +40,59 @@ class OfdmConfig:
     constellation: str = "qpsk"
     rx_window_backoff: int = 0
     tx_lowpass: Optional[TxLowpass] = None
+    # frame-layer fields (orion_sdr_tpu.frame); defaults mirror the reference
+    outer_interleaver: object = None     # frame.types.InterleaverKind
+    inner_interleaver: object = None
+    header_format: str = "orion_sdr"
+    payload_crc: str = "crc32"
+    header_crc: str = "crc32"
+    scrambler: object = None             # frame.types.ScramblerKind
+    scrambler_pos: str = "before_outer_fec"
+    ldpc_decode_rule: str = "sum_product"
+    dvb_t_scattered: bool = False
+
+    def __post_init__(self):
+        from .frame.types import InterleaverKind, ScramblerKind
+        if self.outer_interleaver is None:
+            object.__setattr__(self, "outer_interleaver", InterleaverKind.none())
+        if self.inner_interleaver is None:
+            object.__setattr__(self, "inner_interleaver", InterleaverKind.none())
+        if self.scrambler is None:
+            object.__setattr__(self, "scrambler", ScramblerKind.none())
+
+    # builder-style helpers (ref with_* builders, modulate/ofdm.rs:171-310)
+    def with_outer_interleaver(self, il):
+        return replace(self, outer_interleaver=il)
+
+    def with_inner_interleaver(self, il):
+        return replace(self, inner_interleaver=il)
+
+    def with_header_format(self, fmt: str):
+        return replace(self, header_format=fmt)
+
+    def with_payload_crc(self, crc: str):
+        return replace(self, payload_crc=crc)
+
+    def with_header_crc(self, crc: str):
+        return replace(self, header_crc=crc)
+
+    def with_scrambler(self, s):
+        return replace(self, scrambler=s)
+
+    def with_scrambler_pos(self, pos: str):
+        return replace(self, scrambler_pos=pos)
+
+    def with_ldpc_decode_rule(self, rule: str):
+        return replace(self, ldpc_decode_rule=rule)
+
+    def with_dvb_t_scattered(self, scattered: bool = True):
+        return replace(self, dvb_t_scattered=scattered)
+
+    def with_rx_window_backoff(self, backoff: int):
+        return replace(self, rx_window_backoff=backoff)
+
+    def with_tx_lowpass(self, lowpass):
+        return replace(self, tx_lowpass=lowpass)
 
     def bits_per_ofdm_symbol(self) -> int:
         return self.carrier_plan.num_data_carriers() * BITS_PER_SYMBOL[self.constellation]

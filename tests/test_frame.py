@@ -1,0 +1,272 @@
+"""COFDM frame layer tests — mirrors reference tests/roundtrip/ofdm_frame.rs
+(header/MCS/scrambler/interleaver/streaming-hold permutations) and the
+block-plan/chain unit tests."""
+
+import numpy as np
+import pytest
+
+from orion_sdr_tpu.multicarrier import CarrierPlan
+from orion_sdr_tpu.ofdm import OfdmConfig
+from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+from orion_sdr_tpu.dsp.osc import rotate
+from orion_sdr_tpu.frame import (
+    FramePacket, FrameMetadata, RxError, OuterFec, InnerFec, InterleaverKind,
+    ScramblerKind, Mcs, McsTable, BlockPlan, block_plan, encode_chain,
+    decode_chain, pack_header_fields, HEADER_FIELD_BYTES,
+    OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
+    SCRAMBLER_BEFORE_OUTER, SCRAMBLER_AFTER_INNER, BCH_INFO_BITS,
+    append_crc, check_and_strip_crc,
+)
+
+FS = 1e6
+
+
+def _link(plan_args=(256, 64), edge_guard=16, **cfg_kw):
+    plan = CarrierPlan(*plan_args).with_contiguous_data(edge_guard=edge_guard)
+    cfg = OfdmConfig(plan, fs=FS, **cfg_kw)
+    pre = OfdmPreamble(repeat_len=128, num_repeats=4).with_training_symbol(
+        plan.n_fft, plan.cp_len)
+    return cfg, pre
+
+
+def _payload(n=200, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, n).astype(np.uint8)
+
+
+# ── chain plumbing ───────────────────────────────────────────────────────────
+
+def test_crc_append_strip():
+    data = _payload(32, 1)
+    for crc in ("none", "crc16", "crc32"):
+        framed = append_crc(crc, data)
+        out, ok = check_and_strip_crc(crc, framed)
+        assert ok and np.array_equal(out, data)
+        if crc != "none":
+            bad = framed.copy()
+            bad[0] ^= 1
+            _, ok = check_and_strip_crc(crc, bad)
+            assert not ok
+
+
+@pytest.mark.parametrize("outer,inner,oil,iil,scr,pos", [
+    (OuterFec.bch(8), InnerFec.ldpc("N512R12"),
+     InterleaverKind.none(), InterleaverKind.block(16, 32),
+     ScramblerKind.additive(0b1001, 15, 0x5A5A), SCRAMBLER_AFTER_INNER),
+    (OuterFec.reed_solomon(204, 16), InnerFec.convolutional("3/4", "dvb_k7"),
+     InterleaverKind.convolutional(12, 17), InterleaverKind.none(),
+     ScramblerKind.dvb_t_energy_dispersal(), SCRAMBLER_BEFORE_OUTER),
+    (OuterFec.none(), InnerFec.ldpc("N576R23"),
+     InterleaverKind.none(), InterleaverKind.none(),
+     ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER),
+])
+def test_chain_roundtrip_with_errors(outer, inner, oil, iil, scr, pos):
+    payload = _payload(100, 2)
+    plan = block_plan(len(payload), "crc32", outer, inner, oil, iil)
+    coded = encode_chain(payload, "crc32", outer, inner, oil, iil, scr, pos, 99)
+    assert len(coded) == plan.coded_bits
+    llrs = np.where(coded == 0, 4.0, -4.0).astype(np.float32)
+    rng = np.random.default_rng(3)
+    llrs[rng.choice(len(llrs), len(llrs) // 150 + 2, replace=False)] *= -1
+    out, ok = decode_chain(llrs, plan, "crc32", outer, inner, oil, iil,
+                           scr, pos, 99)
+    assert ok and np.array_equal(out, payload)
+
+
+def test_chain_detects_uncorrectable():
+    payload = _payload(60, 4)
+    outer, inner = OuterFec.none(), InnerFec.none()
+    il = InterleaverKind.none()
+    plan = block_plan(len(payload), "crc32", outer, inner, il, il)
+    coded = encode_chain(payload, "crc32", outer, inner, il, il,
+                         ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
+    llrs = np.where(coded == 0, 4.0, -4.0).astype(np.float32)
+    llrs[7] *= -1   # single bit error, no FEC → CRC must catch it
+    out, ok = decode_chain(llrs, plan, "crc32", outer, inner, il, il,
+                           ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
+    assert not ok
+
+
+def test_block_plan_bch_fragmentation():
+    p = block_plan(100, "crc32", OuterFec.bch(8), InnerFec.none(),
+                   InterleaverKind.none(), InterleaverKind.none())
+    assert p.framed_bytes == 104
+    n_blocks = -(-104 * 8 // BCH_INFO_BITS)
+    assert p.outer_coded_bits % n_blocks == 0
+
+
+def test_header_fields_pack():
+    f = pack_header_fields(3, 0x01020304, 0xAABBCCDD, 0x5A, 0xDEADBEEF)
+    assert len(f) == HEADER_FIELD_BYTES == 14
+    assert f[0] == 3 and list(f[1:5]) == [1, 2, 3, 4]
+    assert int.from_bytes(bytes(f[10:14]), "big") == 0xDEADBEEF
+
+
+# ── frame roundtrips (mirrors roundtrip/ofdm_frame.rs) ───────────────────────
+
+def test_frame_noiseless_ldpc_bch():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(200, 5)
+    mod = OfdmFrameMod(cfg, table, pre)
+    iq = mod.modulate_frame(FramePacket(FrameMetadata(7, 1), payload), 0xDEAD)
+    out = OfdmFrameDemod(cfg, table).decode(iq[pre.total_len():])
+    assert np.array_equal(out.payload, payload)
+    assert out.metadata.sequence_num == 7 and out.metadata.mcs_index == 1
+
+
+def test_frame_awgn_flat():
+    # ref roundtrip_frame_awgn: noise power = 0.10 × signal power, known start
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(150, 6)
+    mod = OfdmFrameMod(cfg, table, pre)
+    iq = mod.modulate_frame(FramePacket(FrameMetadata(1, 1), payload), 7)
+    body = iq[pre.total_len():]
+    sig_power = float(np.mean(np.abs(body) ** 2))
+    rng = np.random.default_rng(0xC0FFEE)
+    noise = (rng.standard_normal(len(body)) + 1j * rng.standard_normal(len(body))
+             ).astype(np.complex64) * np.sqrt(sig_power * 0.10 / 2)
+    out = OfdmFrameDemod(cfg, table).decode(body + noise)
+    assert np.array_equal(out.payload, payload)
+
+
+def test_frame_all_mcs_indices():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    mod = OfdmFrameMod(cfg, table, pre)
+    demod = OfdmFrameDemod(cfg, table)
+    payload = _payload(64, 8)
+    for mcs in range(len(table)):
+        iq = mod.modulate_frame(FramePacket(FrameMetadata(mcs, mcs), payload), 0)
+        out = demod.decode(iq[pre.total_len():])
+        assert np.array_equal(out.payload, payload), mcs
+
+
+def test_frame_scrambler_per_frame_seed():
+    cfg, pre = _link()
+    cfg = cfg.with_scrambler(ScramblerKind.additive(0b110, 7, 0, per_frame=True))
+    table = McsTable.default_ladder()
+    mod = OfdmFrameMod(cfg, table, pre)
+    payload = _payload(100, 9)
+    iq1 = mod.modulate_frame(FramePacket(FrameMetadata(0, 1), payload), 111)
+    iq2 = mod.modulate_frame(FramePacket(FrameMetadata(0, 1), payload), 222)
+    assert not np.allclose(iq1, iq2)   # different whitening
+    demod = OfdmFrameDemod(cfg, table)
+    for iq in (iq1, iq2):
+        out = demod.decode(iq[pre.total_len():])
+        assert np.array_equal(out.payload, payload)
+
+
+def test_frame_rs_conv_interleaved():
+    cfg, pre = _link()
+    cfg = cfg.with_outer_interleaver(InterleaverKind.convolutional(12, 17)) \
+             .with_scrambler(ScramblerKind.dvb_t_energy_dispersal())
+    table = McsTable([Mcs("qpsk", InnerFec.convolutional("2/3", "dvb_k7"),
+                          OuterFec.reed_solomon(204, 16))])
+    mod = OfdmFrameMod(cfg, table, pre)
+    payload = _payload(300, 10)
+    iq = mod.modulate_frame(FramePacket(FrameMetadata(0, 0), payload), 0)
+    out = OfdmFrameDemod(cfg, table).decode(iq[pre.total_len():])
+    assert np.array_equal(out.payload, payload)
+
+
+def test_frame_header_crc_mismatch_on_garbage():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    rng = np.random.default_rng(11)
+    garbage = (rng.standard_normal(8000) + 1j * rng.standard_normal(8000)
+               ).astype(np.complex64)
+    with pytest.raises(RxError):
+        OfdmFrameDemod(cfg, table).decode(garbage)
+
+
+# ── streaming receiver ───────────────────────────────────────────────────────
+
+def _frame_iq(cfg, pre, table, payload, seq=7, mcs=1, seed=0xDEAD):
+    mod = OfdmFrameMod(cfg, table, pre)
+    return mod.modulate_frame(FramePacket(FrameMetadata(seq, mcs), payload), seed)
+
+
+def test_stream_unknown_offset_cfo_noise():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(200, 12)
+    iq = _frame_iq(cfg, pre, table, payload)
+    buf = np.concatenate([np.zeros(3000, np.complex64), iq,
+                          np.zeros(2000, np.complex64)])
+    z, _ = rotate(buf, 37.0, FS)
+    rng = np.random.default_rng(13)
+    buf = np.asarray(z) + (rng.standard_normal(len(buf)) +
+                           1j * rng.standard_normal(len(buf))
+                           ).astype(np.complex64) * 0.01
+    s = OfdmFrameStreamDemod(cfg, table, pre)
+    res = []
+    for i in range(0, len(buf), 20000):
+        res += s.feed(buf[i:i + 20000])
+    res += s.flush()
+    ok = [r for r in res if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
+    assert abs(ok[0].diagnostics.cfo_hz - 37.0) < 2.0
+    assert ok[0].diagnostics.timing_offset_samples == 3000
+
+
+def test_stream_multipath_training_equalizer():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(200, 14)
+    iq = _frame_iq(cfg, pre, table, payload)
+    h = np.zeros(8, np.complex64)
+    h[0], h[5] = 1.0, 0.35 * np.exp(1j * 0.7)
+    buf = np.convolve(np.concatenate([np.zeros(1000, np.complex64), iq]),
+                      h).astype(np.complex64)
+    s = OfdmFrameStreamDemod(cfg, table, pre)
+    res = s.feed(buf) + s.flush()
+    ok = [r for r in res if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
+
+
+def test_stream_two_frames_in_order():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    p1, p2 = _payload(120, 15), _payload(80, 16)
+    iq1 = _frame_iq(cfg, pre, table, p1, seq=7, mcs=1)
+    iq2 = _frame_iq(cfg, pre, table, p2, seq=8, mcs=2)
+    s = OfdmFrameStreamDemod(cfg, table, pre)
+    res = s.feed(np.concatenate([iq1, np.zeros(500, np.complex64), iq2]))
+    res += s.flush()
+    frames = [r for r in res if hasattr(r, "packet")]
+    assert [f.packet.metadata.sequence_num for f in frames] == [7, 8]
+    assert np.array_equal(frames[0].packet.payload, p1)
+    assert np.array_equal(frames[1].packet.payload, p2)
+
+
+def test_stream_incomplete_hold_then_complete():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(200, 17)
+    iq = _frame_iq(cfg, pre, table, payload)
+    s = OfdmFrameStreamDemod(cfg, table, pre)
+    assert s.feed(iq[:len(iq) // 2]) == []      # hold, no error
+    res = s.feed(iq[len(iq) // 2:])
+    ok = [r for r in res if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
+
+
+def test_stream_chunk_invariance():
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(150, 18)
+    iq = _frame_iq(cfg, pre, table, payload)
+    buf = np.concatenate([np.zeros(777, np.complex64), iq,
+                          np.zeros(100, np.complex64)])
+    one = OfdmFrameStreamDemod(cfg, table, pre)
+    r_one = one.feed(buf) + one.flush()
+    chunked = OfdmFrameStreamDemod(cfg, table, pre)
+    r_chunks = []
+    for i in range(0, len(buf), 1234):
+        r_chunks += chunked.feed(buf[i:i + 1234])
+    r_chunks += chunked.flush()
+    pk1 = [r.packet.payload for r in r_one if hasattr(r, "packet")]
+    pk2 = [r.packet.payload for r in r_chunks if hasattr(r, "packet")]
+    assert len(pk1) == len(pk2) == 1
+    assert np.array_equal(pk1[0], pk2[0])
