@@ -47,3 +47,12 @@ from . import ofdm as _ofdm_mod
 from .ofdm import OfdmConfig
 from .multicarrier import CarrierPlan, CarrierGrid, TxLowpass
 from .sync.ofdm_sync import OfdmPreamble, TrainingSymbol
+from .waveform import (
+    DvbTLinkParams, DvbTFrameParams, dvb_t_config, dvb_t_scattered_config,
+    dvb_t_mcs_table, TpsWord,
+)
+from .modulate import DvbTFrameMod, DvbTSuperFrameMod, DvbTSuperFrameParams
+from .demodulate import (
+    DvbTFrameDemod, DvbTSuperFrameDemod, DvbTFrameStreamDemod,
+    DvbTRxError,
+)

@@ -1,0 +1,87 @@
+"""Streaming DVB-T receiver (behavioral spec: demodulate/dvb_t_stream.rs).
+
+Host feed/flush driver over the batch frame demod: front-of-buffer GI
+acquisition → batch decode → drain; chunk-boundary invariant, fixed geometry
+(n_symbols, payload_len) from construction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import numpy as np
+
+from ..waveform.dvb_t import DVB_T_N_FFT, DvbTFrameParams, guard_cp_len_2k
+from ..sync.dvb_t_gi_sync import dvb_t_gi_sync
+from .dvb_t_frame import DvbTFrameDemod, DvbTRxFrame, DvbTRxError
+
+
+class DvbTFrameStreamDemod:
+    """Feed/flush receiver for a continuous run of equal-geometry frames."""
+
+    def __init__(self, params: DvbTFrameParams, n_symbols: int,
+                 payload_len: int) -> None:
+        self.demod = DvbTFrameDemod(params)
+        self.n_symbols = n_symbols
+        self.payload_len = payload_len
+        self.sps = DVB_T_N_FFT + guard_cp_len_2k(params.link.guard)
+        self._buf = np.zeros(0, np.complex64)
+
+    def with_integer_cfo_correction(self, on: bool = True):
+        self.demod = self.demod.with_integer_cfo_correction(on)
+        return self
+
+    def with_rx_window_backoff(self, backoff: int):
+        self.demod = self.demod.with_rx_window_backoff(backoff)
+        return self
+
+    def __len__(self) -> int:
+        return len(self._buf)
+
+    def view_buf(self) -> np.ndarray:
+        return self._buf
+
+    def clear(self) -> None:
+        self._buf = np.zeros(0, np.complex64)
+
+    def _frame_samples(self) -> int:
+        return self.n_symbols * self.sps
+
+    def feed(self, iq) -> List[Union[DvbTRxFrame, DvbTRxError]]:
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(iq, dtype=np.complex64)])
+        return self._drain()
+
+    def flush(self) -> List[Union[DvbTRxFrame, DvbTRxError]]:
+        return self._drain()
+
+    def _drain(self):
+        out = []
+        while True:
+            step = self._try_one_frame()
+            if step is None:
+                return out
+            result, consume_to = step
+            self._buf = self._buf[consume_to:]
+            out.append(result)
+
+    def _try_one_frame(self):
+        cp_len = self.sps - DVB_T_N_FFT
+        need = self.sps + self._frame_samples()
+        if len(self._buf) < need:
+            return None
+        acq = dvb_t_gi_sync(self._buf, DVB_T_N_FFT, cp_len, self.demod.fs,
+                            self.sps)
+        if acq is None:
+            return None
+        start = acq.start_sample
+        consume_to = start + self._frame_samples()
+        if consume_to > len(self._buf):
+            return None
+        try:
+            frame = self.demod.decode(self._buf[start:], self.n_symbols,
+                                      self.payload_len)
+            return frame, consume_to
+        except DvbTRxError as e:
+            # genuine failure on a complete frame: emit + advance past it
+            return e, consume_to

@@ -19,3 +19,8 @@ from .ft8 import (
     FT4_DATA_SYMS, FT4_TONES, FT4_FRAME_LEN, FT4_COSTAS,
     ft8_mod, ft4_mod, cpfsk_mod, ft8_symbol_sequence, ft4_symbol_sequence,
 )
+from .dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
+from .dvb_t_super_frame import (
+    DvbTSuperFrameMod, DvbTSuperFrame, DvbTSuperFrameParams,
+    DVB_T_FRAMES_PER_SUPER_FRAME,
+)

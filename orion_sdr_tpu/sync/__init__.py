@@ -13,3 +13,7 @@ from .waterfall import compute_waterfall
 from .psk31_sync import psk31_sync, best_sync, Psk31SyncResult
 from .costas import Candidate, costas_score, find_candidates
 from .ft8_sync import ft8_sync, ft4_sync, FtSyncResult
+from .dvb_t_gi_sync import (
+    GiSyncConfig, GiSyncResult, dvb_t_gi_sync, dvb_t_gi_refine,
+    IntegerCfoResult, dvb_t_integer_cfo,
+)
