@@ -8,51 +8,144 @@ Brand-new implementation of the capability set of the reference library
 * linear recurrences (IIR, DC block, one-pole envelopes) run as O(log n)
   associative scans; genuinely data-dependent loops (AGC, PLLs, Viterbi)
   are ``lax.scan`` batched over channels;
-* FIR/FFT/mixing are whole-capture fused XLA ops; hot irregular kernels
-  use Pallas (orion_sdr_tpu.ops);
+* FIR/FFT/mixing/tone-search are whole-capture fused XLA ops (waterfalls and
+  matched filters ride the MXU as matmuls); hot irregular kernels use Pallas
+  (orion_sdr_tpu.ops);
 * multi-device scaling shards channels and time-blocks over a
   ``jax.sharding.Mesh`` with halo exchange (orion_sdr_tpu.parallel).
 
 The flat namespace mirrors the reference's Python API surface
-(/root/reference/docs/api.md) so users can switch directly.
+(/root/reference/python/orion_sdr/__init__.py, docs/api.md) so users can
+switch directly; the functional equivalents of its Block classes are listed
+in the matching order below.
 """
 
+__version__ = "0.1.0"
+
+# ── util / measurement ───────────────────────────────────────────────────────
 from . import util
 from .util import (
     rms, hann, tone, gen_complex_tone, snr_db_at, power_spectrum,
     nb_spectrum_snr_db, wb_spectrum_snr_db, spectrum_bw_hz,
     SIGNAL_THRESHOLD, PSK31_BW_HZ, awgn,
 )
+
+# ── DSP substrate ────────────────────────────────────────────────────────────
 from . import dsp
+
+# ── constellations (BpskMapper/QpskMapper/QamMapper + deciders + LLRs) ───────
 from . import constellation
 from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 
-__version__ = "0.1.0"
+# ── analog modes (CwKeyedMod/CwEnvelopeDemod … PmQuadratureDemod) ────────────
+from .modulate.analog import cw_mod, am_mod, ssb_mod, fm_mod, pm_mod
+from .demodulate.analog import cw_demod, am_demod, ssb_demod, fm_demod, pm_demod
 
-from . import codec
-from .codec import (
-    varicode_encode, varicode_decode, VaricodeEncoder, VaricodeDecoder,
-    Psk31Stream,
+# ── single-carrier digital (BpskMod/BpskDemod … QamDemod) ────────────────────
+from .modulate.digital import psk_qam_mod, digital_mod
+from .demodulate.digital import psk_qam_demod, digital_demod
+
+# ── FT8/FT4 (Ft8Mod/Ft8Demod/Ft8Codec + message packing) ─────────────────────
+from .modulate.ft8 import ft8_mod, ft4_mod
+from .demodulate.ft8 import ft8_demod, ft4_demod
+from .codec.ft8 import (
+    ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
+    ft8_decode_hard, ft4_decode_hard,
 )
-from . import modulate, demodulate, sync
+from .codec.ft8_stream import Ft8StreamDecoder, Ft8DecodeResult
+from .sync.ft8_sync import ft8_sync, ft4_sync
 from . import message
-from .message import pack77, unpack77, CallsignHashTable
-from .codec import Ft8StreamDecoder
-from . import frame, waveform
+from .message import (
+    pack77, unpack77, CallsignHashTable,
+    Standard as Ft8Standard, FreeText as Ft8FreeText,
+    NonStd as Ft8NonStd, Telemetry as Ft8Telemetry,
+)
+
+# ── PSK31 (Varicode, Bpsk31Mod/Demod/Decider, Qpsk31*, Psk31Stream) ──────────
+from .codec.varicode import (
+    VaricodeEncoder, VaricodeDecoder, varicode_encode, varicode_decode,
+)
+from .codec.morse import MorseEncoder
+from .modulate.psk31 import (
+    bpsk31_mod_bits, qpsk31_mod_bits, bpsk31_mod_text, qpsk31_mod_text,
+)
+from .demodulate.psk31 import bpsk31_demod, qpsk31_demod, bpsk31_decide
+from .sync.psk31_sync import psk31_sync, best_sync as best_psk31_sync
+from . import codec
+
+
+def __getattr__(name):
+    # Psk31Stream resolves lazily (codec package cycle; see codec/__init__).
+    if name == "Psk31Stream":
+        from .codec.psk31_stream import Psk31Stream
+        return Psk31Stream
+    raise AttributeError(name)
+
+
+# ── multicarrier / OFDM (OfdmConfig, OfdmMod/Demod, equalizers, sync) ────────
+from . import multicarrier
+from .multicarrier import CarrierPlan, CarrierGrid, TxLowpass
+from . import ofdm as ofdm_mod_api
+from .ofdm import (
+    OfdmConfig, ofdm_mod, ofdm_demod, ofdm_decide, ofdm_soft_demod,
+    zf_equalize, channel_estimate_training, channel_estimate_pilots,
+    OfdmRxFrame, build_ofdm_rx_frame,
+)
+from . import sync
+from .sync.ofdm_sync import (
+    ofdm_sync, generate_ofdm_preamble, OfdmPreamble, TrainingSymbol,
+)
+
+# ── FEC (Ldpc/Bch/ReedSolomon/conv/interleavers/scramblers/CRCs) ─────────────
+from . import fec
+
+# ── COFDM frame layer (FramePacket, McsTable, OfdmFrame{Mod,Demod,Stream}) ───
+from . import frame
 from .frame import (
     FramePacket, FrameMetadata, RxError, Mcs, McsTable,
     OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
 )
-from . import ofdm as _ofdm_mod
-from .ofdm import OfdmConfig
-from .multicarrier import CarrierPlan, CarrierGrid, TxLowpass
-from .sync.ofdm_sync import OfdmPreamble, TrainingSymbol
+
+# ── DVB-T 2K / NB-DVB-T ─────────────────────────────────────────────────────
+from . import waveform
 from .waveform import (
-    DvbTLinkParams, DvbTFrameParams, dvb_t_config, dvb_t_scattered_config,
-    dvb_t_mcs_table, TpsWord,
+    DvbTLinkParams, DvbTFrameParams, DvbTSuperFrameParams,
+    TpsWord, dvb_t_config, dvb_t_scattered_config, dvb_t_mcs_table,
+    DVB_T_MAX_RX_WINDOW_BACKOFF,
 )
-from .modulate import DvbTFrameMod, DvbTSuperFrameMod, DvbTSuperFrameParams
-from .demodulate import (
-    DvbTFrameDemod, DvbTSuperFrameDemod, DvbTFrameStreamDemod,
-    DvbTRxError,
+from .modulate.dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
+from .modulate.dvb_t_super_frame import DvbTSuperFrameMod, DvbTSuperFrame
+from .demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxFrame, DvbTRxError
+from .demodulate.dvb_t_super_frame import DvbTSuperFrameDemod, DvbTRxSuperFrame
+from .demodulate.dvb_t_stream import DvbTFrameStreamDemod
+
+# reference's NB/bandwidth helper surface (python/orion_sdr/__init__.py:65-72)
+from .waveform.dvb_t import (
+    dvb_t_fs_for_bandwidth as nb_bandwidth_fs,
+    dvb_t_occupied_bw as nb_bandwidth_occupied_hz,
+    guard_cp_len_2k as dvb_t_cp_len,
 )
+
+
+def dvb_t_max_rx_window_backoff() -> int:
+    return DVB_T_MAX_RX_WINDOW_BACKOFF
+
+
+def dvb_t_tx_lowpass_suggested_taps(stopband_db: float) -> int:
+    from .waveform.dvb_t import DVB_T_N_FFT, DVB_T_KMAX
+    return TxLowpass.taps_for_null_band(DVB_T_N_FFT, DVB_T_KMAX // 2,
+                                        stopband_db)
+
+
+def dvb_t_tx_lowpass_group_delay(num_taps: int) -> int:
+    return (num_taps - 1) // 2
+
+
+def dvb_t_tx_lowpass_fits_guard(num_taps: int, cp_len: int, roll_off: int,
+                                backoff: int) -> bool:
+    gd = dvb_t_tx_lowpass_group_delay(num_taps)
+    return roll_off + gd <= min(cp_len - backoff, backoff)
+
+
+# ── package modules ──────────────────────────────────────────────────────────
+from . import modulate, demodulate, parallel

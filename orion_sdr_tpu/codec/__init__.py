@@ -17,13 +17,19 @@ from .ft8 import (
     FT4_XOR, ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
     ft8_decode_hard, ft4_decode_hard, ft8_frame_llr_hard, ft4_frame_llr_hard,
 )
-from .ft8_stream import Ft8StreamDecoder, Ft8DecodeResult
+from .morse import MorseEncoder, MORSE_TABLE, char_to_morse
 
 
 def __getattr__(name):
-    # lazy: psk31_stream pulls in demodulate→modulate, which import this
-    # package for varicode — a cycle if resolved eagerly.
+    # lazy: the stream drivers pull in sync→demodulate→modulate, which import
+    # this package for varicode/gray — a cycle if resolved eagerly.
     if name == "Psk31Stream":
         from .psk31_stream import Psk31Stream
         return Psk31Stream
+    if name == "Ft8StreamDecoder":
+        from .ft8_stream import Ft8StreamDecoder
+        return Ft8StreamDecoder
+    if name == "Ft8DecodeResult":
+        from .ft8_stream import Ft8DecodeResult
+        return Ft8DecodeResult
     raise AttributeError(name)

@@ -222,6 +222,23 @@ class ReedSolomon:
             raise RsError("uncorrectable (residual)")
         return corrected[:self.k].copy()
 
+    def decode_batch(self, received):
+        """(B, n) → ((B, k), ok flags); failed rows hold the systematic
+        prefix. Uses the native C++ batch decoder when available."""
+        r = np.asarray(received, np.uint8)
+        from .. import native
+        if native.AVAILABLE:
+            return native.rs_decode_batch(self.n, self.n_parity, r)
+        out = np.empty((r.shape[0], self.k), np.uint8)
+        ok = np.ones(r.shape[0], bool)
+        for i, row in enumerate(r):
+            try:
+                out[i] = self.decode(row)
+            except RsError:
+                out[i] = row[:self.k]
+                ok[i] = False
+        return out, ok
+
 
 # ── Binary BCH over GF(2^8) ──────────────────────────────────────────────────
 
@@ -327,3 +344,20 @@ class Bch:
         if residual != 0 or n_found > self.t:
             raise BchError(f"uncorrectable ({max(residual, n_found)})")
         return corrected[:self.k].copy()
+
+    def decode_batch(self, received_bits):
+        """(B, n) bits → ((B, k), ok flags); failed rows hold the systematic
+        prefix. Uses the native C++ batch decoder when available."""
+        r = np.asarray(received_bits, np.uint8) & 1
+        from .. import native
+        if native.AVAILABLE:
+            return native.bch_decode_batch(self.n, self.k, self.t, r)
+        out = np.empty((r.shape[0], self.k), np.uint8)
+        ok = np.ones(r.shape[0], bool)
+        for i, row in enumerate(r):
+            try:
+                out[i] = self.decode(row)
+            except BchError:
+                out[i] = row[:self.k]
+                ok[i] = False
+        return out, ok

@@ -358,36 +358,25 @@ def outer_decode(outer: OuterFec, coded_bits):
     bits = np.asarray(coded_bits, np.uint8)
     if outer.kind == "none":
         return bits.copy(), True
-    all_ok = True
-    out = []
     if outer.kind == "bch":
         code = shortened_bch_for(outer.t)
         n = code.n
-        for i in range(0, len(bits) - n + 1, n):
-            chunk = bits[i:i + n]
-            try:
-                out.append(np.asarray(code.decode(chunk), np.uint8))
-            except BchError:
-                all_ok = False
-                out.append(chunk[:code.k])
-        if len(bits) % n:
-            all_ok = False
-        msg = np.concatenate(out) if out else np.zeros(0, np.uint8)
-        return msg, all_ok
+        n_full = len(bits) // n
+        if n_full == 0:
+            return np.zeros(0, np.uint8), False
+        blocks = bits[: n_full * n].reshape(n_full, n)
+        msg, ok = code.decode_batch(blocks)      # native C++ when available
+        return msg.reshape(-1), bool(ok.all()) and len(bits) % n == 0
     rs = rs_for(outer.n, outer.n_parity)
     byts = bits_to_bytes(bits)
     n = rs.n
-    for i in range(0, len(byts) - n + 1, n):
-        chunk = byts[i:i + n]
-        try:
-            out.append(np.asarray(rs.decode(chunk), np.uint8))
-        except RsError:
-            all_ok = False
-            out.append(chunk[:rs.k])
-    if len(byts) % n:
-        all_ok = False
-    msg = np.concatenate(out) if out else np.zeros(0, np.uint8)
-    return bytes_to_bits(msg), all_ok
+    n_full = len(byts) // n
+    if n_full == 0:
+        return np.zeros(0, np.uint8), False
+    blocks = byts[: n_full * n].reshape(n_full, n)
+    msg, ok = rs.decode_batch(blocks)            # native C++ when available
+    return bytes_to_bits(msg.reshape(-1)), \
+        bool(ok.all()) and len(byts) % n == 0
 
 
 def decode_chain(coded_llrs, plan: BlockPlan, crc: str, outer: OuterFec,

@@ -15,7 +15,8 @@ from .dvb_t import (
     DVB_T_FS_333KHZ, DVB_T_FS_1MHZ, DVB_T_FS_2MHZ,
     dvb_t_mcs_table, dvb_t_config, dvb_t_scattered_config,
     dvb_t_frame_outer, dvb_t_frame_outer_il,
-    DvbTLinkParams, DvbTFrameParams,
+    DvbTLinkParams, DvbTFrameParams, DvbTSuperFrameParams,
+    DVB_T_FRAMES_PER_SUPER_FRAME,
 )
 from .dvb_t_tps import (
     TpsWord, TpsDecoder, tps_bch_encode, tps_bch_decode,

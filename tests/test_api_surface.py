@@ -1,0 +1,105 @@
+"""Flat-namespace API surface + Morse encoder tests (mirrors the reference's
+python/orion_sdr/__init__.py allowlist and tests/unit/morse.rs)."""
+
+import numpy as np
+
+import orion_sdr_tpu as sdr
+
+
+def test_flat_namespace_covers_reference_surface():
+    # functional counterparts of every reference symbol group
+    surface = [
+        # analog (CwEnvelopeDemod..PmQuadratureDemod / *Mod)
+        "cw_mod", "cw_demod", "am_mod", "am_demod", "ssb_mod", "ssb_demod",
+        "fm_mod", "fm_demod", "pm_mod", "pm_demod",
+        # digital (BpskMod..QamDemod + mappers/deciders)
+        "map_bits", "decide", "soft_llr", "digital_mod", "digital_demod",
+        # FT8/FT4
+        "ft8_mod", "ft8_demod", "ft4_mod", "ft4_demod",
+        "ft8_encode", "ft8_decode_soft", "ft4_encode", "ft4_decode_soft",
+        "ft8_sync", "ft4_sync", "Ft8StreamDecoder",
+        "pack77", "unpack77", "CallsignHashTable",
+        # PSK31
+        "VaricodeEncoder", "VaricodeDecoder", "MorseEncoder",
+        "bpsk31_mod_text", "qpsk31_mod_text", "bpsk31_demod", "qpsk31_demod",
+        "bpsk31_decide", "Psk31Stream", "psk31_sync", "best_psk31_sync",
+        # OFDM
+        "OfdmConfig", "ofdm_mod", "ofdm_demod", "ofdm_decide",
+        "ofdm_soft_demod", "OfdmRxFrame", "build_ofdm_rx_frame",
+        "ofdm_sync", "generate_ofdm_preamble", "CarrierPlan", "TxLowpass",
+        # frame layer
+        "FramePacket", "McsTable", "OfdmFrameMod", "OfdmFrameDemod",
+        "OfdmFrameStreamDemod", "RxError",
+        # DVB-T
+        "DvbTFrameParams", "DvbTFrame", "DvbTRxFrame", "TpsWord",
+        "DvbTFrameMod", "DvbTFrameDemod", "DvbTSuperFrameParams",
+        "DvbTSuperFrame", "DvbTRxSuperFrame", "DvbTSuperFrameMod",
+        "DvbTSuperFrameDemod", "DvbTFrameStreamDemod",
+        # NB/bandwidth helpers
+        "nb_bandwidth_fs", "nb_bandwidth_occupied_hz", "dvb_t_cp_len",
+        "dvb_t_max_rx_window_backoff", "dvb_t_tx_lowpass_suggested_taps",
+        "dvb_t_tx_lowpass_group_delay", "dvb_t_tx_lowpass_fits_guard",
+        # measurement
+        "rms", "tone", "gen_complex_tone", "snr_db_at", "power_spectrum",
+        "nb_spectrum_snr_db", "wb_spectrum_snr_db", "spectrum_bw_hz", "awgn",
+    ]
+    missing = [s for s in surface if not hasattr(sdr, s)]
+    assert not missing, missing
+
+
+def test_nb_helpers_consistent():
+    fs = sdr.nb_bandwidth_fs(1_000_000.0)
+    assert abs(sdr.nb_bandwidth_occupied_hz(fs) - 1_000_000.0) < 1e-3
+    assert sdr.dvb_t_cp_len("1/4") == 512
+    assert sdr.dvb_t_max_rx_window_backoff() == 85
+    gd = sdr.dvb_t_tx_lowpass_group_delay(89)
+    assert gd == 44
+    assert sdr.dvb_t_tx_lowpass_fits_guard(89, 256, 20, 85)
+    assert not sdr.dvb_t_tx_lowpass_fits_guard(89, 64, 40, 32)
+
+
+# ── Morse ────────────────────────────────────────────────────────────────────
+
+def test_morse_paris_timing():
+    # PARIS = 50 units incl. trailing word gap; encoder emits 43 units
+    # (no trailing gap): 10 dit + 4 dah(3u) + 9 intra + 4 char gaps(3u)
+    enc = sdr.MorseEncoder(8000.0, 20.0)
+    env = enc.encode_text("PARIS")
+    unit = 1200.0 / 20.0 * 1e-3 * 8000.0    # 480 samples
+    assert len(env) == round(43 * unit)
+    assert set(np.unique(env)) <= {0.0, 1.0}
+
+
+def test_morse_e_is_one_dit():
+    enc = sdr.MorseEncoder(8000.0, 20.0)
+    env = enc.encode_text("E")
+    assert len(env) == 480 and np.all(env == 1.0)
+
+
+def test_morse_word_gap_and_unknown_chars():
+    enc = sdr.MorseEncoder(8000.0, 20.0)
+    a = enc.encode_text("E E")
+    # dit + word gap (7u) + dit
+    assert len(a) == 480 + 7 * 480 + 480
+    b = sdr.MorseEncoder(8000.0, 20.0).encode_text("E#E")   # '#' skipped
+    assert len(b) == 480 + 3 * 480 + 480                    # char gap instead
+
+
+def test_morse_jitter_deterministic():
+    e1 = sdr.MorseEncoder(8000.0, 25.0).with_jitter(10.0)
+    e2 = sdr.MorseEncoder(8000.0, 25.0).with_jitter(10.0)
+    a, b = e1.encode_text("CQ TEST"), e2.encode_text("CQ TEST")
+    assert np.array_equal(a, b)
+    c = sdr.MorseEncoder(8000.0, 25.0).encode_text("CQ TEST")
+    assert len(a) != len(c)   # jitter changed timing
+
+
+def test_morse_feeds_cw_chain():
+    enc = sdr.MorseEncoder(8000.0, 30.0)
+    env = enc.encode_text("CQ")
+    iq, _ = sdr.cw_mod(env, fs=8000.0, tone_hz=700.0)
+    audio, _ = sdr.cw_demod(np.asarray(iq), fs=8000.0)
+    audio = np.asarray(audio)
+    # envelope recovered: key-down regions carry energy
+    assert np.asarray(iq).shape[-1] == len(env)
+    assert float(np.max(audio)) > 0.1
