@@ -1,12 +1,12 @@
 """Benchmark: FM quadrature demod chain throughput on one TPU chip.
 
 Headline metric per BASELINE.json: complex Msamples/s/chip on the demod
-chains. Baseline (BASELINE.md): FM demod = 103 Msps on M2 Pro single core.
+chains. Baseline (BASELINE.md): FM demod = 103 Msps on M2 Pro single core,
+measured on FmQuadratureDemod = delay-conjugate discriminator (atan2_approx)
+→ LR4 audio lowpass — the exact chain timed here (demodulate/fm.rs:12-90),
+batched over channels.
 
-Runs the full FM receiver chain (channel-select FIR + delay-conjugate
-discriminator + LR4 audio lowpass) batched over channels on the default
-backend (the real TPU under the driver; CPU if forced), and prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -18,16 +18,14 @@ import jax.numpy as jnp
 
 
 def main():
-    from orion_sdr_tpu import dsp
     from orion_sdr_tpu.dsp.iir import design_butter_lp, lp_cascade
-    from orion_sdr_tpu.dsp import fir as _fir
+    from orion_sdr_tpu.util import atan2_approx
 
     fs = 480_000.0
     channels, n = 64, 1 << 20   # 64 × 1M complex samples per step
     rng = np.random.default_rng(0)
     xr_np = rng.standard_normal((channels, n)).astype(np.float32)
     xi_np = rng.standard_normal((channels, n)).astype(np.float32)
-    taps = dsp.kaiser_lowpass_taps(63, 0.2, 60.0)
     c = design_butter_lp(fs, 5_000.0)
     k = 1.0 / 75_000.0
 
@@ -36,10 +34,10 @@ def main():
     @jax.jit
     def fm_chain(z_re, z_im):
         z = z_re + 1j * z_im
-        y, _ = _fir.fir_apply(z, taps)
-        prev = jnp.concatenate([jnp.ones_like(y[..., :1]), y[..., :-1]], axis=-1)
-        prod = y * jnp.conj(prev)
-        disc = (jnp.arctan2(prod.imag, prod.real) * k).astype(jnp.float32)
+        prev = jnp.concatenate([jnp.ones_like(z[..., :1]), z[..., :-1]],
+                               axis=-1)
+        prod = z * jnp.conj(prev)
+        disc = (atan2_approx(prod.imag, prod.real) * k).astype(jnp.float32)
         audio, _ = lp_cascade(disc, c)
         return audio
 

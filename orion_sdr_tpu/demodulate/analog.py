@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..dsp.osc import rotate, mix_usb
+from ..util import atan2_approx
 from ..dsp.iir import (
     design_butter_lp, dc_pole, lp_cascade, lp_dc_cascade, LpDcState, biquad_init,
 )
@@ -97,7 +98,7 @@ def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
         z, xlate_phase = rotate(z, -translate_hz, fs, xlate_phase)
     k = 1.0 / max(deviation_hz, 1.0)
     prod = _delay_conj_product(z, state.prev)
-    disc = (jnp.arctan2(prod.imag, prod.real) * k).astype(jnp.float32)
+    disc = (atan2_approx(prod.imag, prod.real) * k).astype(jnp.float32)
     c = design_butter_lp(fs, audio_bw_hz * 0.9)
     audio, lp = lp_cascade(disc, c, state.lp)
     return audio, QuadDemodState(prev=z[..., -1], lp=lp, xlate_phase=xlate_phase)
@@ -113,7 +114,7 @@ def pm_demod(iq, fs, k, audio_bw_hz, state: QuadDemodState | None = None):
             xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
         )
     prod = _delay_conj_product(z, state.prev)
-    disc = (k * jnp.arctan2(prod.imag, prod.real)).astype(jnp.float32)
+    disc = (k * atan2_approx(prod.imag, prod.real)).astype(jnp.float32)
     c = design_butter_lp(fs, audio_bw_hz * 0.9)
     audio, lp = lp_cascade(disc, c, state.lp)
     return audio, QuadDemodState(prev=z[..., -1], lp=lp, xlate_phase=state.xlate_phase)

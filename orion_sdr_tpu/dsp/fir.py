@@ -109,6 +109,30 @@ _MXU_BLOCK = 1024          # output block per Toeplitz matmul tile
 _MXU_MIN_N = 8192           # below this, XLA conv wins (less padding overhead)
 _MXU_MAX_TAPS = 512         # above this the Toeplitz tile gets too tall
 
+# Measured on v5e (64ch × 1M f32): XLA conv ≈ 4.5/3.0/1.7 Gsps at 31/63/127
+# taps and falls ~1/T; FFT overlap-save is flat ≈ 1.0 Gsps. Crossover ≈ 160.
+_FFT_MIN_TAPS = 160
+_FFT_BLOCK = 65536
+_USE_TOEPLITZ = False
+
+
+def _fft_overlap_save(x, taps):
+    """VALID correlation via FFT overlap-save (long-tap path)."""
+    t = jnp.asarray(np.asarray(taps, np.float32))
+    T = t.shape[-1]
+    n_out = x.shape[-1] - (T - 1)
+    hop = _FFT_BLOCK - T + 1
+    nblk = -(-n_out // hop)
+    total = nblk * hop + T - 1
+    pad = total - x.shape[-1]
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad, 0))])
+    idx = np.arange(nblk)[:, None] * hop + np.arange(_FFT_BLOCK)[None, :]
+    blocks = xb[..., idx]                        # (..., nblk, BLOCK)
+    H = jnp.fft.rfft(t[::-1], _FFT_BLOCK)        # correlation = conv w/ reversed taps
+    Y = jnp.fft.rfft(blocks, axis=-1) * H
+    y = jnp.fft.irfft(Y, _FFT_BLOCK, axis=-1)[..., T - 1:]
+    return y.reshape(x.shape[:-1] + (-1,))[..., :n_out].astype(jnp.float32)
+
 
 def _toeplitz_weight(taps, block: int) -> np.ndarray:
     """W[k, j] = taps[T−1−k+j] — causal-FIR block matmul weight
@@ -133,7 +157,12 @@ def _conv_valid_f32(x, taps):
     t = np.asarray(taps, dtype=np.float32)
     T = len(t)
     n_out = x.shape[-1] - (T - 1)
-    if n_out >= _MXU_MIN_N and T <= _MXU_MAX_TAPS:
+    if T >= _FFT_MIN_TAPS and n_out >= 4 * _FFT_BLOCK:
+        return _fft_overlap_save(x, t)
+    # Toeplitz-matmul path: measured SLOWER than the XLA conv on v5e at every
+    # tested tap count (the tile is (B+T−1)/T× redundant), kept opt-in for
+    # hardware where the conv lowering is weak.
+    if _USE_TOEPLITZ and n_out >= _MXU_MIN_N and T <= _MXU_MAX_TAPS:
         B = _MXU_BLOCK
         lead = x.shape[:-1]
         xb = x.reshape((-1, x.shape[-1]))

