@@ -19,6 +19,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..fec.ldpc import LdpcGraph, bp_decode
+from ..dsp.device import cjit
 
 N = 174
 K = 91
@@ -227,6 +228,7 @@ def ft8_ldpc_graph() -> LdpcGraph:
                      check_bits=cb, check_mask=mask, max_deg=max_deg)
 
 
+@cjit
 def ldpc_encode(message_bits):
     """(..., 91) bits → (..., 174) systematic codeword."""
     msg = jnp.asarray(message_bits).astype(jnp.int32) & 1

@@ -10,13 +10,11 @@ sample-by-sample decodes identically to one-shot.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from .varicode import VaricodeDecoder
 from .psk31 import StreamingViterbi, DQPSK_EXP
-from ..demodulate.psk31 import _dfm_core, bpsk31_decide
+from ..demodulate.psk31 import stream_step, bpsk31_decide
 from ..modulate.psk31 import psk31_sps
-from ..dsp.osc import rotate
 
 
 class Psk31Stream:
@@ -60,18 +58,18 @@ class Psk31Stream:
         if n_syms == 0:
             return ""
         take = n_syms * self.sps
-        z = jnp.asarray(self._buf[:take])
+        z = self._buf[:take]
         self._buf = self._buf[take:]
-        if self.carrier_hz != 0.0:
-            # continue the down-mix phase across feeds
-            phase0 = -2.0 * np.pi * self.carrier_hz * self._n_mixed / self.fs
-            z, _ = rotate(z, -self.carrier_hz, self.fs, phase0)
+        # continue the down-mix phase across feeds
+        phase0 = np.float32(-2.0 * np.pi * self.carrier_hz
+                            * self._n_mixed / self.fs)
         self._n_mixed += take
-        soft, (prev_sym, phase_acc) = _dfm_core(
-            z, self.sps, self.gain, qpsk=self.qpsk,
-            prev_sym0=self._prev_sym, phase_acc0=self._phase_acc)
-        self._prev_sym = complex(np.asarray(prev_sym))
-        self._phase_acc = float(np.asarray(phase_acc))
+        soft, prev_sym, phase_acc = stream_step(
+            z, phase0, np.complex64(self._prev_sym),
+            np.float32(self._phase_acc), self.sps, self.gain, self.qpsk,
+            self.carrier_hz, self.fs)
+        self._prev_sym = complex(prev_sym)
+        self._phase_acc = float(phase_acc)
 
         if not self.qpsk:
             return self.vdec.push_bits(bpsk31_decide(np.asarray(soft.real)))

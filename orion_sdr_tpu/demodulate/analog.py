@@ -14,6 +14,8 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..dsp.device import cjit as _cjit
+
 from ..dsp.osc import rotate, mix_usb
 from ..util import atan2_approx
 from ..dsp.iir import (
@@ -22,6 +24,7 @@ from ..dsp.iir import (
 from ..dsp.recurrence import first_order
 
 
+@_cjit
 def cw_demod(iq, fs, env_bw_hz=300.0, gain=1.0, y0=0.0):
     """Envelope detector: |z| through a one-pole LP (ref: demodulate/cw.rs:8-50).
 
@@ -34,6 +37,7 @@ def cw_demod(iq, fs, env_bw_hz=300.0, gain=1.0, y0=0.0):
     return gain * y, y_last
 
 
+@_cjit
 def am_demod(iq, fs, audio_bw_hz, method="power_sqrt", abs_k=(0.947543636291, 0.392485425092),
              state: LpDcState | None = None):
     """AM envelope demod (ref: demodulate/am.rs:9-46).
@@ -58,6 +62,7 @@ class SsbDemodState(NamedTuple):
     bfo_phase: jnp.ndarray
 
 
+@_cjit
 def ssb_demod(iq, fs, bfo_hz, audio_bw_hz, state: SsbDemodState | None = None):
     """Product detector: I·cos + Q·sin with a BFO, then LP+DC
     (ref: demodulate/ssb.rs:9-70)."""
@@ -81,6 +86,7 @@ def _delay_conj_product(z, prev):
     return z * jnp.conj(zprev)
 
 
+@_cjit
 def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
              state: QuadDemodState | None = None):
     """Quadrature discriminator: angle(z·conj(z₋₁))·(1/dev) → LP4
@@ -104,6 +110,7 @@ def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
     return audio, QuadDemodState(prev=z[..., -1], lp=lp, xlate_phase=xlate_phase)
 
 
+@_cjit
 def pm_demod(iq, fs, k, audio_bw_hz, state: QuadDemodState | None = None):
     """PM via phase difference (ref: demodulate/pm.rs:12-80). Returns (audio, state)."""
     z = jnp.asarray(iq)

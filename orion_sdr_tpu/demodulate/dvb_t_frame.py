@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ..multicarrier import symbol_fft
 from ..constellation import BITS_PER_SYMBOL
 from ..ofdm import zf_equalize, channel_estimate_pilots
-from ..dsp.osc import rotate
+from ..dsp.osc import rotate_host
+from ..dsp.device import cjit
 from ..frame.chain import block_plan, decode_chain
 from ..frame.types import InterleaverKind, ScramblerKind, SCRAMBLER_BEFORE_OUTER
 from ..sync.dvb_t_gi_sync import dvb_t_gi_sync, dvb_t_integer_cfo
@@ -55,6 +56,7 @@ class DvbTRxFrame(NamedTuple):
     tps: TpsWord
 
 
+@cjit
 def scattered_equalize(freq, first_phase: int = 0, backoff: int = 0):
     """(..., n_sym, 2048) raw spectra → per-symbol-pilot-interp ZF-equalized
     spectra; symbols grouped by the four scattered phases (vectorized)."""
@@ -107,16 +109,16 @@ class DvbTFrameDemod:
         if n_acc == 0:
             return None
         seg = iq[acq.start_sample: acq.start_sample + n_acc * sps]
-        freq = np.asarray(symbol_fft(jnp.asarray(seg), DVB_T_N_FFT, cp_len,
+        freq = np.asarray(symbol_fft(seg, DVB_T_N_FFT, cp_len,
                                      n_symbols=n_acc))
         accum = np.sum(np.abs(freq) ** 2, axis=0)
         est = dvb_t_integer_cfo(accum.astype(np.complex64), DVB_T_N_FFT,
                                 INTEGER_CFO_MAX_BINS)
         if est is None or est.bins == 0:
             return None
-        z, _ = rotate(jnp.asarray(iq), -est.bins * self.fs / DVB_T_N_FFT,
-                      self.fs)
-        return np.asarray(z)
+        z, _ = rotate_host(iq, np.float32(-est.bins * self.fs / DVB_T_N_FFT),
+                           self.fs)
+        return z
 
     def decode(self, iq, n_symbols: int, payload_len: int) -> DvbTRxFrame:
         params = self.params
@@ -136,12 +138,13 @@ class DvbTFrameDemod:
         if len(iq) < start + n_symbols * sps:
             raise DvbTRxError(DvbTRxError.INCOMPLETE)
 
-        seg = jnp.asarray(iq[start: start + n_symbols * sps])
-        freq = symbol_fft(seg, DVB_T_N_FFT, cp_len,
-                          backoff=self.rx_window_backoff, n_symbols=n_symbols)
+        freq = symbol_fft(iq[start: start + n_symbols * sps], DVB_T_N_FFT,
+                          cp_len, backoff=self.rx_window_backoff,
+                          n_symbols=n_symbols)
 
         # TPS from the raw bins (differential — needs no channel estimate).
-        cells = np.asarray(freq)[:, tps_carrier_bins()]
+        freq = np.asarray(freq)
+        cells = freq[:, tps_carrier_bins()]
         tps_word = None
         for blk in range(n_symbols // TPS_SYMBOLS_PER_FRAME):
             bits = tps_decode_frame(

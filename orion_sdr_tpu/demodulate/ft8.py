@@ -11,6 +11,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..dsp.device import cjit
+
 from ..sync.waterfall import _tone_matrix
 from ..modulate.ft8 import (
     FT8_SAMPLES_PER_SYM, FT8_TOTAL_SYMS, FT8_TONE_SPACING_HZ, FT8_TONES,
@@ -20,6 +22,7 @@ from ..modulate.ft8 import (
 )
 
 
+@cjit
 def _detect_tones(iq, fs, base_hz, spacing, sps, n_syms, n_tones):
     z = jnp.asarray(iq)[..., : n_syms * sps]
     seg = z.reshape(z.shape[:-1] + (n_syms, sps))

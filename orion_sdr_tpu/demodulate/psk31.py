@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp.osc import rotate
+from ..dsp.device import cjit
 from ..modulate.psk31 import psk31_sps, psk31_hann
 
 BPSK31_LOOP_GAIN = 0.05
@@ -46,7 +47,6 @@ def _wrap_pi(x):
     return jnp.mod(x + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
-@partial(jax.jit, static_argnames=("sps", "qpsk"))
 def _dfm_core(z, sps: int, gain: float, qpsk: bool,
               prev_sym0=1.0 + 0.0j, phase_acc0=0.0):
     """Shared decision-feedback matched filter + PLL.
@@ -105,6 +105,7 @@ def _prep(iq, fs: float, rf_hz: float, offset: int):
     return z, sps, n_syms
 
 
+@cjit
 def bpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
                  offset: int = 0):
     """IQ → one soft value per symbol: Re(sym_c·conj(prev_sym)).
@@ -116,6 +117,7 @@ def bpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
     return soft.real.astype(jnp.float32)
 
 
+@cjit
 def qpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
                  offset: int = 0):
     """IQ → (n_syms, 2) float32 [Re(d), Im(d)] differential products for the
@@ -130,3 +132,16 @@ def qpsk31_demod(iq, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
 def bpsk31_decide(soft) -> np.ndarray:
     """Hard decision: soft ≥ 0 → bit 1 (ref Bpsk31Decider)."""
     return (np.asarray(soft) >= 0.0).astype(np.uint8)
+
+
+@cjit
+def stream_step(z, phase0, prev_sym, phase_acc, sps: int, gain: float,
+                qpsk: bool, carrier_hz: float, fs: float):
+    """One whole-symbol-aligned chunk of the live decode pipeline: carry the
+    down-mix phase and the DFM/PLL state across feeds (host boundary safe)."""
+    if carrier_hz != 0.0:
+        z, _ = rotate(z, -carrier_hz, fs, phase0)
+    soft, (prev_out, acc_out) = _dfm_core(z, sps, gain, qpsk=qpsk,
+                                          prev_sym0=prev_sym,
+                                          phase_acc0=phase_acc)
+    return soft, prev_out, acc_out

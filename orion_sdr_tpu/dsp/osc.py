@@ -52,3 +52,11 @@ def mix_usb(x, freq_hz, fs, phase0=0.0):
     ph, phase_out = _ramp(freq_hz, fs, x.shape[-1], phase0)
     y = x.real * jnp.cos(ph) + x.imag * jnp.sin(ph)
     return y.astype(jnp.float32), phase_out
+
+
+# Host-boundary variants (axon: no eager complex ops). freq/phase cross as
+# dynamic arrays so per-call CFO values don't retrace.
+from .device import cjit as _cjit
+
+rotate_host = _cjit(rotate)
+mix_usb_host = _cjit(mix_usb)

@@ -78,7 +78,8 @@ def _first_order_const(a, b, y0):
     a_k1 = (a_c ** (k + 1)).astype(bc.dtype)
     aC = a_c ** C
 
-    zero_state = bc @ jnp.asarray(L, bc.dtype)              # (..., nchunk, C)
+    zero_state = jnp.matmul(bc, jnp.asarray(L, bc.dtype),
+                            precision=jax.lax.Precision.HIGHEST)
     z = zero_state[..., -1]                                 # (..., nchunk)
     # boundary chain: y_in[i] = aC·y_in[i−1] + z[i−1], y_in[0] = y0
     if y0 is None:

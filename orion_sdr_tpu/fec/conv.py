@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..dsp.device import cjit
+
 CONV_CODES = {
     "k5": {"K": 5, "g0": 0b10101, "g1": 0b10011},
     "dvb_k7": {"K": 7, "g0": 0b1111001, "g1": 0b1011011},
@@ -71,6 +73,7 @@ def _tables(code: str):
     return K, S, top, taps0, taps1, prev, sign0, sign1
 
 
+@cjit
 def conv_encode(bits, code: str = "k5"):
     """Rate-1/2 mother encode (no tail): interleaved [g0_0, g1_0, g0_1, …].
 
@@ -111,6 +114,7 @@ def punctured_coded_len(info_bits: int, rate: str, code: str = "k5") -> int:
     return int(_puncture_mask(rate, n_steps).sum())
 
 
+@cjit
 def conv_encode_punctured(info_bits, rate: str = "1/2", code: str = "k5"):
     """Zero-tail + mother encode + puncture (ref: conv.rs:190-201)."""
     b = jnp.asarray(info_bits)
@@ -138,6 +142,7 @@ def depuncture_llrs(coded_llrs, info_bits: int, rate: str, code: str = "k5"):
     return out.at[..., keep_idx[:n]].set(l[..., :n])
 
 
+@cjit
 def viterbi_decode_soft(coded_llrs, info_bits: int, rate: str = "1/2",
                         code: str = "k5"):
     """Soft Viterbi over a zero-tail-terminated punctured stream

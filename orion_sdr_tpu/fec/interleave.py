@@ -1,12 +1,14 @@
 """Block + Forney convolutional interleavers (ref: /root/reference/src/fec/interleaver.rs).
 
-TPU design:
+Design:
 * Block interleaver — a reshape/transpose, generic over dtype (the inner
   deinterleaver permutes f32 LLRs, the outer permutes u8 bytes).
 * Forney interleaver — the reference streams bytes through per-branch FIFOs;
   here the identity "a byte entering branch j = t mod I at position t exits
   at t + j·M·I" turns the whole device into ONE gather with a carried
   history window (length (I−1)·M·I) — fully vectorized, chunk-invariant.
+* Byte-domain control path ⇒ host numpy (the axon backend has no eager
+  device ops anyway); the permutations are identical either way.
 """
 
 from __future__ import annotations
@@ -14,7 +16,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 
 # ── Block interleaver ────────────────────────────────────────────────────────
@@ -22,19 +23,19 @@ import jax.numpy as jnp
 
 def block_interleave(x, rows: int, cols: int):
     """Row-in / column-out over exactly rows·cols elements (interleaver.rs:56-99)."""
-    x = jnp.asarray(x)
+    x = np.asarray(x)
     n = rows * cols
     assert x.shape[-1] == n, "interleave input must be one full block"
     m = x.reshape(x.shape[:-1] + (rows, cols))
-    return jnp.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
+    return np.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
 
 
 def block_deinterleave(x, rows: int, cols: int):
-    x = jnp.asarray(x)
+    x = np.asarray(x)
     n = rows * cols
     assert x.shape[-1] == n, "deinterleave input must be one full block"
     m = x.reshape(x.shape[:-1] + (cols, rows))
-    return jnp.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
+    return np.swapaxes(m, -1, -2).reshape(x.shape[:-1] + (n,))
 
 
 # ── Forney convolutional interleaver ─────────────────────────────────────────
@@ -45,19 +46,19 @@ def conv_roundtrip_delay(branches: int, depth: int) -> int:
 
 
 class ForneyState(NamedTuple):
-    history: jnp.ndarray  # last (I−1)·M·I inputs (zeros initially)
+    history: np.ndarray  # last (I−1)·M·I inputs (zeros initially)
     pos: int              # commutator offset of the next input byte
 
 
 def _forney_apply(x, branches: int, depth: int, state: Optional[ForneyState],
                   deinterleave: bool):
-    x = jnp.asarray(x)
+    x = np.asarray(x)
     I, M = branches, depth
     D = (I - 1) * M * I  # max per-byte delay in stream positions
     if state is None:
         state = ForneyState(
-            history=jnp.zeros(x.shape[:-1] + (D,), dtype=x.dtype), pos=0)
-    xp = jnp.concatenate([state.history, x], axis=-1)
+            history=np.zeros(x.shape[:-1] + (D,), dtype=x.dtype), pos=0)
+    xp = np.concatenate([state.history, x], axis=-1)
     n = x.shape[-1]
     t = np.arange(n)
     j = (t + state.pos) % I
@@ -85,5 +86,5 @@ def forney_deinterleave(x, branches: int = 12, depth: int = 17,
 def forney_flush(branches: int, depth: int, state: ForneyState, deinterleave=False):
     """Drain: feed roundtrip_delay zeros (frame-orchestrator shape)."""
     d = conv_roundtrip_delay(branches, depth)
-    zeros = jnp.zeros(state.history.shape[:-1] + (d,), dtype=state.history.dtype)
+    zeros = np.zeros(state.history.shape[:-1] + (d,), dtype=state.history.dtype)
     return _forney_apply(zeros, branches, depth, state, deinterleave)

@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..dsp.device import cjit
+
 LDPC_CODES = {
     "N512R12": (512, 256, 0x4C44_5043_3531_3200),
     "N576R23": (576, 384, 0x4C44_5043_3531_3201),
@@ -129,6 +131,7 @@ def ldpc_graph(name: str) -> LdpcGraph:
 # ── encode ───────────────────────────────────────────────────────────────────
 
 
+@cjit
 def ldpc_encode(name: str, message):
     """Systematic encode (..., K) bits → (..., N) codeword
     (ref: ldpc_codes.rs:304-328): s = A·msg mod 2, p = prefix-XOR(s)."""
@@ -178,6 +181,7 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     return bp_decode(ldpc_graph(name), llr, max_iter, rule, alpha)
 
 
+@cjit
 def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
               alpha: float = 0.75):
     """BP over any padded Tanner graph (shared by the staircase family and

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from ..ofdm import OfdmConfig, zf_equalize, OfdmRxFrame
 from ..multicarrier import CarrierGrid, symbol_fft, grid_extract
 from ..constellation import soft_llr, BITS_PER_SYMBOL
-from ..dsp.osc import rotate
+from ..dsp.osc import rotate_host
+from ..dsp.device import cjit
 from ..sync.ofdm_sync import OfdmPreamble, ofdm_sync
 from .types import (FramePacket, FrameMetadata, McsTable, OuterFec, InnerFec,
                     InterleaverKind, ScramblerKind, RxError, header_has_block,
@@ -32,6 +33,7 @@ class _Incomplete(Exception):
     """Streaming hold: not enough samples yet (ref BodyError::Incomplete)."""
 
 
+@cjit
 def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
                estimate=None) -> Optional[np.ndarray]:
     """IQ → LLRs for n_symbols OFDM symbols; None if iq is too short.
@@ -51,7 +53,7 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
         freq = zf_equalize(freq, jnp.asarray(estimate))
     syms = grid_extract(g, freq)
     flat = syms.reshape(syms.shape[:-2] + (-1,))
-    return np.asarray(soft_llr(flat, constellation), np.float32)
+    return soft_llr(flat, constellation).astype(jnp.float32)
 
 
 def decode_frame_body(cfg: OfdmConfig, mcs_table: McsTable, iq,
@@ -189,9 +191,8 @@ class OfdmFrameStreamDemod:
         end = start + t.n_fft + t.cp_len
         if len(corrected) < end:
             return None
-        freq = symbol_fft(jnp.asarray(corrected[start:end]), t.n_fft,
-                          t.cp_len, backoff=self.cfg.rx_window_backoff,
-                          n_symbols=1)
+        freq = symbol_fft(corrected[start:end], t.n_fft, t.cp_len,
+                          backoff=self.cfg.rx_window_backoff, n_symbols=1)
         from ..sync.ofdm_sync import training_symbol_freq_pattern
         known = training_symbol_freq_pattern(t.n_fft) * self.cfg.gain
         return (np.asarray(freq)[0] / known).astype(np.complex64)
@@ -217,9 +218,8 @@ class OfdmFrameStreamDemod:
 
         spacing = self.cfg.fs / n_fft
         total_cfo = best.cfo_hz + best.integer_cfo_bins * spacing
-        region = jnp.asarray(self._buf[best.start_sample:])
-        corrected, _ = rotate(region, -total_cfo, self.cfg.fs)
-        corrected = np.asarray(corrected)
+        corrected, _ = rotate_host(self._buf[best.start_sample:],
+                                   np.float32(-total_cfo), self.cfg.fs)
         if len(corrected) < pre_len:
             return None
         est = self._estimate_channel(corrected)

@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..dsp.device import cjit as _cjit
 import numpy as np
 
 from ..dsp.osc import rotate, oscillator, TAU
@@ -24,6 +26,7 @@ class CwState(NamedTuple):
     phase: jnp.ndarray
 
 
+@_cjit
 def cw_mod(key_env, fs, tone_hz, rise_ms=3.0, fall_ms=3.0, gain=1.0, state: CwState | None = None):
     """Keyed carrier with rise/fall envelope shaping (ref: modulate/cw.rs:10-44).
 
@@ -50,6 +53,7 @@ def cw_mod(key_env, fs, tone_hz, rise_ms=3.0, fall_ms=3.0, gain=1.0, state: CwSt
     return iq, CwState(env=env_last, phase=phase_out)
 
 
+@_cjit
 def am_mod(audio, fs, rf_hz=0.0, carrier_level=1.0, modulation_index=1.0,
            gain=1.0, clamp=False, phase0=0.0):
     """AM DSB: m = (carrier_level + mi·x) [clamped], mixed to rf_hz
@@ -69,6 +73,7 @@ class SsbState(NamedTuple):
     rf_phase: jnp.ndarray
 
 
+@_cjit
 def ssb_mod(audio, fs, audio_bw_hz, audio_if_hz, rf_hz=0.0, usb=True,
             state: SsbState | None = None):
     """Phasing-method SSB (ref: modulate/ssb.rs:10-140).
@@ -97,6 +102,7 @@ class FmState(NamedTuple):
     rf_phase: jnp.ndarray
 
 
+@_cjit
 def fm_mod(audio, fs, deviation_hz, rf_hz=0.0, gain=1.0, state: FmState | None = None):
     """FM phase accumulator: φ[n] = φ[n-1] + 2π·kf·x[n]/fs (ref: modulate/fm.rs:12-90).
 
@@ -115,6 +121,7 @@ def fm_mod(audio, fs, deviation_hz, rf_hz=0.0, gain=1.0, state: FmState | None =
     return iq, FmState(phase=phase_out, rf_phase=rf_phase)
 
 
+@_cjit
 def pm_mod(audio, fs, kp_rad_per_unit, rf_hz=0.0, gain=1.0, rf_phase0=0.0):
     """PM: instantaneous phase φ = kp·x (ref: modulate/pm.rs:10-60)."""
     x = jnp.asarray(audio, dtype=jnp.float32)

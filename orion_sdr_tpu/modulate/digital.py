@@ -9,10 +9,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..dsp.device import cjit as _cjit
+
 from ..constellation import map_bits, BITS_PER_SYMBOL
 from ..dsp.osc import rotate
 
 
+@_cjit
 def psk_qam_mod(symbols, fs, rf_hz=0.0, gain=1.0, phase0=0.0):
     """Symbols → IQ at rf_hz (ref: BpskMod/QpskMod/QamMod). Returns (iq, phase)."""
     s = jnp.asarray(symbols) * gain
@@ -21,6 +24,7 @@ def psk_qam_mod(symbols, fs, rf_hz=0.0, gain=1.0, phase0=0.0):
     return rotate(s, rf_hz, fs, phase0)
 
 
+@_cjit
 def digital_mod(bits, order, fs, rf_hz=0.0, gain=1.0, phase0=0.0):
     """bits → symbols → IQ in one call. Returns (iq, phase_out)."""
     return psk_qam_mod(map_bits(bits, order), fs, rf_hz, gain, phase0)

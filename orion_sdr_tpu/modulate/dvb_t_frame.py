@@ -17,6 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..multicarrier import ofdm_assemble, symbol_taper, TxLowpass
+from ..dsp.device import cjit
 from ..constellation import BITS_PER_SYMBOL
 from ..frame.chain import block_plan, encode_chain
 from ..frame.types import InterleaverKind, ScramblerKind, SCRAMBLER_BEFORE_OUTER
@@ -96,22 +97,28 @@ class DvbTFrameMod:
                              ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
         assert len(coded) >= capacity_bits
 
-        # 4. Figure-9a map the whole frame, scatter through the rotating grid,
-        #    overwrite TPS carriers with the DBPSK cells.
-        data = dvb_t_map_symbols(coded[:capacity_bits], vbits)
-        data = data.reshape(n_symbols, DVB_T_DATA_CARRIERS)
-        freq = scattered_map_frame(data)
+        # 4.-5. Figure-9a map, rotating-grid scatter, TPS overwrite, IFFT+CP
+        #    (+ optional taper) — one device program per frame geometry.
         tps_block = params.tps_word().pack()
         cells = tps_encode_frame(tps_block)          # (68, 17)
         reps = -(-n_symbols // TPS_SYMBOLS_PER_FRAME)
         cells_all = np.tile(cells, (reps, 1))[:n_symbols]
-        freq = freq.at[:, tps_carrier_bins()].set(jnp.asarray(cells_all))
-
-        # 5. IFFT + CP (+ optional per-symbol taper) in one batched op.
-        taper = symbol_taper(sps, self.window_roll_off) \
-            if self.window_roll_off else None
-        iq = ofdm_assemble(freq, cp_len, taper=taper)
+        iq = _assemble_frame(coded[:capacity_bits], cells_all, vbits,
+                             n_symbols, cp_len, self.window_roll_off)
         if self.tx_lowpass is not None:
             iq = self.tx_lowpass.apply(iq)
         return DvbTFrame(iq=np.asarray(iq).astype(np.complex64),
                          n_symbols=n_symbols, samples_per_symbol=sps)
+
+
+@cjit
+def _assemble_frame(coded_bits, tps_cells, vbits: int, n_symbols: int,
+                    cp_len: int, window_roll_off: int):
+    """Map → scatter (rotating grid) → TPS overwrite → IFFT+CP (+taper)."""
+    data = dvb_t_map_symbols(coded_bits, vbits)
+    data = data.reshape(n_symbols, DVB_T_DATA_CARRIERS)
+    freq = scattered_map_frame(data)
+    freq = freq.at[:, tps_carrier_bins()].set(jnp.asarray(tps_cells))
+    taper = symbol_taper(DVB_T_N_FFT + cp_len, window_roll_off) \
+        if window_roll_off else None
+    return ofdm_assemble(freq, cp_len, taper=taper)

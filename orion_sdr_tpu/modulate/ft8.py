@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..dsp.osc import rotate
+from ..dsp.device import cjit
 
 # FT8 protocol constants (public WSJT-X definition)
 FT8_TONE_SPACING_HZ = 6.25
@@ -84,8 +85,9 @@ def ft4_data_positions() -> np.ndarray:
     return np.flatnonzero(~reserved)
 
 
+@cjit
 def cpfsk_mod(symbols, sps: int, fs: float, base_hz: float, spacing_hz: float,
-              gain: float = 1.0):
+              gain: float = 1.0, rf_hz: float = 0.0):
     """Phase-continuous rectangular FSK over a tone-index sequence.
 
     Matches the reference's running-phasor synthesis (sample n of symbol k
@@ -99,26 +101,23 @@ def cpfsk_mod(symbols, sps: int, fs: float, base_hz: float, spacing_hz: float,
     n = jnp.arange(1, sps + 1, dtype=jnp.float32)
     phase = jnp.asarray(theta, jnp.float32)[:, None] + \
         jnp.asarray(phi, jnp.float32)[:, None] * n[None, :]
-    return (gain * jnp.exp(1j * phase)).reshape(-1).astype(jnp.complex64)
+    out = (gain * jnp.exp(1j * phase)).reshape(-1).astype(jnp.complex64)
+    if rf_hz != 0.0:
+        out, _ = rotate(out, rf_hz, fs)
+    return out
 
 
 def ft8_mod(data_tones, fs: float = 12000.0, base_hz: float = 1000.0,
             rf_hz: float = 0.0, gain: float = 1.0):
     """58 data tones → 151 680-sample IQ frame (ref Ft8Mod::modulate)."""
     syms = ft8_symbol_sequence(data_tones)
-    iq = cpfsk_mod(syms, FT8_SAMPLES_PER_SYM, fs, base_hz,
-                   FT8_TONE_SPACING_HZ, gain)
-    if rf_hz != 0.0:
-        iq, _ = rotate(iq, rf_hz, fs)
-    return iq
+    return cpfsk_mod(tuple(int(t) for t in syms), FT8_SAMPLES_PER_SYM, fs,
+                     base_hz, FT8_TONE_SPACING_HZ, gain, rf_hz)
 
 
 def ft4_mod(data_tones, fs: float = 12000.0, base_hz: float = 1000.0,
             rf_hz: float = 0.0, gain: float = 1.0):
     """87 data tones → 60 480-sample IQ frame (ref Ft4Mod::modulate)."""
     syms = ft4_symbol_sequence(data_tones)
-    iq = cpfsk_mod(syms, FT4_SAMPLES_PER_SYM, fs, base_hz,
-                   FT4_TONE_SPACING_HZ, gain)
-    if rf_hz != 0.0:
-        iq, _ = rotate(iq, rf_hz, fs)
-    return iq
+    return cpfsk_mod(tuple(int(t) for t in syms), FT4_SAMPLES_PER_SYM, fs,
+                     base_hz, FT4_TONE_SPACING_HZ, gain, rf_hz)

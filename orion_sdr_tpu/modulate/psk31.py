@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..codec.varicode import encode_text
 from ..codec.psk31 import conv_encode, DQPSK_EXP
 from ..dsp.osc import rotate
+from ..dsp.device import cjit
 
 PSK31_BAUD = 31.25
 PSK31_SPS_8000 = 256
@@ -43,13 +44,18 @@ def psk31_hann(sps: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(np.pi * n / (sps - 1))).astype(np.float32)
 
 
-def _crossfade(phasors, phase0, sps: int, gain: float):
+@cjit
+def _crossfade(phasors, phase0, sps: int, gain: float, rf_hz: float = 0.0,
+               fs: float = 0.0):
     """Pulse-shape a phasor sequence: out[k·sps+n] = g·(p[k−1] + h[n]·(p[k]−p[k−1]))."""
     h = jnp.asarray(psk31_hann(sps))
     p = jnp.asarray(phasors, dtype=jnp.complex64)
     prev = jnp.concatenate([jnp.full((1,), phase0, jnp.complex64), p[:-1]])
     seg = prev[:, None] * (1.0 - h)[None, :] + p[:, None] * h[None, :]
-    return (gain * seg.reshape(-1)).astype(jnp.complex64)
+    out = (gain * seg.reshape(-1)).astype(jnp.complex64)
+    if rf_hz != 0.0:
+        out, _ = rotate(out, rf_hz, fs)
+    return out
 
 
 def bpsk31_mod_bits(bits, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
@@ -63,9 +69,7 @@ def bpsk31_mod_bits(bits, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
     # phase[k] = phase0 · (−1)^(number of 0-bits so far, inclusive)
     flips = np.cumsum(1 - b).astype(np.int64)
     phasors = (np.real(phase0) * np.where(flips % 2 == 1, -1.0, 1.0)).astype(np.complex64)
-    iq = _crossfade(phasors, phase0, sps, gain)
-    if rf_hz != 0.0:
-        iq, _ = rotate(iq, rf_hz, fs)
+    iq = _crossfade(phasors, complex(phase0), sps, gain, rf_hz, fs)
     final = complex(phasors[-1]) if len(b) else phase0
     return iq, final
 
@@ -83,9 +87,7 @@ def qpsk31_mod_bits(bits, fs: float, rf_hz: float = 0.0, gain: float = 1.0,
     phasors = (phase0 * np.cumprod(steps)).astype(np.complex64) if len(dibits) \
         else np.zeros(0, np.complex64)
     sps = psk31_sps(fs)
-    iq = _crossfade(phasors, phase0, sps, gain)
-    if rf_hz != 0.0:
-        iq, _ = rotate(iq, rf_hz, fs)
+    iq = _crossfade(phasors, complex(phase0), sps, gain, rf_hz, fs)
     final = complex(phasors[-1]) if len(dibits) else phase0
     return iq, final
 

@@ -15,9 +15,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..dsp.device import cjit
+
 from .plan import CarrierGrid
 
 
+@cjit
 def grid_map(grid: CarrierGrid, data_symbols, pilot_bins=None, pilot_values=None):
     """Scatter dense data symbols into sparse FFT bins (ref: grid.rs:103-155).
 
@@ -44,6 +47,7 @@ def grid_map(grid: CarrierGrid, data_symbols, pilot_bins=None, pilot_values=None
     return out
 
 
+@cjit
 def grid_extract(grid: CarrierGrid, freq_symbols):
     """Gather data bins back to a dense stream (ref: grid.rs:157-192).
 
@@ -51,6 +55,7 @@ def grid_extract(grid: CarrierGrid, freq_symbols):
     return jnp.asarray(freq_symbols)[..., grid.data_bins]
 
 
+@cjit
 def ofdm_assemble(freq_grid, cp_len: int, taper=None):
     """IFFT + cyclic-prefix insert + optional per-symbol edge taper.
 
@@ -83,6 +88,7 @@ def symbol_taper(symbol_len: int, roll_off: int) -> np.ndarray | None:
     return w
 
 
+@cjit
 def symbol_fft(time_stream, n_fft: int, cp_len: int, backoff: int = 0, n_symbols=None):
     """RX window-select + FFT over whole frames (ref: symbol_fft.rs:38-160).
 

@@ -118,6 +118,11 @@ class CarrierGrid:
         self.pilot_values = np.array(
             [v for _, v in plan.pilot_carriers], dtype=np.complex64)
 
+    def __repr__(self) -> str:
+        # stable across instances of the same plan — cjit uses repr as the
+        # static cache key for unhashable arguments
+        return f"CarrierGrid({self.plan!r})"
+
     @property
     def num_data_carriers(self) -> int:
         return len(self.data_bins)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from ..dsp.device import cjit
+
 from ..dsp.fir import (
     kaiser_lowpass_taps,
     kaiser_num_taps,
@@ -66,5 +68,16 @@ class TxLowpass:
         return kaiser_lowpass_taps(self.num_taps, self.cutoff_norm, self.stopband_db)
 
     def apply(self, stream):
+        return _apply_mask(stream, self.cutoff_norm, self.num_taps,
+                           self.stopband_db)
+
+    def _apply_inline(self, stream):
         """Same-length, time-aligned mask over the whole burst."""
         return fir_filter_aligned(stream, self.taps())
+
+
+@cjit
+def _apply_mask(stream, cutoff_norm: float, num_taps: int, stopband_db: float):
+    """Whole-stream aligned mask filter (host-boundary safe)."""
+    taps = kaiser_lowpass_taps(num_taps, cutoff_norm, stopband_db)
+    return fir_filter_aligned(stream, taps)

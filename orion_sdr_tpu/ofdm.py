@@ -23,6 +23,7 @@ from .multicarrier import (
     ofdm_assemble, symbol_taper, symbol_fft, TxLowpass,
 )
 from .dsp.osc import rotate
+from .dsp.device import cjit
 
 EQUALIZER_FLOOR = 1e-6  # |h|² floor in ZF division (demodulate/ofdm.rs)
 
@@ -107,6 +108,7 @@ class OfdmConfig:
 # ── TX ───────────────────────────────────────────────────────────────────────
 
 
+@cjit
 def ofdm_mod(cfg: OfdmConfig, bits, phase0=0.0, pilot_bins=None, pilot_values=None):
     """bits → IQ for whole frames (ref OfdmMod, modulate/ofdm.rs:422-544).
 
@@ -191,6 +193,7 @@ def channel_estimate_pilots(freq_syms, pilot_bins, pilot_values, n_fft: int):
 # ── RX ───────────────────────────────────────────────────────────────────────
 
 
+@cjit
 def ofdm_demod(cfg: OfdmConfig, iq, n_symbols=None, estimate=None, gain=1.0, phase0=0.0):
     """IQ → soft data symbols (ref OfdmDemod, demodulate/ofdm.rs:26-95).
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..waveform.dvb_t import continual_pilot_bins
+from ..dsp.device import cjit
 
 
 @dataclass(frozen=True)
@@ -42,6 +43,7 @@ def _sliding(x, win: int):
     return c[..., win:] - c[..., :-win]
 
 
+@cjit
 def _gamma_phi(iq, n_fft: int, cp_len: int):
     """Single-symbol γ(d), Φ(d) for every valid offset d (vectorized)."""
     z = jnp.asarray(iq)

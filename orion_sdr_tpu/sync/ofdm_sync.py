@@ -21,7 +21,8 @@ from typing import NamedTuple, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..dsp.osc import rotate
+from ..dsp.osc import rotate, rotate_host
+from ..dsp.device import cjit
 from ..multicarrier import symbol_fft
 
 _SEED_REPEAT = 0x4F46_444D_5052_4531
@@ -107,6 +108,7 @@ def _sliding_sum(x, win: int):
     return c[..., win:] - c[..., :-win]
 
 
+@cjit
 def sc_metric(iq, repeat_len: int, num_repeats: int):
     """Vectorized S&C metric over every candidate offset.
 
@@ -184,7 +186,7 @@ def estimate_integer_cfo_bins(iq, fs: float, training: TrainingSymbol,
     if training_start + total > len(iq):
         return 0
     raw = iq[training_start:training_start + total]
-    corrected, _ = rotate(raw, -fractional_cfo_hz, fs)
+    corrected, _ = rotate_host(raw, np.float32(-fractional_cfo_hz), fs)
     freq = np.asarray(symbol_fft(corrected, training.n_fft, training.cp_len))[0]
     known = training_symbol_freq_pattern(training.n_fft)
     # corr(shift) = Σ_bin conj(known[bin])·freq[(bin+shift) mod n] — a circular

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..dsp.device import cjit
+
 
 @lru_cache(maxsize=64)
 def _tone_matrix(fs: float, base_hz: float, tone_spacing_hz: float,
@@ -26,6 +28,7 @@ def _tone_matrix(fs: float, base_hz: float, tone_spacing_hz: float,
     return np.exp(-2j * np.pi * f * i / fs).astype(np.complex64)
 
 
+@cjit
 def compute_waterfall(iq, fs: float, base_hz: float, tone_spacing_hz: float,
                       samples_per_sym: int, num_syms: int, num_tones: int,
                       time_offset: int = 0):

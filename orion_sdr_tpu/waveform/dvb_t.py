@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..multicarrier import CarrierPlan
+from ..dsp.device import cjit
 
 # ── energy dispersal (EN 300 744 §4.3.1) ─────────────────────────────────────
 
@@ -92,6 +93,7 @@ def _point_table(v: int) -> np.ndarray:
     return ((table[i_idx] + 1j * table[q_idx]) * scale).astype(np.complex64)
 
 
+@cjit
 def dvb_t_map_symbols(bits, v: int):
     """(..., n·v) bits → (..., n) Figure-9a constellation points (vectorized
     over whole frames; ref dvb_t_map_symbol)."""
@@ -110,6 +112,7 @@ def dvb_t_map_symbol(bits):
     return complex(np.asarray(dvb_t_map_symbols(np.asarray(bits), v))[0])
 
 
+@cjit
 def dvb_t_demap_symbols(syms, v: int):
     """Hard nearest-point inverse → (..., n·v) bits."""
     table = jnp.asarray(DVB_T_AXIS[v] * axis_scale(v))
@@ -124,6 +127,7 @@ def dvb_t_demap_symbols(syms, v: int):
     return out.astype(jnp.uint8)
 
 
+@cjit
 def dvb_t_soft_llrs(syms, v: int):
     """Max-log LLRs in y0..y(v−1) order, positive ⇒ bit 0 (ref dvb_t_soft_llr),
     vectorized over whole frames → (..., n·v) float32."""
@@ -308,6 +312,7 @@ def dvb_t_2k_plans(guard: str):
     return plans
 
 
+@cjit
 def scattered_map_frame(data_syms, first_phase: int = 0):
     """TX: (..., n_sym, 1512) data constellation points → (..., n_sym, 2048)
     frequency grids with the phase-rotating pilots inserted — one vectorized
@@ -329,6 +334,7 @@ def scattered_map_frame(data_syms, first_phase: int = 0):
     return freq
 
 
+@cjit
 def scattered_extract_frame(freq, first_phase: int = 0):
     """RX: (..., n_sym, 2048) equalized grids → (..., n_sym, 1512) data."""
     g = scattered_grid()
