@@ -38,6 +38,11 @@ from ..waveform.dvb_t_ts import (
 
 INTEGER_CFO_ACCUM_SYMBOLS = 8
 INTEGER_CFO_MAX_BINS = 32
+# The axon relay's worker intermittently crashes on repeated invocations of
+# the large fused receive program (reproducible at batch ≥ 8, sporadic
+# beyond); keep device sub-batches small. Functionally validated at any
+# batch on the CPU mesh backend.
+_MAX_DEVICE_BATCH = 2
 
 
 class DvbTRxError(Exception):
@@ -138,13 +143,10 @@ class DvbTFrameDemod:
         if len(iq) < start + n_symbols * sps:
             raise DvbTRxError(DvbTRxError.INCOMPLETE)
 
-        freq = symbol_fft(iq[start: start + n_symbols * sps], DVB_T_N_FFT,
-                          cp_len, backoff=self.rx_window_backoff,
-                          n_symbols=n_symbols)
-
-        # TPS from the raw bins (differential — needs no channel estimate).
-        freq = np.asarray(freq)
-        cells = freq[:, tps_carrier_bins()]
+        llrs, cells = _receive_frame(iq[start: start + n_symbols * sps],
+                                     n_symbols, cp_len,
+                                     self.rx_window_backoff, vbits)
+        llrs = llrs.reshape(-1)
         tps_word = None
         for blk in range(n_symbols // TPS_SYMBOLS_PER_FRAME):
             bits = tps_decode_frame(
@@ -154,11 +156,6 @@ class DvbTFrameDemod:
                 break
         if tps_word is None:
             raise DvbTRxError(DvbTRxError.TPS_DECODE)
-
-        # Equalize per symbol phase, extract data, Figure-9a soft LLRs.
-        eq = scattered_equalize(freq, backoff=self.rx_window_backoff)
-        data = scattered_extract_frame(eq)
-        llrs = np.asarray(dvb_t_soft_llrs(data, vbits)).reshape(-1)
 
         # Payload FEC decode for the real-payload packets only.
         n_ts = max(-(-payload_len // TS_PAYLOAD_LEN), 1)
@@ -179,3 +176,79 @@ class DvbTFrameDemod:
         if payload is None:
             raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
         return DvbTRxFrame(payload=payload[:payload_len], tps=tps_word)
+
+
+    def decode_batch(self, iq_batch, n_symbols: int, payload_len: int):
+        """Batched receive: (B, n) ALIGNED frame captures → list of
+        DvbTRxFrame. The TPU-native throughput path (BASELINE.json): every
+        device stage batches over frames; the RS outer decode runs through
+        the native batch decoder over all frames' codewords at once. Callers
+        with unknown offsets acquire per-frame (decode) or via the stream
+        driver; this path serves channelized/sliced aligned captures."""
+        params = self.params
+        cp_len = guard_cp_len_2k(params.link.guard)
+        sps = DVB_T_N_FFT + cp_len
+        vbits = BITS_PER_SYMBOL[params.link.constellation]
+        iq_batch = np.asarray(iq_batch)
+        assert iq_batch.ndim == 2
+        if iq_batch.shape[1] < n_symbols * sps:
+            raise DvbTRxError(DvbTRxError.INCOMPLETE)
+        llrs_parts, cells_parts = [], []
+        for i in range(0, iq_batch.shape[0], _MAX_DEVICE_BATCH):
+            sub = iq_batch[i:i + _MAX_DEVICE_BATCH, : n_symbols * sps]
+            l, c = _receive_frame(sub, n_symbols, cp_len,
+                                  self.rx_window_backoff, vbits)
+            llrs_parts.append(l)
+            cells_parts.append(c)
+        llrs = np.concatenate(llrs_parts)
+        cells = np.concatenate(cells_parts)
+        out = []
+        for b in range(iq_batch.shape[0]):
+            tps_word = None
+            for blk in range(n_symbols // TPS_SYMBOLS_PER_FRAME):
+                bits = tps_decode_frame(
+                    cells[b, blk * TPS_SYMBOLS_PER_FRAME:
+                          (blk + 1) * TPS_SYMBOLS_PER_FRAME])
+                tps_word = TpsWord.unpack(bits)
+                if tps_word is not None:
+                    break
+            if tps_word is None:
+                raise DvbTRxError(DvbTRxError.TPS_DECODE)
+            out.append(self._decode_payload(llrs[b].reshape(-1), payload_len,
+                                            tps_word))
+        return out
+
+    def _decode_payload(self, llrs, payload_len: int, tps_word) -> DvbTRxFrame:
+        params = self.params
+        n_ts = max(-(-payload_len // TS_PAYLOAD_LEN), 1)
+        ts_len = n_ts * TS_PACKET_LEN
+        plan = block_plan(ts_len, "none", dvb_t_frame_outer(), params.inner(),
+                          dvb_t_frame_outer_il(), InterleaverKind.none())
+        try:
+            ts, ok = decode_chain(
+                llrs, plan, "none", dvb_t_frame_outer(), params.inner(),
+                dvb_t_frame_outer_il(), InterleaverKind.none(),
+                ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
+        except Exception as e:
+            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE) from e
+        if not ok or len(ts) < ts_len:
+            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
+        ts = ts_energy_disperse(ts[:ts_len])
+        payload = ts_depacketize(ts)
+        if payload is None:
+            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
+        return DvbTRxFrame(payload=payload[:payload_len], tps=tps_word)
+
+
+@cjit
+def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int):
+    """The whole per-frame device program: symbol FFT → per-phase
+    scattered-pilot equalization → data extraction → Figure-9a LLRs, plus the
+    raw TPS cells — ONE jit, two host fetches (the axon relay charges ~100 ms
+    per boundary crossing, so stage-at-a-time hosting dominates otherwise)."""
+    freq = symbol_fft(seg, DVB_T_N_FFT, cp_len, backoff=backoff,
+                      n_symbols=n_symbols)
+    cells = freq[..., jnp.asarray(tps_carrier_bins())]
+    eq = scattered_equalize(freq, backoff=backoff)
+    data = scattered_extract_frame(eq)
+    return dvb_t_soft_llrs(data, vbits), cells

@@ -5,6 +5,7 @@ from .ldpc import (
 from .conv import (
     CONV_CODES, PUNCTURE, tail_bits, conv_encode, conv_encode_punctured,
     punctured_coded_len, depuncture_llrs, viterbi_decode_soft,
+    viterbi_decode_soft_chunked,
 )
 from .galois import (
     GF_EXP, GF_LOG, gf_mul, gf_inv, gf_pow_alpha,

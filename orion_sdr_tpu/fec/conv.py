@@ -182,3 +182,71 @@ def viterbi_decode_soft(coded_llrs, info_bits: int, rate: str = "1/2",
     _, bits_rev = jax.lax.scan(traceback, state0, decs[::-1])
     bits = jnp.moveaxis(bits_rev[::-1], 0, -1)
     return bits[..., :info_bits].astype(jnp.uint8)
+
+
+_CHUNK_STEPS = 1024     # trellis steps per parallel chunk
+_CHUNK_OVERLAP = 96     # ≥ 5·(K−1) convergence margin each side
+
+
+@cjit
+def viterbi_decode_soft_chunked(coded_llrs, info_bits: int, rate: str = "1/2",
+                                code: str = "dvb_k7"):
+    """Overlap-chunked soft Viterbi for LONG streams (the TPU-native form).
+
+    A 90k-step trellis is inherently sequential; chopping it into
+    ``_CHUNK_STEPS``-step chunks with ``_CHUNK_OVERLAP`` warm-up/cool-down
+    margins turns the decode into ONE batched scan over ~1.2k steps — the
+    standard fixed-lag approximation (margin ≫ 5·K ⇒ outputs match the full
+    Viterbi except in pathological near-tie cases; the outer RS/CRC
+    adjudicates regardless). First chunk pins state 0; others start uniform.
+    """
+    K, S, top, _, _, prev, sign0, sign1 = _tables(code)
+    full = depuncture_llrs(coded_llrs, info_bits, rate, code)
+    n_steps = info_bits + tail_bits(code)
+    l0 = full[..., 0::2]
+    l1 = full[..., 1::2]
+    assert l0.ndim == 1, "chunked path takes one long stream"
+
+    C, V = _CHUNK_STEPS, _CHUNK_OVERLAP
+    nchunk = -(-n_steps // C)
+    total = C * nchunk
+    # pad tail with zero LLRs (erasures)
+    l0p = jnp.pad(l0, (V, total - n_steps + V))
+    l1p = jnp.pad(l1, (V, total - n_steps + V))
+    span = C + 2 * V
+    starts = np.arange(nchunk) * C
+    idx = starts[:, None] + np.arange(span)[None, :]
+    c0 = l0p[idx]                       # (nchunk, span)
+    c1 = l1p[idx]
+
+    prev_j = jnp.asarray(prev)
+    s0 = jnp.asarray(sign0)
+    s1 = jnp.asarray(sign1)
+    neg_inf = jnp.float32(-1e30)
+    # chunk 0 starts pinned at state 0; others uniform
+    pm0 = jnp.zeros((nchunk, S), jnp.float32)
+    pm0 = pm0.at[0].set(jnp.full((S,), neg_inf).at[0].set(0.0))
+
+    def acs(pm, ls):
+        la, lb = ls
+        cand = pm[..., prev_j] + s0 * la[..., None, None] + s1 * lb[..., None, None]
+        dec = jnp.argmax(cand, axis=-1)
+        new_pm = jnp.max(cand, axis=-1)
+        new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
+        return new_pm, dec.astype(jnp.uint8)
+
+    lt0 = jnp.moveaxis(c0, -1, 0)       # (span, nchunk)
+    lt1 = jnp.moveaxis(c1, -1, 0)
+    pm, decs = jax.lax.scan(acs, pm0, (lt0, lt1))   # decs: (span, nchunk, S)
+
+    def traceback(state, dec_t):
+        bit = (state >> top) & 1
+        z = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0].astype(jnp.int32)
+        nxt = prev_j[state, z]
+        return nxt, bit
+
+    state0 = jnp.argmax(pm, axis=-1).astype(jnp.int32)   # per chunk
+    _, bits_rev = jax.lax.scan(traceback, state0, decs[::-1])
+    bits = jnp.moveaxis(bits_rev[::-1], 0, -1)           # (nchunk, span)
+    mid = bits[:, V:V + C].reshape(-1)                   # drop the margins
+    return mid[:info_bits].astype(jnp.uint8)

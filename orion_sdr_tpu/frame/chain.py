@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..fec import (
     ldpc_graph, ldpc_encode, ldpc_decode,
     conv_encode_punctured, punctured_coded_len, viterbi_decode_soft,
+    viterbi_decode_soft_chunked,
     block_interleave, block_deinterleave,
     forney_interleave, forney_deinterleave, forney_flush, conv_roundtrip_delay,
     pn_sequence, crc16, crc32,
@@ -348,7 +349,12 @@ def inner_decode(inner: InnerFec, coded_llrs, info_len: int,
         msg, unsat = ldpc_decode(inner.code, jnp.asarray(blocks), 50, ldpc_rule)
         ok = ok and not bool(np.any(np.asarray(unsat) != 0))
         return np.asarray(msg).reshape(-1), ok
-    info = viterbi_decode_soft(llrs, info_len, inner.rate, inner.code)
+    if info_len > 4096:
+        # long stream: overlap-chunked batched trellis (TPU-native form)
+        info = viterbi_decode_soft_chunked(llrs, info_len, inner.rate,
+                                           inner.code)
+    else:
+        info = viterbi_decode_soft(llrs, info_len, inner.rate, inner.code)
     return np.asarray(info), True
 
 

@@ -43,7 +43,6 @@ def _sliding(x, win: int):
     return c[..., win:] - c[..., :-win]
 
 
-@cjit
 def _gamma_phi(iq, n_fft: int, cp_len: int):
     """Single-symbol γ(d), Φ(d) for every valid offset d (vectorized)."""
     z = jnp.asarray(iq)
@@ -54,6 +53,43 @@ def _gamma_phi(iq, n_fft: int, cp_len: int):
     gamma = _sliding(c, cp_len)
     phi = 0.5 * _sliding(e, cp_len)
     return gamma, phi          # valid for d ≤ len − n_fft − cp_len
+
+
+@cjit
+def _gi_metrics(iq, n_fft: int, cp_len: int, search_len: int,
+                rho: float, max_syms: int):
+    """Whole acquisition decision on device; only scalars cross back.
+
+    Returns (argmax of the accumulated ML metric, per-offset single-symbol
+    score at argmax and at its period origin, γ at both) — everything the
+    host-side unwrap rule needs (the relay charges ~100 ms per fetch, so
+    shipping the full γ/Φ vectors home dominates the whole receiver).
+    """
+    g1, p1 = _gamma_phi(iq, n_fft, cp_len)
+    n_valid = g1.shape[-1]
+    period = n_fft + cp_len
+    d = jnp.arange(search_len)
+    gamma = jnp.zeros(search_len, jnp.complex64)
+    phi = jnp.zeros(search_len, jnp.float32)
+    for s in range(max_syms):
+        idx = d + s * period
+        ok = idx <= n_valid - cp_len
+        safe = jnp.clip(idx, 0, n_valid - 1)
+        gamma = gamma + jnp.where(ok, g1[safe], 0)
+        phi = phi + jnp.where(ok, p1[safe], 0.0)
+    metric = jnp.abs(gamma) - rho * phi
+    argmax = jnp.argmax(metric).astype(jnp.int32)
+    origin = argmax - argmax % period
+
+    def single_score(dd):
+        ok = dd <= n_valid - cp_len
+        dd = jnp.clip(dd, 0, n_valid - 1)
+        p = p1[dd]
+        sc = jnp.where(p > 0, jnp.minimum(jnp.abs(g1[dd]) / p, 1.0), 0.0)
+        return jnp.where(ok, sc, 0.0)
+
+    return (argmax, single_score(argmax), single_score(origin),
+            gamma[argmax], phi[argmax], gamma[origin], phi[origin])
 
 
 def dvb_t_gi_sync(iq, n_fft: int, cp_len: int, fs: float, search_len: int,
@@ -67,42 +103,20 @@ def dvb_t_gi_sync(iq, n_fft: int, cp_len: int, fs: float, search_len: int,
         return None
 
     period = n_fft + cp_len
-    g1, p1 = _gamma_phi(iq, n_fft, cp_len)
-    g1 = np.asarray(g1)
-    p1 = np.asarray(p1)
-    n_valid = len(g1)
-
-    max_syms = max(cfg.max_symbols, 1)
-    gamma = np.zeros(search_len, np.complex64)
-    phi = np.zeros(search_len, np.float32)
-    d = np.arange(search_len)
-    for s in range(max_syms):
-        idx = d + s * period
-        ok = idx <= n_valid - cp_len  # window d+s·period .. +n_fft+cp fits
-        safe = np.clip(idx, 0, n_valid - 1)
-        gamma += np.where(ok, g1[safe], 0)
-        phi += np.where(ok, p1[safe], 0.0)
-
-    metric = np.abs(gamma) - cfg.rho * phi
-    argmax = int(np.argmax(metric))
-
-    def single_score(dd: int) -> float:
-        if dd > n_valid - cp_len:
-            return 0.0
-        p = float(p1[dd])
-        return min(float(np.abs(g1[dd])) / p, 1.0) if p > 0 else 0.0
-
+    (argmax, sc_peak, sc_origin, g_peak, p_peak, g_origin, p_origin) = \
+        _gi_metrics(iq, n_fft, cp_len, search_len, cfg.rho,
+                    max(cfg.max_symbols, 1))
+    argmax = int(argmax)
     phase = argmax % period
     origin = argmax - phase
-    best_d = argmax
-    if (cfg.origin_score_ratio > 0.0 and phase != 0
-            and period - phase <= -(-cp_len // 2)
-            and single_score(origin) >=
-            min(max(cfg.origin_score_ratio, 0.0), 1.0) * single_score(argmax)):
-        best_d = origin
-
-    bg, bp = gamma[best_d], float(phi[best_d])
-    score = min(float(np.abs(bg)) / bp, 1.0) if bp > 0 else 0.0
+    use_origin = (cfg.origin_score_ratio > 0.0 and phase != 0
+                  and period - phase <= -(-cp_len // 2)
+                  and float(sc_origin) >= min(max(cfg.origin_score_ratio,
+                                                  0.0), 1.0) * float(sc_peak))
+    best_d = origin if use_origin else argmax
+    bg = complex(g_origin if use_origin else g_peak)
+    bp = float(p_origin if use_origin else p_peak)
+    score = min(abs(bg) / bp, 1.0) if bp > 0 else 0.0
     cfo_hz = -float(np.arctan2(bg.imag, bg.real)) * fs / (2 * np.pi * n_fft)
     return GiSyncResult(start_sample=best_d, cfo_hz=cfo_hz, score=score)
 

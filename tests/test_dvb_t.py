@@ -326,3 +326,16 @@ def test_frame_shaped_window_and_mask_decodes():
     rx = DvbTFrameDemod(params).with_rx_window_backoff(64) \
         .decode(frame.iq, frame.n_symbols, len(payload))
     assert np.array_equal(rx.payload, payload)
+
+
+def test_decode_batch_matches_single():
+    params = DvbTFrameParams(LINK, 1, 9)
+    payload = _payload(500, 20)
+    frame = DvbTFrameMod(params).modulate(payload)
+    d = DvbTFrameDemod(params)
+    outs = d.decode_batch(np.stack([frame.iq] * 3), frame.n_symbols,
+                          len(payload))
+    assert len(outs) == 3
+    for o in outs:
+        assert np.array_equal(o.payload, payload)
+        assert o.tps.cell_id == 9
