@@ -52,7 +52,8 @@ from .codec.ft8 import (
     ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
     ft8_decode_hard, ft4_decode_hard,
 )
-from .codec.ft8_stream import Ft8StreamDecoder, Ft8DecodeResult
+from .codec.ft8_stream import (Ft8StreamDecoder, Ft8DecodeResult,
+                               ft8_decode_windows)
 from .sync.ft8_sync import ft8_sync, ft4_sync
 from . import message
 from .message import (

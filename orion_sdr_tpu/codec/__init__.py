@@ -32,4 +32,7 @@ def __getattr__(name):
     if name == "Ft8DecodeResult":
         from .ft8_stream import Ft8DecodeResult
         return Ft8DecodeResult
+    if name == "ft8_decode_windows":
+        from .ft8_stream import ft8_decode_windows
+        return ft8_decode_windows
     raise AttributeError(name)

@@ -13,6 +13,8 @@ from typing import List
 
 import numpy as np
 
+from typing import List, Optional
+
 from ..message import CallsignHashTable, unpack77, Ft8Message
 from ..modulate.ft8 import (FT8_FRAME_LEN, FT4_FRAME_LEN,
                             FT8_TONE_SPACING_HZ, FT4_TONE_SPACING_HZ)
@@ -91,3 +93,62 @@ class Ft8StreamDecoder:
                     carrier_hz=self.base_hz + cand.freq_bin * spacing,
                     snr_db=cand.score)]
         return []
+
+
+def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
+                       max_hz: float = 3000.0, max_cand: int = 4,
+                       hash_table: Optional[CallsignHashTable] = None):
+    """Batch-decode many 15 s FT8 receive windows (BASELINE.json config 3).
+
+    ``windows``: (B, n) IQ at 12 kHz. The per-window Costas sync runs the
+    vectorized waterfall/score grid; every candidate's 174 LLRs across ALL
+    windows then decode in ONE batched LDPC BP call, and each window keeps
+    its first CRC-passing candidate. Returns a list (len B) of
+    Ft8DecodeResult-or-None.
+    """
+    import jax.numpy as jnp
+    from .ft8 import _decode_llr
+    from . import ft8_ldpc
+    from ..message import unpack77 as _unpack
+
+    windows = np.asarray(windows, dtype=np.complex64)
+    assert windows.ndim == 2
+    ht = hash_table if hash_table is not None else CallsignHashTable()
+    spacing = FT8_TONE_SPACING_HZ
+
+    cands_per_win = []
+    all_llrs = []
+    for w in windows:
+        cands = ft8_sync(w, fs, base_hz, max(max_hz + spacing,
+                                             base_hz + spacing),
+                         0, 0, max_cand)
+        cands_per_win.append(cands)
+        all_llrs.extend(c.llr for c in cands)
+    if not all_llrs:
+        return [None] * len(windows)
+
+    # one batched BP over every candidate of every window
+    llr_mat = np.stack(all_llrs).astype(np.float32)
+    bits, errs = ft8_ldpc.ldpc_decode_soft(llr_mat)
+    bits = np.asarray(bits)
+    errs = np.asarray(errs)
+
+    from .ft8_crc import ft8_check_crc
+    results: List[Optional[Ft8DecodeResult]] = []
+    k = 0
+    for cands in cands_per_win:
+        hit = None
+        for c in cands:
+            if hit is None and errs[k] == 0:
+                a91 = np.packbits(np.concatenate(
+                    [bits[k].astype(np.uint8), np.zeros(5, np.uint8)]))
+                if ft8_check_crc(a91):
+                    payload = a91[:10].copy()
+                    payload[9] &= 0xF8
+                    hit = Ft8DecodeResult(
+                        message=_unpack(payload, ht),
+                        carrier_hz=base_hz + c.freq_bin * spacing,
+                        snr_db=c.score)
+            k += 1
+        results.append(hit)
+    return results

@@ -245,3 +245,23 @@ def test_ft8_stream_decoder_hash_table_persists():
     # lower-level check: hash resolution through the decoder's table
     msg = unpack77(p2, dec.hash_table)
     assert msg.call_to == "<PJ4/K1ABC>"
+
+
+def test_ft8_decode_windows_batched():
+    """BASELINE config 3: many 15 s windows, one batched LDPC pass."""
+    from orion_sdr_tpu.codec.ft8_stream import ft8_decode_windows
+    ht = CallsignHashTable()
+    calls = ("KA1ABC", "W9XYZ", "K5TPU")
+    rng = np.random.default_rng(31)
+    wins = []
+    for i, c in enumerate(calls):
+        p = pack77(Standard("CQ", c, "FN42"), ht)
+        iq = np.asarray(ft8_mod(ft8_encode(p), FS, base_hz=1000.0 + i * 25))
+        iq = iq + _awgn(rng, len(iq), snr_to_noise_power(-12.0))
+        wins.append(iq)
+    # one empty window: must come back None, not a false decode
+    wins.append(_awgn(rng, len(wins[0]), snr_to_noise_power(-12.0)))
+    out = ft8_decode_windows(np.stack(wins), FS, 950.0, 1150.0,
+                             hash_table=ht)
+    assert [o.message.call_de if o else None for o in out] == \
+        list(calls) + [None]
