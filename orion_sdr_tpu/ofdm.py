@@ -104,6 +104,20 @@ class OfdmConfig:
     def grid(self) -> CarrierGrid:
         return CarrierGrid(self.carrier_plan)
 
+    def validate(self) -> None:
+        """Raise on an invalid config (ref modulate/ofdm.rs:121-136)."""
+        self.carrier_plan.validate()
+        if self.fs <= 0.0:
+            raise ValueError("fs must be positive")
+        if self.constellation not in BITS_PER_SYMBOL:
+            raise ValueError(f"unknown constellation {self.constellation!r}")
+        if not (0 <= self.rx_window_backoff <= self.carrier_plan.cp_len):
+            raise ValueError("rx_window_backoff must be within the cyclic prefix")
+        if self.tx_lowpass is not None and not self.tx_lowpass.transition_fits(
+                self.carrier_plan.n_fft,
+                self.carrier_plan.occupied_half_carriers()):
+            raise ValueError("tx_lowpass transition does not fit the null band")
+
 
 # ── TX ───────────────────────────────────────────────────────────────────────
 

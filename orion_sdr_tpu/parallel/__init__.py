@@ -3,4 +3,5 @@ from .sharding import (
     shard_channels,
     fir_overlap_save_sharded,
     fm_demod_sharded,
+    ofdm_soft_demap_sharded,
 )

@@ -110,3 +110,44 @@ def fm_demod_sharded(iq, taps, mesh: Mesh, fs: float, deviation_hz: float):
     f = jax.shard_map(block_fn, mesh=mesh,
                       in_specs=P("ch", "t"), out_specs=P("ch", "t"))
     return f(iq)
+
+
+def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
+                            mesh: Mesh):
+    """Symbol-aligned time + channel sharding of the OFDM soft demap.
+
+    OFDM receive is embarrassingly parallel once splits land on symbol
+    boundaries (SURVEY §5: "symbol-aligned splits for OFDM so each device
+    owns whole symbols" — no halo at all, unlike the FIR path): shard
+    (channels, time) over the mesh, each device FFT-demaps its own whole
+    symbols, outputs concatenate. ``iq``: (channels, n_symbols·sps).
+    """
+    from ..multicarrier import CarrierGrid, symbol_fft, grid_extract
+    from ..constellation import soft_llr
+    from ..ofdm import zf_equalize
+
+    g = CarrierGrid(cfg.carrier_plan)
+    sps = g.n_fft + g.cp_len
+    iq = np.asarray(iq)
+    ch, n = iq.shape
+    assert n == n_symbols * sps
+    t_dim = mesh.devices.shape[1]
+    assert n_symbols % t_dim == 0, "symbols must split evenly across t"
+    local_syms = n_symbols // t_dim
+
+    def local(z):
+        freq = symbol_fft(z, g.n_fft, g.cp_len,
+                          backoff=cfg.rx_window_backoff,
+                          n_symbols=local_syms)
+        syms = grid_extract(g, freq)
+        flat = syms.reshape(syms.shape[:-2] + (-1,))
+        return soft_llr(flat, constellation)
+
+    shard_fn = jax.shard_map(local, mesh=mesh,
+                             in_specs=P("ch", "t"), out_specs=P("ch", "t"))
+    sh = NamedSharding(mesh, P("ch", "t"))
+    # real/imag split at the boundary (axon: no complex transfers)
+    re = jax.device_put(iq.real.astype(np.float32), sh)
+    im = jax.device_put(iq.imag.astype(np.float32), sh)
+    out = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
+    return np.asarray(out)

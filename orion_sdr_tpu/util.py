@@ -156,6 +156,18 @@ def awgn(rng: np.random.Generator, shape, scale: float, complex_: bool = True):
     return (scale * rng.standard_normal(shape)).astype(np.float32)
 
 
+def measure(fn, n_samples: int, repeats: int = 1):
+    """Wall-clock throughput of ``fn`` processing ``n_samples`` per call:
+    returns (Msps, seconds) — the reference's util::measure (util.rs:62-71),
+    used by the tier-3 throughput tests."""
+    import time
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        fn()
+    dt = time.perf_counter() - t0
+    return (n_samples * repeats / dt / 1e6 if dt > 0 else float("inf")), dt
+
+
 def atan2_approx(y, x):
     """Fast atan2: 5th-order minimax polynomial, max err ≈ 0.0005 rad
     (ref: util.rs:302-322). Vectorized; used by the FM/PM discriminators."""

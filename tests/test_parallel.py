@@ -65,3 +65,17 @@ class TestSharding:
         prod = y * np.conj(prev)
         ref = np.arctan2(prod.imag, prod.real) / 2500.0
         np.testing.assert_allclose(out[:, 1:], ref[:, 1:], atol=1e-4)
+
+    def test_ofdm_soft_demap_sharded_matches(self, mesh8):
+        # symbol-aligned time+channel sharding: no halo, exact equivalence
+        from orion_sdr_tpu.frame.demodulator import soft_demap
+        from orion_sdr_tpu.parallel import ofdm_soft_demap_sharded
+        plan = sdr.CarrierPlan(128, 32).with_contiguous_data(edge_guard=8)
+        cfg = sdr.OfdmConfig(plan, fs=1e6)
+        rng = np.random.default_rng(3)
+        n_sym = 16
+        iq = (rng.standard_normal((2, n_sym * 160)) +
+              1j * rng.standard_normal((2, n_sym * 160))).astype(np.complex64)
+        ref = soft_demap(cfg, "qpsk", iq, n_sym)
+        out = ofdm_soft_demap_sharded(cfg, "qpsk", iq, n_sym, mesh8)
+        np.testing.assert_allclose(out, ref, atol=1e-4)
