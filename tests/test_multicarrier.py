@@ -188,3 +188,7 @@ class TestWindowMask:
         assert d_guard < d_base - 10
         assert d_taper < d_guard - 10
         assert d_all < d_taper - 20
+        # absolute stacked floor (reference: −115.6 dB at its geometry,
+        # docs/performance.md:595-616; this smaller 256-FFT setup reaches
+        # ≈ −91 dB with a 65-tap mask)
+        assert d_all < -85.0
