@@ -205,27 +205,31 @@ def viterbi_decode_soft_chunked(coded_llrs, info_bits: int, rate: str = "1/2",
     n_steps = info_bits + tail_bits(code)
     l0 = full[..., 0::2]
     l1 = full[..., 1::2]
-    assert l0.ndim == 1, "chunked path takes one long stream"
+    assert l0.ndim in (1, 2), "chunked path takes streams, optionally batched"
+    batched = l0.ndim == 2
+    if not batched:
+        l0, l1 = l0[None], l1[None]
+    nb = l0.shape[0]
 
     C, V = _CHUNK_STEPS, _CHUNK_OVERLAP
     nchunk = -(-n_steps // C)
     total = C * nchunk
     # pad tail with zero LLRs (erasures)
-    l0p = jnp.pad(l0, (V, total - n_steps + V))
-    l1p = jnp.pad(l1, (V, total - n_steps + V))
+    l0p = jnp.pad(l0, ((0, 0), (V, total - n_steps + V)))
+    l1p = jnp.pad(l1, ((0, 0), (V, total - n_steps + V)))
     span = C + 2 * V
     starts = np.arange(nchunk) * C
     idx = starts[:, None] + np.arange(span)[None, :]
-    c0 = l0p[idx]                       # (nchunk, span)
-    c1 = l1p[idx]
+    c0 = l0p[:, idx]                    # (nb, nchunk, span)
+    c1 = l1p[:, idx]
 
     prev_j = jnp.asarray(prev)
     s0 = jnp.asarray(sign0)
     s1 = jnp.asarray(sign1)
     neg_inf = jnp.float32(-1e30)
     # chunk 0 starts pinned at state 0; others uniform
-    pm0 = jnp.zeros((nchunk, S), jnp.float32)
-    pm0 = pm0.at[0].set(jnp.full((S,), neg_inf).at[0].set(0.0))
+    pm0 = jnp.zeros((nb, nchunk, S), jnp.float32)
+    pm0 = pm0.at[:, 0].set(jnp.full((S,), neg_inf).at[0].set(0.0))
 
     def acs(pm, ls):
         la, lb = ls
@@ -235,9 +239,9 @@ def viterbi_decode_soft_chunked(coded_llrs, info_bits: int, rate: str = "1/2",
         new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
         return new_pm, dec.astype(jnp.uint8)
 
-    lt0 = jnp.moveaxis(c0, -1, 0)       # (span, nchunk)
+    lt0 = jnp.moveaxis(c0, -1, 0)       # (span, nb, nchunk)
     lt1 = jnp.moveaxis(c1, -1, 0)
-    pm, decs = jax.lax.scan(acs, pm0, (lt0, lt1))   # decs: (span, nchunk, S)
+    pm, decs = jax.lax.scan(acs, pm0, (lt0, lt1))   # decs: (span, nb, nchunk, S)
 
     def traceback(state, dec_t):
         bit = (state >> top) & 1
@@ -247,6 +251,7 @@ def viterbi_decode_soft_chunked(coded_llrs, info_bits: int, rate: str = "1/2",
 
     state0 = jnp.argmax(pm, axis=-1).astype(jnp.int32)   # per chunk
     _, bits_rev = jax.lax.scan(traceback, state0, decs[::-1])
-    bits = jnp.moveaxis(bits_rev[::-1], 0, -1)           # (nchunk, span)
-    mid = bits[:, V:V + C].reshape(-1)                   # drop the margins
-    return mid[:info_bits].astype(jnp.uint8)
+    bits = jnp.moveaxis(bits_rev[::-1], 0, -1)           # (nb, nchunk, span)
+    mid = bits[:, :, V:V + C].reshape(nb, -1)            # drop the margins
+    out = mid[:, :info_bits].astype(jnp.uint8)
+    return out if batched else out[0]

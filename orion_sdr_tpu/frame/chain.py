@@ -385,6 +385,106 @@ def outer_decode(outer: OuterFec, coded_bits):
         bool(ok.all()) and len(byts) % n == 0
 
 
+def inner_decode_batch(inner: InnerFec, coded_llrs_mat, info_len: int,
+                       ldpc_rule: str = "sum_product"):
+    """(B, L) LLRs → ((B, info) bits, (B,) ok): ALL frames' FEC blocks decode
+    in ONE device call (batched BP / batched trellis)."""
+    llrs = np.asarray(coded_llrs_mat, np.float32)
+    nb = llrs.shape[0]
+    if inner.kind == "none":
+        return (llrs <= 0.0).astype(np.uint8), np.ones(nb, bool)
+    if inner.kind == "ldpc":
+        g = ldpc_graph(inner.code)
+        n_full = llrs.shape[1] // g.n
+        len_ok = n_full * g.n == llrs.shape[1]
+        blocks = llrs[:, : n_full * g.n].reshape(nb * n_full, g.n)
+        rms = np.sqrt(np.mean(blocks ** 2, axis=-1, keepdims=True))
+        blocks = blocks * (4.0 / np.maximum(rms, 1e-9))
+        msg, unsat = ldpc_decode(inner.code, jnp.asarray(blocks), 50, ldpc_rule)
+        ok = len_ok & (np.asarray(unsat).reshape(nb, n_full) == 0).all(axis=1)
+        return np.asarray(msg).reshape(nb, -1), ok
+    if info_len > 4096:
+        info = viterbi_decode_soft_chunked(llrs, info_len, inner.rate,
+                                           inner.code)
+    else:
+        info = viterbi_decode_soft(llrs, info_len, inner.rate, inner.code)
+    return np.asarray(info), np.ones(nb, bool)
+
+
+def outer_decode_batch(outer: OuterFec, coded_bits_mat):
+    """(B, L) bits → ((B, msg) bits, (B,) ok): all frames' codewords run
+    through one batch BM+Chien+Forney pass (native C++ when available)."""
+    bits = np.asarray(coded_bits_mat, np.uint8)
+    nb, nbits = bits.shape
+    if outer.kind == "none":
+        return bits.copy(), np.ones(nb, bool)
+    if outer.kind == "bch":
+        code = shortened_bch_for(outer.t)
+        n = code.n
+        n_full = nbits // n
+        if n_full == 0:
+            return np.zeros((nb, 0), np.uint8), np.zeros(nb, bool)
+        blocks = bits[:, : n_full * n].reshape(nb * n_full, n)
+        msg, ok = code.decode_batch(blocks)
+        ok = ok.reshape(nb, n_full).all(axis=1) & (nbits % n == 0)
+        return msg.reshape(nb, -1), ok
+    rs = rs_for(outer.n, outer.n_parity)
+    byts = np.packbits(bits, axis=1)
+    n = rs.n
+    n_full = byts.shape[1] // n
+    if n_full == 0:
+        return np.zeros((nb, 0), np.uint8), np.zeros(nb, bool)
+    blocks = byts[:, : n_full * n].reshape(nb * n_full, n)
+    msg, ok = rs.decode_batch(blocks)
+    ok = ok.reshape(nb, n_full).all(axis=1) & (byts.shape[1] % n == 0)
+    return np.unpackbits(msg.reshape(nb, -1), axis=1), ok
+
+
+def decode_chain_batch(coded_llrs_mat, plan: BlockPlan, crc: str,
+                       outer: OuterFec, inner: InnerFec,
+                       outer_il: InterleaverKind, inner_il: InterleaverKind,
+                       scrambler: ScramblerKind, scrambler_pos: str,
+                       per_frame_seeds, ldpc_rule: str = "sum_product"):
+    """decode_chain over B same-plan frames at once → (list of byte arrays
+    or None, (B,) ok). The device FEC stages batch across frames (the
+    whole point: one BP / one trellis scan instead of B relay round-trips);
+    the byte-domain stages (PN, interleavers, CRC) loop on host."""
+    llrs = np.asarray(coded_llrs_mat, np.float32)[:, : plan.coded_bits]
+    nb = llrs.shape[0]
+    seeds = [int(s) for s in per_frame_seeds]
+    assert len(seeds) == nb
+    pre = []
+    for b in range(nb):
+        row = llrs[b]
+        if scrambler_pos == SCRAMBLER_AFTER_INNER and scrambler.kind != "none":
+            row = apply_pn_to_llrs(scrambler, seeds[b], row)
+        pre.append(deinterleave_llrs(inner_il, row)[: plan.inner_coded_bits])
+    inner_bits, inner_ok = inner_decode_batch(inner, np.stack(pre),
+                                              plan.outer_il_bits, ldpc_rule)
+    inner_bits = inner_bits[:, : plan.outer_il_bits]
+    outer_de = np.stack([
+        deinterleave_bits(outer_il, row)[: plan.outer_coded_bits]
+        for row in inner_bits])
+    framed_bits, outer_ok = outer_decode_batch(outer, outer_de)
+    datas, oks = [], np.zeros(nb, bool)
+    for b in range(nb):
+        fb = framed_bits[b][: plan.framed_bytes * 8]
+        if len(fb) < plan.framed_bytes * 8:
+            datas.append(None)
+            continue
+        framed = bits_to_bytes(fb)
+        if scrambler_pos == SCRAMBLER_BEFORE_OUTER:
+            framed = scramble_bytes(scrambler, seeds[b], framed)
+        stripped = check_and_strip_crc(crc, framed)
+        if stripped is None:
+            datas.append(None)
+            continue
+        data, crc_ok = stripped
+        datas.append(data)
+        oks[b] = bool(crc_ok) and bool(inner_ok[b]) and bool(outer_ok[b])
+    return datas, oks
+
+
 def decode_chain(coded_llrs, plan: BlockPlan, crc: str, outer: OuterFec,
                  inner: InnerFec, outer_il: InterleaverKind,
                  inner_il: InterleaverKind, scrambler: ScramblerKind,

@@ -24,7 +24,7 @@ from ..sync.ofdm_sync import OfdmPreamble, ofdm_sync
 from .types import (FramePacket, FrameMetadata, McsTable, OuterFec, InnerFec,
                     InterleaverKind, ScramblerKind, RxError, header_has_block,
                     SCRAMBLER_BEFORE_OUTER)
-from .chain import block_plan, decode_chain
+from .chain import block_plan, decode_chain, decode_chain_batch
 from .modulator import (HEADER_FIELD_BYTES, HEADER_CONSTELLATION, HEADER_LDPC,
                         header_block_plan, symbols_for_coded_bits)
 
@@ -54,6 +54,24 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
     syms = grid_extract(g, freq)
     flat = syms.reshape(syms.shape[:-2] + (-1,))
     return soft_llr(flat, constellation).astype(jnp.float32)
+
+
+# Sub-batch cap for fused device programs: the axon relay worker is unstable
+# on repeated large fused programs at batch ≥ 8 (CLAUDE.md); 4 keeps the
+# whole-frame demap well under that while amortizing the boundary cost.
+_MAX_DEVICE_BATCH = 4
+
+
+def _soft_demap_subbatched(cfg: OfdmConfig, constellation: str, iq_batch,
+                           n_symbols: int) -> Optional[np.ndarray]:
+    parts = []
+    for i in range(0, iq_batch.shape[0], _MAX_DEVICE_BATCH):
+        p = soft_demap(cfg, constellation, iq_batch[i:i + _MAX_DEVICE_BATCH],
+                       n_symbols)
+        if p is None:
+            return None
+        parts.append(np.asarray(p))
+    return np.concatenate(parts)
 
 
 def decode_frame_body(cfg: OfdmConfig, mcs_table: McsTable, iq,
@@ -131,6 +149,89 @@ class OfdmFrameDemod:
         except _Incomplete:
             raise RxError(RxError.MALFORMED_HEADER) from None
         return packet
+
+    def decode_batch(self, iq_batch) -> List[Union[FramePacket, RxError]]:
+        """Batched decode of B ALIGNED frame captures (iq[b, 0] = first
+        post-preamble sample, flat channel) → per-frame FramePacket or
+        RxError, in order.
+
+        The TPU-native throughput path the one-frame-per-call reference
+        (demodulate/ofdm_frame.rs:616-646) has no analogue for: one device
+        program demaps every header, ONE batched LDPC BP decodes them all,
+        then frames group by (mcs_index, payload_len) and each group's
+        payload demap + FEC chain runs batched across the group.
+        """
+        cfg = self.cfg
+        iq_batch = np.asarray(iq_batch)
+        assert iq_batch.ndim == 2
+        n_frames = iq_batch.shape[0]
+        sps = cfg.carrier_plan.n_fft + cfg.carrier_plan.cp_len
+        results: List[Union[FramePacket, RxError, None]] = [None] * n_frames
+
+        hplan = header_block_plan(cfg)
+        n_sym_h = symbols_for_coded_bits(cfg, HEADER_CONSTELLATION,
+                                         hplan.coded_bits)
+        hllrs = _soft_demap_subbatched(cfg, HEADER_CONSTELLATION, iq_batch,
+                                       n_sym_h)
+        if hllrs is None:
+            raise RxError(RxError.MALFORMED_HEADER)
+        fields, hok = decode_chain_batch(
+            hllrs, hplan, cfg.header_crc, OuterFec.none(),
+            InnerFec.ldpc(HEADER_LDPC), InterleaverKind.none(),
+            InterleaverKind.none(), ScramblerKind.none(),
+            SCRAMBLER_BEFORE_OUTER, [0] * n_frames, ldpc_rule="sum_product")
+
+        headers = [None] * n_frames   # (mcs_index, payload_len, seq, flags, seed)
+        for b in range(n_frames):
+            f = fields[b]
+            if not hok[b] or f is None:
+                results[b] = RxError(RxError.HEADER_CRC_MISMATCH)
+            elif len(f) < HEADER_FIELD_BYTES:
+                results[b] = RxError(RxError.MALFORMED_HEADER)
+            else:
+                headers[b] = (int(f[0]),
+                              int.from_bytes(bytes(f[1:5]), "big"),
+                              int.from_bytes(bytes(f[5:9]), "big"),
+                              int(f[9]),
+                              int.from_bytes(bytes(f[10:14]), "big"))
+
+        cursor = n_sym_h * sps
+        groups: dict = {}
+        for b, h in enumerate(headers):
+            if h is None:
+                continue
+            if self.mcs_table.get(h[0]) is None:
+                results[b] = RxError(RxError.MALFORMED_HEADER)
+                continue
+            groups.setdefault((h[0], h[1]), []).append(b)
+
+        for (mcs_index, payload_len), idxs in groups.items():
+            mcs = self.mcs_table.get(mcs_index)
+            pplan = block_plan(payload_len, cfg.payload_crc, mcs.outer_fec,
+                               mcs.inner_fec, cfg.outer_interleaver,
+                               cfg.inner_interleaver)
+            n_sym = symbols_for_coded_bits(cfg, mcs.constellation,
+                                           pplan.coded_bits)
+            llr = _soft_demap_subbatched(cfg, mcs.constellation,
+                                         iq_batch[idxs, cursor:], n_sym)
+            if llr is None:
+                for b in idxs:
+                    results[b] = RxError(RxError.MALFORMED_HEADER)
+                continue
+            datas, pok = decode_chain_batch(
+                llr, pplan, cfg.payload_crc, mcs.outer_fec, mcs.inner_fec,
+                cfg.outer_interleaver, cfg.inner_interleaver, cfg.scrambler,
+                cfg.scrambler_pos, [headers[b][4] for b in idxs],
+                ldpc_rule=cfg.ldpc_decode_rule)
+            for j, b in enumerate(idxs):
+                if not pok[j] or datas[j] is None:
+                    results[b] = RxError(RxError.CRC_MISMATCH)
+                    continue
+                h = headers[b]
+                meta = FrameMetadata(sequence_num=h[2], mcs_index=h[0],
+                                     flags=h[3])
+                results[b] = FramePacket(meta, datas[j][:payload_len])
+        return results
 
 
 @dataclass

@@ -170,6 +170,57 @@ def test_frame_rs_conv_interleaved():
     assert np.array_equal(out.payload, payload)
 
 
+def test_frame_decode_batch_mixed_mcs():
+    """Batched aligned receive: mixed MCS/payload groups + a corrupted-header
+    frame must come back as per-frame results in order."""
+    cfg, pre = _link()
+    cfg = cfg.with_scrambler(ScramblerKind.additive(0b110, 7, 0, per_frame=True))
+    table = McsTable.default_ladder()
+    mod = OfdmFrameMod(cfg, table, pre)
+    specs = [(3, 1, 64, 101), (4, 1, 64, 202), (5, 3, 120, 303)]
+    payloads = [_payload(n, 20 + i) for i, (_, _, n, _) in enumerate(specs)]
+    bodies = [mod.modulate_frame(
+        FramePacket(FrameMetadata(seq, mcs), p), seed)[pre.total_len():]
+        for (seq, mcs, _, seed), p in zip(specs, payloads)]
+    rng = np.random.default_rng(0xBA7C4)
+    bad = bodies[0].copy()
+    bad[:2000] = (rng.standard_normal(2000) + 1j * rng.standard_normal(2000)
+                  ).astype(np.complex64)   # header trashed
+    rows = bodies + [bad]
+    n = max(len(b) for b in rows)
+    batch = np.zeros((len(rows), n), np.complex64)
+    for i, b in enumerate(rows):
+        sig = float(np.mean(np.abs(b) ** 2))
+        # 0.02 noise scale (~17 dB): above the qam64 ladder step's waterline
+        noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                 ).astype(np.complex64) * np.sqrt(sig * 0.02 / 2)
+        batch[i, :len(b)] = b
+        batch[i] += noise
+    out = OfdmFrameDemod(cfg, table).decode_batch(batch)
+    for i, ((seq, mcs, _, _), p) in enumerate(zip(specs, payloads)):
+        assert isinstance(out[i], FramePacket), out[i]
+        assert np.array_equal(out[i].payload, p)
+        assert out[i].metadata.sequence_num == seq
+        assert out[i].metadata.mcs_index == mcs
+    assert isinstance(out[3], RxError)
+
+
+def test_frame_decode_batch_rs_conv_matches_single():
+    cfg, pre = _link()
+    cfg = cfg.with_outer_interleaver(InterleaverKind.convolutional(12, 17)) \
+             .with_scrambler(ScramblerKind.dvb_t_energy_dispersal())
+    table = McsTable([Mcs("qpsk", InnerFec.convolutional("2/3", "dvb_k7"),
+                          OuterFec.reed_solomon(204, 16))])
+    mod = OfdmFrameMod(cfg, table, pre)
+    payloads = [_payload(300, 30), _payload(300, 31)]
+    bodies = [mod.modulate_frame(
+        FramePacket(FrameMetadata(i, 0), p), 0)[pre.total_len():]
+        for i, p in enumerate(payloads)]
+    out = OfdmFrameDemod(cfg, table).decode_batch(np.stack(bodies))
+    for got, p in zip(out, payloads):
+        assert isinstance(got, FramePacket) and np.array_equal(got.payload, p)
+
+
 def test_frame_header_crc_mismatch_on_garbage():
     cfg, pre = _link()
     table = McsTable.default_ladder()
