@@ -156,6 +156,36 @@ def awgn(rng: np.random.Generator, shape, scale: float, complex_: bool = True):
     return (scale * rng.standard_normal(shape)).astype(np.float32)
 
 
+class trace:
+    """Profiling context: ``with util.trace("/tmp/prof"): run()`` captures a
+    ``jax.profiler`` trace (TensorBoard/Perfetto) of every device program in
+    the block — the observability story the reference lacked (SURVEY §5:
+    tracing absent; only util.rs:62's wall-clock measure). Falls back to a
+    no-op if the profiler is unavailable on the current backend."""
+
+    def __init__(self, log_dir: str) -> None:
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:
+            self._active = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False
+
+
 def measure(fn, n_samples: int, repeats: int = 1):
     """Wall-clock throughput of ``fn`` processing ``n_samples`` per call:
     returns (Msps, seconds) — the reference's util::measure (util.rs:62-71),

@@ -103,3 +103,14 @@ def test_morse_feeds_cw_chain():
     # envelope recovered: key-down regions carry energy
     assert np.asarray(iq).shape[-1] == len(env)
     assert float(np.max(audio)) > 0.1
+
+
+def test_trace_profiler_context(tmp_path):
+    # SURVEY §5: tracing via jax.profiler; must capture device programs
+    # and be a safe no-op if the profiler is unavailable.
+    import os
+    with sdr.trace(str(tmp_path)):
+        y, _ = sdr.dsp.rotate(np.ones(1024, np.complex64), 100.0, 8000.0)
+        float(np.asarray(y)[0].real)
+    files = [f for r, _, fs in os.walk(tmp_path) for f in fs]
+    assert files, "profiler trace produced no files"
