@@ -181,40 +181,90 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     return bp_decode(ldpc_graph(name), llr, max_iter, rule, alpha)
 
 
+@lru_cache(maxsize=None)
+def _edge_matrices(graph_key: str):
+    """Constant one-hot operators turning BP's gathers/scatters into MXU
+    matmuls (the TPU-shaped form — scatter-adds are VPU-serial on TPU):
+      S (E, N+1): scatter edges→bits (bit_totals = ext_flat @ S)
+      Sᵀ (N+1, E): gather bits→edges (msg = total @ Sᵀ, reshaped (m, D))
+      C (N+1, m): per-check bit-sum for the syndrome (exact in f32: row sums
+      ≤ max_deg ≪ 2²⁴).
+    Keyed by graph name (LdpcGraph isn't hashable by content)."""
+    g = _GRAPH_BY_KEY[graph_key]
+    E = g.m * g.max_deg
+    flat_bits = g.check_bits.reshape(-1)
+    S = np.zeros((E, g.n + 1), np.float32)
+    S[np.arange(E), flat_bits] = 1.0
+    # dummy column n absorbs padded lanes; exclude it from the syndrome
+    C = np.zeros((g.n + 1, g.m), np.float32)
+    for e in range(E):
+        b = flat_bits[e]
+        if b < g.n and g.check_mask.reshape(-1)[e]:
+            C[b, e // g.max_deg] = 1.0
+    return S, S.T.copy(), C
+
+
+_GRAPH_BY_KEY: dict = {}
+
+
+def _graph_key(g: LdpcGraph) -> str:
+    key = f"{g.name}:{g.n}:{g.k}"
+    _GRAPH_BY_KEY.setdefault(key, g)
+    return key
+
+
+def _loo_prod(t):
+    """Leave-one-out product along the last axis via exclusive prefix/suffix
+    cumulative products — O(D) instead of the O(D²) stack-of-reductions."""
+    ones = jnp.ones_like(t[..., :1])
+    left = jnp.concatenate([ones, jnp.cumprod(t[..., :-1], axis=-1)], axis=-1)
+    right = jnp.concatenate(
+        [jnp.cumprod(t[..., :0:-1], axis=-1)[..., ::-1], ones], axis=-1)
+    return left * right
+
+
 @cjit
 def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
               alpha: float = 0.75):
     """BP over any padded Tanner graph (shared by the staircase family and
-    the FT8 LDPC(174,91) in codec/ft8_ldpc.py). See ldpc_decode."""
+    the FT8 LDPC(174,91) in codec/ft8_ldpc.py). See ldpc_decode.
+
+    Early exit: iteration stops once EVERY codeword in the batch has hit a
+    zero-syndrome snapshot (the reference's per-codeword early return,
+    ldpc_codes.rs:357-366, lifted to the batch) — typical operating points
+    converge in <10 iterations, so this is worth ~5× over a fixed 50."""
     llr = jnp.asarray(llr, dtype=jnp.float32)
-    cb = jnp.asarray(g.check_bits)                 # (m, D)
     mask = jnp.asarray(g.check_mask)               # (m, D)
     D = g.max_deg
     lead = llr.shape[:-1]
+    S_np, St_np, C_np = _edge_matrices(_graph_key(g))
+    S = jnp.asarray(S_np)                          # (E, N+1)
+    St = jnp.asarray(St_np)                        # (N+1, E)
+    C = jnp.asarray(C_np)                          # (N+1, m)
+    hi = jax.lax.Precision.HIGHEST
 
     def pad(x):
         return jnp.concatenate([x, jnp.zeros(lead + (1,), x.dtype)], axis=-1)
 
+    def syndrome(hard):
+        s = jnp.matmul(hard.astype(jnp.float32), C[:g.n], precision=hi)
+        return jnp.sum(jnp.rint(s).astype(jnp.int32) & 1, axis=-1)
+
+    def gather_edges(total_p):
+        e = jnp.matmul(total_p, St, precision=hi)
+        return e.reshape(lead + (g.m, D))
+
     llr_p = pad(llr)
     hard0 = (llr <= 0.0).astype(jnp.int32)
-    unsat0 = _syndrome_weight(g, pad(hard0.astype(jnp.float32)).astype(jnp.int32))
+    unsat0 = syndrome(hard0)
 
     # edge messages live as (..., m, D); padded lanes carry +inf-ish neutral
-    msg0 = jnp.where(mask, llr_p[..., cb], 1e30)
-
-    # flat bit index per edge for the variable-node segment sums
-    flat_bits = g.check_bits.reshape(-1)           # (m*D,)
+    msg0 = jnp.where(mask, gather_edges(llr_p), 1e30)
 
     def check_update(msg):
         if rule == "sum_product":
             t = jnp.where(mask, _fast_tanh(msg / 2.0), 1.0)
-            # leave-one-out product over the tiny degree axis
-            loo = []
-            for i in range(D):
-                idx = [j for j in range(D) if j != i]
-                loo.append(jnp.prod(t[..., idx], axis=-1))
-            prod = jnp.stack(loo, axis=-1)
-            ext = 2.0 * _fast_atanh(jnp.clip(prod, -1.0, 1.0))
+            ext = 2.0 * _fast_atanh(jnp.clip(_loo_prod(t), -1.0, 1.0))
         else:
             a = jnp.where(mask, jnp.abs(msg), jnp.inf)
             sign = jnp.where(mask & (msg < 0), -1.0, 1.0)
@@ -230,32 +280,26 @@ def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
             ext = scale * s_other * mag
         return jnp.where(mask, ext, 0.0)
 
-    def bit_totals(ext):
-        """Sum of extrinsic messages per bit: (..., N+1)."""
-        flat = ext.reshape(lead + (-1,))
-        if lead:
-            flat2 = flat.reshape((-1, flat.shape[-1]))
-            out = jax.vmap(lambda f: jax.ops.segment_sum(
-                f, flat_bits, num_segments=g.n + 1))(flat2)
-            return out.reshape(lead + (g.n + 1,))
-        return jax.ops.segment_sum(flat, flat_bits, num_segments=g.n + 1)
-
-    def body(carry, _):
-        msg, best, min_unsat = carry
+    def body(carry):
+        i, msg, best, min_unsat = carry
         ext = check_update(msg)
-        sums = bit_totals(ext)                       # (..., N+1)
-        total = llr_p + sums
+        sums = jnp.matmul(ext.reshape(lead + (-1,)), S, precision=hi)
+        total = llr_p + sums                         # (..., N+1)
         hard = (total[..., :g.n] <= 0.0).astype(jnp.int32)
-        unsat = _syndrome_weight(g, pad(hard.astype(jnp.float32)).astype(jnp.int32))
+        unsat = syndrome(hard)
         better = unsat < min_unsat
         best = jnp.where(better[..., None], hard, best)
         min_unsat = jnp.where(better, unsat, min_unsat)
         # variable→check: msg = total[bit] − ext (own edge excluded)
-        msg_new = jnp.where(mask, total[..., cb] - ext, 1e30)
-        return (msg_new, best, min_unsat), None
+        msg_new = jnp.where(mask, gather_edges(total) - ext, 1e30)
+        return i + 1, msg_new, best, min_unsat
 
-    (_, best, min_unsat), _ = jax.lax.scan(
-        body, (msg0, hard0, unsat0), None, length=max_iter)
+    def cond(carry):
+        i, _, _, min_unsat = carry
+        return (i < max_iter) & jnp.any(min_unsat > 0)
+
+    _, _, best, min_unsat = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), msg0, hard0, unsat0))
 
     return best[..., :g.k].astype(jnp.uint8), min_unsat.astype(jnp.int32)
 
