@@ -321,3 +321,36 @@ def test_stream_chunk_invariance():
     pk2 = [r.packet.payload for r in r_chunks if hasattr(r, "packet")]
     assert len(pk1) == len(pk2) == 1
     assert np.array_equal(pk1[0], pk2[0])
+
+
+@pytest.mark.parametrize("concat", ["ldpc_bch", "conv_rs"])
+def test_frame_fer_zero_at_noise_0p2(concat):
+    """Reference CI capstone: COFDM FER = 0 through noise_scale 0.2
+    (≈7 dB; docs/performance.md:277-287) for BOTH concatenations."""
+    cfg, pre = _link()
+    if concat == "ldpc_bch":
+        table = McsTable.default_ladder()
+        mcs = 1                                    # qpsk, LDPC r1/2 + BCH t=8
+    else:
+        cfg = cfg.with_outer_interleaver(InterleaverKind.convolutional(12, 17))
+        table = McsTable([Mcs("qpsk", InnerFec.convolutional("1/2", "dvb_k7"),
+                              OuterFec.reed_solomon(60, 8))])
+        mcs = 0
+    mod = OfdmFrameMod(cfg, table, pre)
+    demod = OfdmFrameDemod(cfg, table)
+    rng = np.random.default_rng(0xFE2)
+    n_frames, fails = 5, 0
+    for i in range(n_frames):
+        payload = _payload(180, 40 + i)
+        body = mod.modulate_frame(FramePacket(FrameMetadata(i, mcs), payload),
+                                  i)[pre.total_len():]
+        sig = float(np.mean(np.abs(body) ** 2))
+        noise = (rng.standard_normal(len(body)) +
+                 1j * rng.standard_normal(len(body))
+                 ).astype(np.complex64) * np.sqrt(sig * 0.2 / 2)
+        try:
+            out = demod.decode(body + noise)
+            fails += not np.array_equal(out.payload, payload)
+        except RxError:
+            fails += 1
+    assert fails == 0, f"{fails}/{n_frames} frames failed at noise 0.2"

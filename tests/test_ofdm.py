@@ -156,3 +156,46 @@ class TestSync:
         total = best.cfo_hz + best.integer_cfo_bins * FS / 64
         assert best.integer_cfo_bins == 3
         assert total == pytest.approx(shift_hz, abs=20.0)
+
+
+class TestUncodedBerRegression:
+    """Mirror of the reference's CI-gating roundtrip::ofdm_snr
+    (mean_ber_at_noise_scale): uncoded flat-channel BER at the operating
+    point where its published triple was taken — QPSK 0.00102 /
+    QAM-16 0.0525 / QAM-64 0.1501 (docs/performance.md:175-186). Those are
+    AWGN theory values at ≈9.8 dB per-symbol SNR; we self-calibrate the
+    injected time-domain noise to that measured per-symbol SNR and assert
+    the same BERs, so the whole demod+decide chain's scaling is regression-
+    guarded end-to-end."""
+
+    REF = {"qpsk": 0.00102, "qam16": 0.0525, "qam64": 0.1501}
+
+    @pytest.mark.parametrize("order", ["qpsk", "qam16", "qam64"])
+    def test_ber_at_reference_operating_point(self, order):
+        rng = np.random.default_rng(0xBE2)
+        plan = CarrierPlan(1024, 128).with_contiguous_data()
+        cfg = OfdmConfig(plan, FS, constellation=order)
+        n_sym = 60
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * n_sym
+                            ).astype(np.uint8)
+        iq = np.asarray(ofdm_mod(cfg, bits)[0])
+        clean = np.asarray(ofdm_demod(cfg, iq)[0])
+
+        target_snr = 10.0 ** (9.8 / 10.0)
+        noise = (rng.standard_normal(len(iq)) +
+                 1j * rng.standard_normal(len(iq))).astype(np.complex64)
+        # calibrate: measure the per-symbol SNR one trial sigma produces
+        trial = np.asarray(ofdm_demod(cfg, iq + 0.01 * noise)[0])
+        snr_trial = (np.mean(np.abs(clean) ** 2) /
+                     np.mean(np.abs(trial - clean) ** 2))
+        sigma = 0.01 * np.sqrt(snr_trial / target_snr)
+        soft = np.asarray(ofdm_demod(cfg, iq + sigma * noise)[0])
+        snr_meas = (np.mean(np.abs(clean) ** 2) /
+                    np.mean(np.abs(soft - clean) ** 2))
+        assert abs(10 * np.log10(snr_meas) - 9.8) < 0.3
+
+        out = np.asarray(ofdm_decide(cfg, soft))
+        ber = float(np.mean(out != bits))
+        ref = self.REF[order]
+        print(f"\n[{order}] BER {ber:.5f} (reference {ref})")
+        assert 0.6 * ref < ber < 1.5 * ref
