@@ -28,7 +28,7 @@ def _build() -> bool:
         src_mtime = os.path.getmtime(_SRC)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                "-o", _SO + ".tmp", _SRC]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(_SO + ".tmp", _SO)

@@ -8,11 +8,36 @@
 //
 // C ABI for ctypes. Build: g++ -O3 -shared -fPIC (see native/__init__.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// Codewords are independent → split the batch across hardware threads.
+// (The reference is single-core by design; this is the native runtime's
+// free parallel axis.) Small batches stay single-threaded: spawn cost
+// would dominate.
+void parallel_rows(int batch, const std::function<void(int, int)>& fn) {
+    unsigned hw = std::thread::hardware_concurrency();
+    int nt = (int)std::min<unsigned>(hw ? hw : 1u, 16u);
+    nt = std::min(nt, batch / 32);
+    if (nt <= 1) {
+        fn(0, batch);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int per = (batch + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int lo = t * per, hi = std::min(batch, lo + per);
+        if (lo >= hi) break;
+        pool.emplace_back(fn, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+}
 
 constexpr int PRIM = 0x11D;
 constexpr int ORDER = 255;
@@ -101,10 +126,12 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
     const int t = n_parity / 2;
     const int shift = ORDER - n;
     const int cap = t + 2;
+
+    parallel_rows(batch, [=](int row_lo, int row_hi) {
     std::vector<uint8_t> s(n_parity), sigma(cap), omega(n_parity),
         deriv(cap), word(n);
 
-    for (int bi = 0; bi < batch; ++bi) {
+    for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;
         uint8_t* o = out + (size_t)bi * k;
         std::memcpy(o, r, k);
@@ -180,6 +207,7 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         std::memcpy(o, word.data(), k);
         ok[bi] = 1;
     }
+    });
 }
 
 // Binary BCH(n, k, t) decode of `batch` codewords of n BITS (one byte per
@@ -188,9 +216,11 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
                       uint8_t* out, uint8_t* ok) {
     const int shift = ORDER - n;
     const int cap = t + 2;
+
+    parallel_rows(batch, [=](int row_lo, int row_hi) {
     std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n);
 
-    for (int bi = 0; bi < batch; ++bi) {
+    for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;
         uint8_t* o = out + (size_t)bi * k;
         for (int i = 0; i < k; ++i) o[i] = r[i] & 1;
@@ -244,6 +274,7 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         for (int i = 0; i < k; ++i) o[i] = word[i];
         ok[bi] = 1;
     }
+    });
 }
 
 }  // extern "C"
