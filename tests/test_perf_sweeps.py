@@ -132,3 +132,32 @@ def test_throughput_floor_fm():
     floor = float(os.environ.get("ORION_SDR_TPU_MINSPS", "0.25"))
     print(f"\n[FM] {msps:.1f} Msps (floor {floor})")
     assert msps >= floor
+
+
+def test_sync_lock_sweep_ofdm():
+    """S&C acquisition lock-rate vs noise scale (ref docs/performance.md:
+    224-233: 100% at ≤0.05, 94% @0.1, 8% @0.5). Lock = start within ±4
+    samples of truth. Prints the curve; asserts the reference's 0.05 floor."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.sync.ofdm_sync import (OfdmPreamble, ofdm_sync,
+                                              generate_ofdm_preamble)
+    pre = OfdmPreamble(repeat_len=128, num_repeats=4).with_training_symbol(
+        256, 64)
+    p = np.asarray(generate_ofdm_preamble(pre))
+    fs = 1e6
+    offset = 700
+    rng = np.random.default_rng(0x57AC)
+    print()
+    rates = {}
+    for scale in (0.02, 0.05, 0.1, 0.2, 0.5, 1.0, 1.5, 2.0):
+        trials, locks = 25, 0
+        for _ in range(trials):
+            cap = np.zeros(4096, np.complex64)
+            cap[offset:offset + len(p)] = p
+            cap += (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+                    ).astype(np.complex64) * scale
+            res = ofdm_sync(cap, fs, pre, 0, len(cap))
+            locks += bool(res and abs(res[0].start_sample - offset) <= 4)
+        rates[scale] = locks / trials
+        print(f"  noise {scale}: {locks}/{trials}")
+    assert rates[0.02] == 1.0 and rates[0.05] == 1.0   # reference floor
