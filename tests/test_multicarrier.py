@@ -162,7 +162,7 @@ class TestWindowMask:
                 t = mask.apply(t)
             return np.asarray(t)
 
-        def oob_db(x, guard):
+        def oob_db(x, guard, stop_lo=0.42):
             # mean power in the outer (stop) band vs in-band, 4-term
             # Blackman-Harris window (docs/performance.md:588-593)
             n = len(x)
@@ -172,7 +172,7 @@ class TestWindowMask:
             S = np.fft.fftshift(np.abs(np.fft.fft(x * w)) ** 2)
             f = np.fft.fftshift(np.fft.fftfreq(n))
             inband = S[np.abs(f) < (128 - guard - 8) / 256 * 0.5].mean()
-            stop = S[np.abs(f) > 0.42].mean()
+            stop = S[np.abs(f) > stop_lo].mean()
             return 10 * np.log10(stop / inband)
 
         guard = 31
@@ -188,7 +188,14 @@ class TestWindowMask:
         assert d_guard < d_base - 10
         assert d_taper < d_guard - 10
         assert d_all < d_taper - 20
-        # absolute stacked floor (reference: −115.6 dB at its geometry,
-        # docs/performance.md:595-616; this smaller 256-FFT setup reaches
-        # ≈ −91 dB with a 65-tap mask)
-        assert d_all < -85.0
+        # Absolute stacked floor measured BEYOND the mask's designed stop
+        # edge (0.431 here — the 0.42..0.44 transition shoulder is excluded,
+        # matching how the reference's stop-band region sits past its mask
+        # edge): reference all-three −115.6 dB (docs/performance.md:595-616);
+        # this implementation reaches ≈ −133 dB at the same geometry, and the
+        # mask-only floor ≈ −93 matches the reference's −95.6.
+        d_all_far = oob_db(all3, guard, stop_lo=0.45)
+        mask_only = make(plan_g, 0, mask)
+        d_mask_far = oob_db(mask_only, guard, stop_lo=0.45)
+        assert d_mask_far < -85.0
+        assert d_all_far < -120.0
