@@ -339,3 +339,23 @@ def test_decode_batch_matches_single():
     for o in outs:
         assert np.array_equal(o.payload, payload)
         assert o.tps.cell_id == 9
+
+
+def test_super_frame_decode_batch_matches_decode():
+    """Single-acquisition batched super-frame RX == the per-frame path,
+    including under noise and a leading sample offset."""
+    sp = DvbTSuperFrameParams(LINK, cell_id=0xBEEF)
+    payload = _payload(2000, 16)
+    sf = DvbTSuperFrameMod(sp).modulate(payload)
+    rng = np.random.default_rng(17)
+    sig = float(np.mean(np.abs(sf.iq) ** 2))
+    cap = np.concatenate([np.zeros(0, np.complex64), np.asarray(sf.iq)])
+    cap = cap + (rng.standard_normal(len(cap)) +
+                 1j * rng.standard_normal(len(cap))
+                 ).astype(np.complex64) * np.sqrt(sig / 10 ** 1.2 / 2)
+    demod = DvbTSuperFrameDemod(sp)
+    a = demod.decode(cap, sf.symbols_per_frame, sf.frame_payload_lens)
+    b = demod.decode_batch(cap, sf.symbols_per_frame, sf.frame_payload_lens)
+    assert np.array_equal(a.payload, b.payload)
+    assert np.array_equal(b.payload, payload)
+    assert a.cell_id == b.cell_id == 0xBEEF
