@@ -223,6 +223,19 @@ def viterbi_decode_soft_chunked(coded_llrs, info_bits: int, rate: str = "1/2",
     c0 = l0p[:, idx]                    # (nb, nchunk, span)
     c1 = l1p[:, idx]
 
+    if jax.default_backend() == "tpu":
+        # hot path: whole-trellis-in-VMEM Pallas kernel over the chunk lanes
+        from ..ops.viterbi import viterbi_chunks_pallas
+        pm0 = np.zeros((nb, nchunk, S), np.float32)
+        pm0[:, 0] = -1e30
+        pm0[:, 0, 0] = 0.0              # chunk 0 pinned at state 0
+        bits = viterbi_chunks_pallas(c0.reshape(nb * nchunk, span),
+                                     c1.reshape(nb * nchunk, span),
+                                     pm0.reshape(nb * nchunk, S), code)
+        mid = bits.reshape(nb, nchunk, span)[:, :, V:V + C].reshape(nb, -1)
+        out = mid[:, :info_bits].astype(jnp.uint8)
+        return out if batched else out[0]
+
     prev_j = jnp.asarray(prev)
     s0 = jnp.asarray(sign0)
     s1 = jnp.asarray(sign1)

@@ -112,6 +112,128 @@ def _acs_traceback_kernel(l0_ref, l1_ref, q0_ref, q1_ref, bias_ref,
     bits_ref[:] = bits_acc[:]
 
 
+def _acs_traceback_chunked_kernel(l0_ref, l1_ref, pm0_ref, q0_ref, q1_ref,
+                                  bias_ref, s00_ref, s10_ref, s01_ref,
+                                  s11_ref, msb_ref, bits_ref, dec_ref, pm_ref,
+                                  oh_ref, bits_acc):
+    """Chunked variant: rows are chunk-lanes. Differs from the plain kernel
+    in three ways — initial metrics come in per row (chunk 0 pinned at state
+    0, others uniform), metrics renormalize every step (long chunks), and the
+    traceback starts from each row's argmax state (no termination at a chunk
+    boundary)."""
+    T = l0_ref.shape[1]
+    q0 = q0_ref[:]
+    q1 = q1_ref[:]
+    bias = bias_ref[:]                      # (1, S_pad)
+
+    s_pad = pm_ref.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_B_TILE, s_pad), 1)
+    pm_ref[:] = pm0_ref[:] + bias
+
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (_B_TILE, T), 1)
+    l0 = l0_ref[:]
+    l1 = l1_ref[:]
+
+    def col(x, t):
+        return jnp.sum(jnp.where(t_iota == t, x, 0.0), axis=1, keepdims=True)
+
+    def fwd(t, _):
+        pm = pm_ref[:]
+        la = col(l0, t)
+        lb = col(l1, t)
+        c0 = jnp.dot(pm, q0, preferred_element_type=jnp.float32) \
+            + s00_ref[:] * la + s10_ref[:] * lb + bias
+        c1 = jnp.dot(pm, q1, preferred_element_type=jnp.float32) \
+            + s01_ref[:] * la + s11_ref[:] * lb + bias
+        dec_ref[t] = (c1 > c0).astype(jnp.int8)
+        new_pm = jnp.maximum(c0, c1)
+        # renormalize: long chunks, no termination to bound the drift
+        new_pm = new_pm - jnp.max(new_pm, axis=1, keepdims=True)
+        pm_ref[:] = new_pm
+        return 0
+
+    jax.lax.fori_loop(0, T, fwd, 0)
+
+    # traceback from each row's best final state (lowest index on ties,
+    # matching jnp.argmax) via pure lane-wise one-hot algebra
+    pm = pm_ref[:]
+    m = jnp.max(pm, axis=1, keepdims=True)
+    lane_f = lane.astype(jnp.float32)
+    idx_val = jnp.where(pm == m, lane_f, jnp.float32(1e9))
+    mn = jnp.min(idx_val, axis=1, keepdims=True)
+    oh_ref[:] = (idx_val == mn).astype(jnp.float32)
+    msb = msb_ref[:]
+    bits_acc[:] = jnp.zeros((_B_TILE, T), jnp.float32)
+
+    def bwd(i, _):
+        t = T - 1 - i
+        oh = oh_ref[:]
+        bit = jnp.sum(oh * msb, axis=1, keepdims=True)
+        bits_acc[:] = bits_acc[:] + bit * (t_iota == t)
+        z = jnp.sum(oh * dec_ref[t].astype(jnp.float32), axis=1, keepdims=True)
+        prev_oh = jnp.dot(oh * (1.0 - z), q0.T,
+                          preferred_element_type=jnp.float32) \
+            + jnp.dot(oh * z, q1.T, preferred_element_type=jnp.float32)
+        oh_ref[:] = prev_oh
+        return 0
+
+    jax.lax.fori_loop(0, T, bwd, 0)
+    bits_ref[:] = bits_acc[:]
+
+
+def viterbi_chunks_pallas(c0, c1, pm0, code: str, interpret=None):
+    """Run the chunked ACS+traceback over pre-chunked LLR lanes.
+
+    ``c0``/``c1``: (L, span) per-step LLR pairs for L = batch·n_chunks lanes;
+    ``pm0``: (L, S) initial metrics per lane (unpadded state count). Returns
+    (L, span) decoded bit planes (margins included — caller drops them)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s_pad = 128
+    tabs = _kernel_tables(code, s_pad)
+    _, S, q0, q1, bias, s00, s10, s01, s11, msb = tabs
+    c0 = jnp.asarray(c0, jnp.float32)
+    c1 = jnp.asarray(c1, jnp.float32)
+    span = c0.shape[1]
+    L = c0.shape[0]
+    pm0 = jnp.asarray(pm0, jnp.float32)
+    pm0 = jnp.pad(pm0, ((0, 0), (0, s_pad - pm0.shape[1])),
+                  constant_values=_NEG)
+    l_pad = -(-L // _B_TILE) * _B_TILE
+    if l_pad != L:
+        c0 = jnp.concatenate([c0, jnp.zeros((l_pad - L, span), jnp.float32)])
+        c1 = jnp.concatenate([c1, jnp.zeros((l_pad - L, span), jnp.float32)])
+        pm0 = jnp.concatenate(
+            [pm0, jnp.zeros((l_pad - L, s_pad), jnp.float32)])
+
+    grid = (l_pad // _B_TILE,)
+    row = lambda v: jnp.asarray(v)[None, :]
+    bits = pl.pallas_call(
+        _acs_traceback_chunked_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_B_TILE, span), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_B_TILE, span), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_B_TILE, s_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec((_B_TILE, span), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l_pad, span), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((span, _B_TILE, s_pad), jnp.int8),
+            pltpu.VMEM((_B_TILE, s_pad), jnp.float32),
+            pltpu.VMEM((_B_TILE, s_pad), jnp.float32),
+            pltpu.VMEM((_B_TILE, span), jnp.float32),
+        ],
+        interpret=interpret,
+    )(c0, c1, pm0, jnp.asarray(q0), jnp.asarray(q1), row(bias),
+      row(s00), row(s10), row(s01), row(s11), row(msb))
+    return bits[:L]
+
+
 def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
                                code: str = "k5", interpret=None):
     """Drop-in for fec.conv.viterbi_decode_soft on (B, n_coded) batches.
