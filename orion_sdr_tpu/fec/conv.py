@@ -146,7 +146,20 @@ def depuncture_llrs(coded_llrs, info_bits: int, rate: str, code: str = "k5"):
 def viterbi_decode_soft(coded_llrs, info_bits: int, rate: str = "1/2",
                         code: str = "k5"):
     """Soft Viterbi over a zero-tail-terminated punctured stream
-    (ref: conv.rs:262-348). Returns (..., info_bits) uint8."""
+    (ref: conv.rs:262-348). Returns (..., info_bits) uint8.
+
+    This is the jnp scan form (arbitrary leading batch axes). Long streams
+    should use viterbi_decode_soft_chunked, which dispatches to the Pallas
+    whole-trellis-in-VMEM kernel on TPU; for short trellises the scan is
+    already MXU/VPU-bound and the kernel shows no advantage (the kernel's
+    iota-masked column selects are O(T²), fine at the fixed chunk span but
+    not for arbitrary T)."""
+    return _viterbi_decode_soft_jnp(jnp.asarray(coded_llrs), info_bits,
+                                    rate, code)
+
+
+def _viterbi_decode_soft_jnp(coded_llrs, info_bits: int, rate: str = "1/2",
+                             code: str = "k5"):
     K, S, top, _, _, prev, sign0, sign1 = _tables(code)
     full = depuncture_llrs(coded_llrs, info_bits, rate, code)
     lead = full.shape[:-1]

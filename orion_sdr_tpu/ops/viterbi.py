@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fec.conv import (_tables, depuncture_llrs, tail_bits,
-                        viterbi_decode_soft as _viterbi_jnp)
+                        _viterbi_decode_soft_jnp as _viterbi_jnp)
 
 _B_TILE = 32   # codewords per kernel instance (sublane axis)
 _NEG = -1.0e30
@@ -85,7 +85,11 @@ def _acs_traceback_kernel(l0_ref, l1_ref, q0_ref, q1_ref, bias_ref,
         c1 = jnp.dot(pm, q1, preferred_element_type=jnp.float32) \
             + s01_ref[:] * la + s11_ref[:] * lb + bias
         dec_ref[t] = (c1 > c0).astype(jnp.int8)   # dynamic LEADING index ok
-        pm_ref[:] = jnp.maximum(c0, c1)
+        new_pm = jnp.maximum(c0, c1)
+        # renormalize every step: unbounded metric drift breaks the MXU's
+        # f32-via-bf16-passes exactness past a few hundred steps (measured
+        # on v5e: correct at 206 steps, corrupt from ~600 without this)
+        pm_ref[:] = new_pm - jnp.max(new_pm, axis=1, keepdims=True)
         return 0
 
     jax.lax.fori_loop(0, T, fwd, 0)
