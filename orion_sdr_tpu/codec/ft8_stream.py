@@ -100,30 +100,25 @@ def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
                        hash_table: Optional[CallsignHashTable] = None):
     """Batch-decode many 15 s FT8 receive windows (BASELINE.json config 3).
 
-    ``windows``: (B, n) IQ at 12 kHz. The per-window Costas sync runs the
-    vectorized waterfall/score grid; every candidate's 174 LLRs across ALL
-    windows then decode in ONE batched LDPC BP call, and each window keeps
-    its first CRC-passing candidate. Returns a list (len B) of
-    Ft8DecodeResult-or-None.
+    ``windows``: (B, n) IQ at 12 kHz. ONE fused device program computes every
+    window's waterfall + Costas score grid + top-k; every candidate's 174
+    LLRs across ALL windows then decode in ONE batched LDPC BP call, and
+    each window keeps its first CRC-passing candidate. Returns a list
+    (len B) of Ft8DecodeResult-or-None.
     """
-    import jax.numpy as jnp
-    from .ft8 import _decode_llr
     from . import ft8_ldpc
     from ..message import unpack77 as _unpack
+    from ..sync.ft8_sync import ft8_sync_batch
 
     windows = np.asarray(windows, dtype=np.complex64)
     assert windows.ndim == 2
     ht = hash_table if hash_table is not None else CallsignHashTable()
     spacing = FT8_TONE_SPACING_HZ
 
-    cands_per_win = []
-    all_llrs = []
-    for w in windows:
-        cands = ft8_sync(w, fs, base_hz, max(max_hz + spacing,
-                                             base_hz + spacing),
-                         0, 0, max_cand)
-        cands_per_win.append(cands)
-        all_llrs.extend(c.llr for c in cands)
+    cands_per_win = ft8_sync_batch(windows, fs, base_hz,
+                                   max(max_hz + spacing, base_hz + spacing),
+                                   max_cand)
+    all_llrs = [c.llr for cands in cands_per_win for c in cands]
     if not all_llrs:
         return [None] * len(windows)
 

@@ -64,19 +64,46 @@ def costas_score(wf, costas, sync_pos: Sequence[int], time_sym: int,
 
 
 def _shift_sum(cell, kernel, t_count, f_count, pad_top: int = 0):
-    """score[t, f] = Σ_kernel cell[t + ds, f + db]; out-of-grid cells are 0
-    (kernel offsets are pre-shifted so ds + pad_top ≥ 0)."""
-    import jax
+    """score[..., t, f] = Σ_kernel cell[..., t + ds, f + db]; out-of-grid
+    cells are 0 (kernel offsets are pre-shifted so ds + pad_top ≥ 0).
+    Offsets are static, so the shifted views are plain slices."""
     max_ds = max(ds for ds, _ in kernel) + pad_top
     max_db = max(db for db, _ in kernel)
-    pad_s = max(t_count + max_ds - (cell.shape[0] + pad_top), 0)
-    pad_b = max(f_count + max_db - cell.shape[1], 0)
-    cp = jnp.pad(cell, ((pad_top, pad_s), (0, pad_b)))
-    score = jnp.zeros((t_count, f_count), jnp.float32)
+    S, B = cell.shape[-2:]
+    pad_s = max(t_count + max_ds - (S + pad_top), 0)
+    pad_b = max(f_count + max_db - B, 0)
+    lead = [(0, 0)] * (cell.ndim - 2)
+    cp = jnp.pad(cell, lead + [(pad_top, pad_s), (0, pad_b)])
+    score = jnp.zeros(cell.shape[:-2] + (t_count, f_count), jnp.float32)
     for ds, db in kernel:
-        score = score + jax.lax.dynamic_slice(cp, (ds + pad_top, db),
-                                              (t_count, f_count))
+        s0 = ds + pad_top
+        score = score + cp[..., s0:s0 + t_count, db:db + f_count]
     return score
+
+
+def candidate_score_grid(wf, costas, sync_pos: Sequence[int], num_tones: int,
+                         t_min: int, t_max: int):
+    """Traceable Costas score grid over every (t, f) start: (..., S, B)
+    waterfall → (..., t_count, f_count). Leading axes batch (the many-window
+    receive path scores all windows in one device program)."""
+    wf = jnp.asarray(wf)
+    S, B = wf.shape[-2:]
+    f_count = B - num_tones + 1
+    t_count = t_max - t_min + 1
+    kernel = costas_kernel(costas, [p + t_min for p in sync_pos])
+
+    lead = wf.shape[:-2]
+    neg_row = jnp.full(lead + (1, B), -jnp.inf, wf.dtype)
+    neg_col = jnp.full(lead + (S, 1), -jnp.inf, wf.dtype)
+    up = jnp.concatenate([neg_row, wf[..., :-1, :]], axis=-2)
+    down = jnp.concatenate([wf[..., 1:, :], neg_row], axis=-2)
+    left = jnp.concatenate([neg_col, wf[..., :, :-1]], axis=-1)
+    right = jnp.concatenate([wf[..., :, 1:], neg_col], axis=-1)
+    neigh = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
+    cell = jnp.maximum(wf - neigh, 0.0)
+
+    pad_top = max(0, -min(ds for ds, _ in kernel))
+    return _shift_sum(cell, kernel, t_count, f_count, pad_top)
 
 
 def find_candidates(wf, costas, sync_pos: Sequence[int], num_tones: int,
@@ -94,20 +121,8 @@ def find_candidates(wf, costas, sync_pos: Sequence[int], num_tones: int,
     t_count = t_max - t_min + 1
     if t_count <= 0:
         return []
-    kernel = costas_kernel(costas, [p + t_min for p in sync_pos])
-
-    w = wf
-    neg_row = jnp.full((1, B), -jnp.inf, w.dtype)
-    neg_col = jnp.full((S, 1), -jnp.inf, w.dtype)
-    up = jnp.concatenate([neg_row, w[:-1, :]], axis=0)
-    down = jnp.concatenate([w[1:, :], neg_row], axis=0)
-    left = jnp.concatenate([neg_col, w[:, :-1]], axis=1)
-    right = jnp.concatenate([w[:, 1:], neg_col], axis=1)
-    neigh = jnp.maximum(jnp.maximum(up, down), jnp.maximum(left, right))
-    cell = jnp.maximum(w - neigh, 0.0)
-
-    pad_top = max(0, -min(ds for ds, _ in kernel))
-    score = _shift_sum(cell, kernel, t_count, f_count, pad_top)
+    score = candidate_score_grid(wf, costas, sync_pos, num_tones,
+                                 t_min, t_max)
     k = min(max_candidates, t_count * f_count)
     import jax
     vals, idx = jax.lax.top_k(score.reshape(-1), k)

@@ -15,7 +15,8 @@ from typing import List
 import numpy as np
 
 from .waterfall import compute_waterfall
-from .costas import find_candidates
+from .costas import Candidate, candidate_score_grid, find_candidates
+from ..dsp.device import cjit
 from ..modulate.ft8 import (
     FT8_COSTAS, FT8_SYNC_POS, FT8_TONE_SPACING_HZ, FT8_SAMPLES_PER_SYM,
     FT8_TOTAL_SYMS, FT8_TONES, ft8_data_positions,
@@ -93,6 +94,88 @@ def _sync(iq, fs, base_hz, max_hz, t_min, t_max, max_cand, *, spacing, sps,
     return [FtSyncResult(time_sym=c.time_sym - sym_offset_adj,
                          freq_bin=c.freq_bin, score=c.score, llr=l)
             for c, l in zip(cands, llrs)]
+
+
+_MODE = {
+    "ft8": dict(spacing=FT8_TONE_SPACING_HZ, sps=FT8_SAMPLES_PER_SYM,
+                total_syms=FT8_TOTAL_SYMS, n_tones=FT8_TONES,
+                bits_per_sym=3),
+    "ft4": dict(spacing=FT4_TONE_SPACING_HZ, sps=FT4_SAMPLES_PER_SYM,
+                total_syms=FT4_TOTAL_SYMS, n_tones=FT4_TONES,
+                bits_per_sym=2),
+}
+
+
+def _mode_tables(mode: str):
+    if mode == "ft8":
+        return (FT8_COSTAS, [s for s, _ in FT8_SYNC_POS],
+                ft8_data_positions(), np.asarray(FT8_GRAY))
+    return (FT4_COSTAS, [s for s, _ in FT4_SYNC_POS],
+            ft4_data_positions(), np.asarray(FT4_GRAY))
+
+
+@cjit
+def _sync_grid_device(iq, fs: float, base_hz: float, mode: str,
+                      num_bins: int, wf_syms: int, wf_sample_start: int,
+                      wf_t_max: int, k: int):
+    """Waterfall + Costas score grid + top-k for (possibly batched) windows
+    as ONE fused device program — the many-window receive path pays one
+    relay round-trip for the whole batch instead of two per window."""
+    m = _MODE[mode]
+    costas, sync_pos, _, _ = _mode_tables(mode)
+    wf = compute_waterfall(iq, fs, base_hz, m["spacing"], m["sps"],
+                           wf_syms, num_bins, wf_sample_start)
+    score = candidate_score_grid(wf, costas, sync_pos, m["n_tones"],
+                                 0, wf_t_max)
+    flat = score.reshape(score.shape[:-2] + (-1,))
+    import jax
+    vals, idx = jax.lax.top_k(flat, k)
+    return wf, vals, idx
+
+
+def _sync_batch(iq_batch, fs, base_hz, max_hz, max_cand, mode: str
+                ) -> List[List[FtSyncResult]]:
+    """Batched _sync over (B, n) windows (t_min = t_max = 0)."""
+    m = _MODE[mode]
+    _, _, data_pos, gray = _mode_tables(mode)
+    iq_batch = np.asarray(iq_batch)
+    assert iq_batch.ndim == 2
+    freq_range = max(max_hz - base_hz, 0.0)
+    num_bins = int(np.ceil(freq_range / m["spacing"])) + m["n_tones"] + 1
+    wf_syms = m["total_syms"]
+    wf_t_max = 0
+    f_count = num_bins - m["n_tones"] + 1
+    if f_count <= 0:
+        return [[] for _ in range(len(iq_batch))]
+    k = min(max(int(max_cand), 1), f_count)
+
+    wf, vals, idx = _sync_grid_device(iq_batch, float(fs), float(base_hz),
+                                      mode, num_bins, wf_syms, 0,
+                                      wf_t_max, k)
+    wf, vals, idx = np.asarray(wf), np.asarray(vals), np.asarray(idx)
+    out: List[List[FtSyncResult]] = []
+    for b in range(len(iq_batch)):
+        cands = [Candidate(time_sym=int(i // f_count), freq_bin=int(i % f_count),
+                           score=float(v))
+                 for v, i in zip(vals[b], idx[b])]
+        llrs = _extract_llrs(wf[b], cands, data_pos, gray=gray,
+                             bits_per_sym=m["bits_per_sym"])
+        out.append([FtSyncResult(time_sym=c.time_sym, freq_bin=c.freq_bin,
+                                 score=c.score, llr=l)
+                    for c, l in zip(cands, llrs)])
+    return out
+
+
+def ft8_sync_batch(windows, fs: float, base_hz: float, max_hz: float,
+                   max_cand: int = 4) -> List[List[FtSyncResult]]:
+    """ft8_sync over (B, n) receive windows in one device program."""
+    return _sync_batch(windows, fs, base_hz, max_hz, max_cand, "ft8")
+
+
+def ft4_sync_batch(windows, fs: float, base_hz: float, max_hz: float,
+                   max_cand: int = 4) -> List[List[FtSyncResult]]:
+    """ft4_sync over (B, n) receive windows in one device program."""
+    return _sync_batch(windows, fs, base_hz, max_hz, max_cand, "ft4")
 
 
 def ft8_sync(iq, fs: float, base_hz: float, max_hz: float,
