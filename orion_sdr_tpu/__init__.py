@@ -54,7 +54,8 @@ from .codec.ft8 import (
 )
 from .codec.ft8_stream import (Ft8StreamDecoder, Ft8DecodeResult,
                                ft8_decode_windows)
-from .sync.ft8_sync import ft8_sync, ft4_sync
+from .sync.ft8_sync import (ft8_sync, ft4_sync, ft8_sync_batch,
+                            ft4_sync_batch)
 from . import message
 from .message import (
     pack77, unpack77, CallsignHashTable,

@@ -4,4 +4,5 @@ from .sharding import (
     fir_overlap_save_sharded,
     fm_demod_sharded,
     ofdm_soft_demap_sharded,
+    dvb_t_receive_sharded,
 )

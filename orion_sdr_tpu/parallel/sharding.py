@@ -151,3 +151,37 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
     im = jax.device_put(iq.imag.astype(np.float32), sh)
     out = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
     return np.asarray(out)
+
+
+def dvb_t_receive_sharded(segs, n_symbols: int, cp_len: int, backoff: int,
+                          vbits: int, mesh: Mesh):
+    """Service-parallel DVB-T receive: B ALIGNED frame captures sharded over
+    the mesh's 'ch' axis, each device running the whole fused receive
+    program (symbol FFT → scattered-pilot equalize → extract → Figure-9a
+    LLRs + TPS cells) on its local frames. Embarrassingly parallel — the
+    multi-service monitoring workload (SURVEY §5's channel-parallel axis).
+
+    Returns (llrs, tps_cells) as numpy, matching
+    demodulate.dvb_t_frame._receive_frame.
+    """
+    from ..demodulate.dvb_t_frame import _receive_frame
+
+    segs = np.asarray(segs)
+    assert segs.ndim == 2
+    n_dev = mesh.devices.size
+    b = segs.shape[0]
+    assert b % n_dev == 0, "frame count must split evenly across the mesh"
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("ch",))
+
+    def local(z):
+        return _receive_frame(z, n_symbols, cp_len, backoff, vbits)
+
+    shard_fn = jax.shard_map(local, mesh=flat_mesh,
+                             in_specs=P("ch"),
+                             out_specs=(P("ch"), P("ch")))
+    sh = NamedSharding(flat_mesh, P("ch", None))
+    re = jax.device_put(segs.real.astype(np.float32), sh)
+    im = jax.device_put(segs.imag.astype(np.float32), sh)
+    llrs, cells = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
+    return np.asarray(llrs), np.asarray(cells)

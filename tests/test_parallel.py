@@ -79,3 +79,30 @@ class TestSharding:
         ref = soft_demap(cfg, "qpsk", iq, n_sym)
         out = ofdm_soft_demap_sharded(cfg, "qpsk", iq, n_sym, mesh8)
         np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_dvb_t_receive_sharded_matches(self, mesh8):
+        # service-parallel DVB-T: 8 aligned frames, one per device,
+        # sharded fused receive == single-device receive
+        from orion_sdr_tpu.parallel import dvb_t_receive_sharded
+        from orion_sdr_tpu.demodulate.dvb_t_frame import _receive_frame
+        from orion_sdr_tpu.waveform.dvb_t import guard_cp_len_2k
+        from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+        import orion_sdr_tpu as sdr
+
+        link = sdr.DvbTLinkParams(guard="1/32", constellation="qpsk",
+                                  code_rate="1/2")
+        cp = guard_cp_len_2k(link.guard)
+        rng = np.random.default_rng(5)
+        frames = []
+        n_sym = None
+        for i in range(8):
+            params = sdr.DvbTFrameParams(link, frame_number=i % 4, cell_id=i)
+            f = DvbTFrameMod(params).modulate(bytes(rng.integers(
+                0, 256, 100).astype(np.uint8)))
+            n_sym = f.n_symbols
+            frames.append(np.asarray(f.iq)[: n_sym * (2048 + cp)])
+        segs = np.stack(frames)
+        llrs, cells = dvb_t_receive_sharded(segs, n_sym, cp, 0, 2, mesh8)
+        ref_l, ref_c = _receive_frame(segs, n_sym, cp, 0, 2)
+        np.testing.assert_allclose(llrs, np.asarray(ref_l), atol=1e-3)
+        np.testing.assert_allclose(cells, np.asarray(ref_c), atol=1e-4)
