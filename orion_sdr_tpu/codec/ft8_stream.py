@@ -95,29 +95,21 @@ class Ft8StreamDecoder:
         return []
 
 
-def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
-                       max_hz: float = 3000.0, max_cand: int = 4,
-                       hash_table: Optional[CallsignHashTable] = None):
-    """Batch-decode many 15 s FT8 receive windows (BASELINE.json config 3).
-
-    ``windows``: (B, n) IQ at 12 kHz. ONE fused device program computes every
-    window's waterfall + Costas score grid + top-k; every candidate's 174
-    LLRs across ALL windows then decode in ONE batched LDPC BP call, and
-    each window keeps its first CRC-passing candidate. Returns a list
-    (len B) of Ft8DecodeResult-or-None.
-    """
+def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8):
     from . import ft8_ldpc
+    from .ft8 import FT4_XOR
     from ..message import unpack77 as _unpack
-    from ..sync.ft8_sync import ft8_sync_batch
+    from ..sync.ft8_sync import ft8_sync_batch, ft4_sync_batch
 
     windows = np.asarray(windows, dtype=np.complex64)
     assert windows.ndim == 2
     ht = hash_table if hash_table is not None else CallsignHashTable()
-    spacing = FT8_TONE_SPACING_HZ
+    spacing = FT8_TONE_SPACING_HZ if ft8 else FT4_TONE_SPACING_HZ
+    sync_batch = ft8_sync_batch if ft8 else ft4_sync_batch
 
-    cands_per_win = ft8_sync_batch(windows, fs, base_hz,
-                                   max(max_hz + spacing, base_hz + spacing),
-                                   max_cand)
+    cands_per_win = sync_batch(windows, fs, base_hz,
+                               max(max_hz + spacing, base_hz + spacing),
+                               max_cand)
     all_llrs = [c.llr for cands in cands_per_win for c in cands]
     if not all_llrs:
         return [None] * len(windows)
@@ -139,6 +131,8 @@ def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
                     [bits[k].astype(np.uint8), np.zeros(5, np.uint8)]))
                 if ft8_check_crc(a91):
                     payload = a91[:10].copy()
+                    if not ft8:
+                        payload = (payload ^ FT4_XOR).astype(np.uint8)
                     payload[9] &= 0xF8
                     hit = Ft8DecodeResult(
                         message=_unpack(payload, ht),
@@ -147,3 +141,26 @@ def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
             k += 1
         results.append(hit)
     return results
+
+
+def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
+                       max_hz: float = 3000.0, max_cand: int = 4,
+                       hash_table: Optional[CallsignHashTable] = None):
+    """Batch-decode many 15 s FT8 receive windows (BASELINE.json config 3).
+
+    ``windows``: (B, n) IQ at 12 kHz. ONE fused device program computes every
+    window's waterfall + Costas score grid + top-k; every candidate's 174
+    LLRs across ALL windows then decode in ONE batched LDPC BP call, and
+    each window keeps its first CRC-passing candidate. Returns a list
+    (len B) of Ft8DecodeResult-or-None.
+    """
+    return _decode_windows(windows, fs, base_hz, max_hz, max_cand,
+                           hash_table, ft8=True)
+
+
+def ft4_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
+                       max_hz: float = 3000.0, max_cand: int = 4,
+                       hash_table: Optional[CallsignHashTable] = None):
+    """ft8_decode_windows for 7.5 s FT4 windows (XOR-descrambled payloads)."""
+    return _decode_windows(windows, fs, base_hz, max_hz, max_cand,
+                           hash_table, ft8=False)

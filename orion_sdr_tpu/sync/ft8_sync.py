@@ -140,6 +140,8 @@ def _sync_batch(iq_batch, fs, base_hz, max_hz, max_cand, mode: str
     _, _, data_pos, gray = _mode_tables(mode)
     iq_batch = np.asarray(iq_batch)
     assert iq_batch.ndim == 2
+    if iq_batch.shape[0] == 0:
+        return []
     freq_range = max(max_hz - base_hz, 0.0)
     num_bins = int(np.ceil(freq_range / m["spacing"])) + m["n_tones"] + 1
     wf_syms = m["total_syms"]

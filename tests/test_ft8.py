@@ -265,3 +265,21 @@ def test_ft8_decode_windows_batched():
                              hash_table=ht)
     assert [o.message.call_de if o else None for o in out] == \
         list(calls) + [None]
+
+
+def test_ft4_decode_windows_batched():
+    from orion_sdr_tpu.codec.ft8_stream import ft4_decode_windows
+    ht = CallsignHashTable()
+    calls = ("KA1ABC", "W9XYZ")
+    rng = np.random.default_rng(33)
+    wins = []
+    for i, c in enumerate(calls):
+        p = pack77(Standard("CQ", c, "FN42"), ht)
+        iq = np.asarray(ft4_mod(ft4_encode(p), FS, base_hz=1000.0 + i * 30))
+        iq = iq + _awgn(rng, len(iq), snr_to_noise_power(-8.0))
+        wins.append(iq)
+    wins.append(_awgn(rng, len(wins[0]), snr_to_noise_power(-8.0)))
+    out = ft4_decode_windows(np.stack(wins), FS, 950.0, 1150.0,
+                             hash_table=ht)
+    assert [o.message.call_de if o else None for o in out] == \
+        list(calls) + [None]
