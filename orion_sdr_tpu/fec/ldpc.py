@@ -263,8 +263,20 @@ def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
     Early exit: iteration stops once EVERY codeword in the batch has hit a
     zero-syndrome snapshot (the reference's per-codeword early return,
     ldpc_codes.rs:357-366, lifted to the batch) — typical operating points
-    converge in <10 iterations, so this is worth ~5× over a fixed 50."""
+    converge in <10 iterations, so this is worth ~5× over a fixed 50.
+
+    On the TPU backend, 2-D sum-product batches dispatch to the Pallas
+    kernel (ops/ldpc_bp.py) that keeps the edge messages VMEM-resident
+    across all iterations; min-sum and traced/1-D callers use this XLA
+    path."""
     llr = jnp.asarray(llr, dtype=jnp.float32)
+    if (rule == "sum_product" and llr.ndim == 2
+            and jax.default_backend() == "tpu"):
+        from ..ops.ldpc_bp import bp_decode_pallas, bp_graph_fits
+        key = _graph_key(g)
+        if bp_graph_fits(key):
+            best, mu = bp_decode_pallas(key, llr, max_iter, interpret=False)
+            return best[:, :g.k].astype(jnp.uint8), mu
     mask = jnp.asarray(g.check_mask)               # (m, D)
     D = g.max_deg
     lead = llr.shape[:-1]

@@ -66,3 +66,55 @@ def test_pallas_chunked_uniform_start_converges():
     n_steps = n_info + tail_bits(code)
     assert np.array_equal(bits[V:n_steps - V].astype(np.uint8),
                           ref[V:n_steps - V])
+
+
+# ── Pallas LDPC BP (interpret mode; compiled path validated on chip) ─────────
+
+def _bp_case(name, n_flips, B, seed):
+    from orion_sdr_tpu.fec import ldpc_encode, ldpc_graph
+    g = ldpc_graph(name)
+    rng = np.random.default_rng(seed)
+    msg = rng.integers(0, 2, (B, g.k)).astype(np.uint8)
+    cw = np.asarray(ldpc_encode(name, msg))
+    llr = np.where(cw == 0, 4.0, -4.0).astype(np.float32)
+    for b in range(B):
+        llr[b, rng.choice(g.n, n_flips, replace=False)] *= -1
+    return g, msg, llr
+
+
+def test_bp_pallas_matches_xla_n512():
+    from orion_sdr_tpu.fec.ldpc import bp_decode, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    g, msg, llr = _bp_case("N512R12", 8, 3, 0)
+    bits, unsat = bp_decode(g, llr, 30, "sum_product")   # XLA path on CPU
+    best, mu = bp_decode_pallas(_graph_key(g), llr, 30, interpret=True)
+    assert np.array_equal(np.asarray(mu), np.asarray(unsat))
+    assert int(np.asarray(mu).sum()) == 0
+    assert np.array_equal(np.asarray(best)[:, :g.k].astype(np.uint8), msg)
+
+
+def test_bp_pallas_matches_xla_ft8():
+    from orion_sdr_tpu.codec.ft8_ldpc import ft8_ldpc_graph
+    from orion_sdr_tpu.fec.ldpc import _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    from orion_sdr_tpu.fec.ldpc import bp_decode
+    g = ft8_ldpc_graph()
+    rng = np.random.default_rng(1)
+    from orion_sdr_tpu.codec import ft8_ldpc
+    m = rng.integers(0, 2, (2, 91)).astype(np.uint8)
+    cw = np.stack([np.asarray(ft8_ldpc.ldpc_encode(r)) for r in m])
+    llr = np.where(cw == 0, 4.0, -4.0).astype(np.float32)
+    llr[0, rng.choice(174, 6, replace=False)] *= -1
+    best, mu = bp_decode_pallas(_graph_key(g), llr, 20, interpret=True)
+    assert int(np.asarray(mu).sum()) == 0
+    assert np.array_equal(np.asarray(best)[:, :91].astype(np.uint8), m)
+
+
+def test_bp_pallas_reports_unsat_on_garbage():
+    from orion_sdr_tpu.fec.ldpc import ldpc_graph, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    g = ldpc_graph("N512R12")
+    rng = np.random.default_rng(2)
+    llr = rng.standard_normal((2, g.n)).astype(np.float32)
+    _, mu = bp_decode_pallas(_graph_key(g), llr, 15, interpret=True)
+    assert (np.asarray(mu) > 0).all()
