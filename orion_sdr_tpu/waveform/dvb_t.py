@@ -96,12 +96,30 @@ def _point_table(v: int) -> np.ndarray:
 @cjit
 def dvb_t_map_symbols(bits, v: int):
     """(..., n·v) bits → (..., n) Figure-9a constellation points (vectorized
-    over whole frames; ref dvb_t_map_symbol)."""
+    over whole frames; ref dvb_t_map_symbol).
+
+    The axis tables factor as sign(MSB) × (M−1 − 2·gray_decode(rest)), so
+    the mapping is pure bit arithmetic — a per-cell table gather is
+    VPU-serial on TPU (measured ~90× slower in the QAM mapper)."""
     b = jnp.asarray(bits).astype(jnp.int32) & 1
     g = b.reshape(b.shape[:-1] + (-1, v))
-    weights = jnp.asarray(2 ** np.arange(v - 1, -1, -1, dtype=np.int32))
-    labels = jnp.sum(g * weights, axis=-1)
-    return jnp.asarray(_point_table(v))[labels]
+    k = v // 2
+    m = 1 << k
+    scale = axis_scale(v)
+
+    def axis_val(ab):
+        # ab: (..., n, k) axis bits MSB-first
+        shifts = jnp.asarray(np.arange(k - 1, -1, -1, dtype=np.int32))
+        idx = jnp.sum(ab << shifts, axis=-1)
+        sign = 1 - 2 * (idx >> (k - 1))
+        low = idx & ((1 << max(k - 1, 0)) - 1)
+        gd = low ^ (low >> 1)
+        gd = gd ^ (gd >> 2)
+        return (sign * (m - 1 - 2 * gd)).astype(jnp.float32) * scale
+
+    re = axis_val(g[..., 0::2])          # even y-bits → I axis
+    im = axis_val(g[..., 1::2])          # odd y-bits → Q axis
+    return (re + 1j * im).astype(jnp.complex64)
 
 
 def dvb_t_map_symbol(bits):

@@ -359,3 +359,16 @@ def test_super_frame_decode_batch_matches_decode():
     assert np.array_equal(a.payload, b.payload)
     assert np.array_equal(b.payload, payload)
     assert a.cell_id == b.cell_id == 0xBEEF
+
+
+def test_map_symbols_matches_point_table_exhaustively():
+    # arithmetic Figure-9a mapper == the label->point table for EVERY label
+    # (ulp-level tolerance: the table rounds once from f64, the arithmetic
+    # path rounds the f32 product)
+    from orion_sdr_tpu.waveform.dvb_t import dvb_t_map_symbols, _point_table
+    for v in (2, 4, 6):
+        labels = np.arange(1 << v)
+        bits = ((labels[:, None] >> np.arange(v - 1, -1, -1)) & 1
+                ).astype(np.uint8)
+        got = np.asarray(dvb_t_map_symbols(bits.reshape(-1), v))
+        np.testing.assert_allclose(got, _point_table(v), atol=5e-7)
