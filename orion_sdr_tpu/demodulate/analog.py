@@ -98,6 +98,8 @@ def fm_demod(iq, fs, deviation_hz, audio_bw_hz, translate_hz=None,
             lp=(biquad_init(z.shape[:-1]), biquad_init(z.shape[:-1])),
             xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
         )
+    if z.shape[-1] == 0:
+        return jnp.zeros(z.shape[:-1] + (0,), jnp.float32), state
     xlate_phase = state.xlate_phase
     if translate_hz is not None:
         # multiply by conj of a +translate_hz phasor == rotate by -translate_hz
@@ -120,6 +122,8 @@ def pm_demod(iq, fs, k, audio_bw_hz, state: QuadDemodState | None = None):
             lp=(biquad_init(z.shape[:-1]), biquad_init(z.shape[:-1])),
             xlate_phase=jnp.zeros(z.shape[:-1], jnp.float32),
         )
+    if z.shape[-1] == 0:
+        return jnp.zeros(z.shape[:-1] + (0,), jnp.float32), state
     prod = _delay_conj_product(z, state.prev)
     disc = (k * atan2_approx(prod.imag, prod.real)).astype(jnp.float32)
     c = design_butter_lp(fs, audio_bw_hz * 0.9)

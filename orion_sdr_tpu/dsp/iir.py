@@ -105,6 +105,8 @@ def dc_blocker(x, r: float, state=None):
     x = jnp.asarray(x)
     if state is None:
         state = jnp.zeros(x.shape[:-1] + (2,), dtype=x.dtype)
+    if x.shape[-1] == 0:
+        return x, state
     x1, y1 = state[..., 0], state[..., 1]
     xprev = jnp.concatenate([x1[..., None], x[..., :-1]], axis=-1)
     v = x - xprev

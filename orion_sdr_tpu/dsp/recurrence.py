@@ -108,6 +108,11 @@ def first_order(a, b, y0=None):
     """
     b = jnp.asarray(b)
     n = b.shape[-1]
+    if n == 0:
+        lead = b.shape[:-1]
+        y_last = (jnp.zeros(lead, dtype=b.dtype) if y0 is None else
+                  jnp.broadcast_to(jnp.asarray(y0, dtype=b.dtype), lead))
+        return b, y_last
     if isinstance(a, numbers.Number) or (
             isinstance(a, np.generic) and np.ndim(a) == 0):
         return _first_order_const(complex(a) if np.iscomplexobj(np.asarray(a))

@@ -190,6 +190,11 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     """
     import jax.core
     g = ldpc_graph(name)
+    if not isinstance(llr, jax.core.Tracer) and np.ndim(llr) >= 2 \
+            and np.shape(llr)[0] == 0:
+        lead = np.shape(llr)[:-1]
+        return (np.zeros(lead + (g.k,), np.uint8),
+                np.zeros(lead, np.int32))
     if (isinstance(llr, jax.core.Tracer) or max_iter <= _FIRST_PASS_ITERS
             or np.ndim(llr) < 2):
         return bp_decode(g, llr, max_iter, rule, alpha)

@@ -47,7 +47,9 @@ def gen_complex_tone(fs: float, f_hz: float, n: int) -> np.ndarray:
 def snr_db_at(fs: float, f_hz: float, x) -> float:
     """Single-bin Hann-windowed DFT SNR at f_hz (util.rs:42-61)."""
     x = _np(x).astype(np.float64)
-    n = max(len(x), 1)
+    if len(x) == 0:
+        return 0.0
+    n = len(x)
     w = hann(n).astype(np.float64)
     ph = 2.0 * np.pi * f_hz * np.arange(n) / fs
     re = float(np.sum(w * x * np.cos(ph)))

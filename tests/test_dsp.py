@@ -230,3 +230,27 @@ class TestUtil:
         x = np.asarray(x) + sdr.awgn(rng, 4096, 1e-3, complex_=False)
         snr = sdr.wb_spectrum_snr_db(x, FS, 1000.0, 3000.0)
         assert snr > 20.0
+
+
+def test_empty_captures_are_safe():
+    """Every analog stage accepts a 0-length capture and returns an empty
+    output with an unchanged carry (streaming callers may feed empty
+    chunks), and the chain continues identically afterwards."""
+    import orion_sdr_tpu as sdr
+    z0 = np.zeros(0, np.complex64)
+    assert np.asarray(sdr.cw_demod(z0, 8e3)[0]).shape == (0,)
+    assert np.asarray(sdr.am_demod(z0, 48e3, 3e3)[0]).shape == (0,)
+    assert np.asarray(sdr.ssb_demod(z0, 48e3, 1.5e3, 3e3)[0]).shape == (0,)
+    assert np.asarray(sdr.fm_demod(z0, 48e3, 2.5e3, 3e3)[0]).shape == (0,)
+    assert np.asarray(sdr.pm_demod(z0, 48e3, 1.0, 3e3)[0]).shape == (0,)
+    assert sdr.snr_db_at(48e3, 1e3, np.zeros(0, np.float32)) == 0.0
+    o, u = sdr.fec.ldpc_decode("N512R12", np.zeros((0, 512), np.float32), 10)
+    assert o.shape == (0, 256) and u.shape == (0,)
+    # continuity: an empty feed must not perturb the stream state
+    t = np.arange(4096) / 48e3
+    audio = 0.3 * np.sin(2 * np.pi * 700.0 * t).astype(np.float32)
+    iq, _ = sdr.fm_mod(audio, 48e3, 2500.0)
+    a1, _ = sdr.fm_demod(np.asarray(iq), 48e3, 2500.0, 3000.0)
+    _, st = sdr.fm_demod(z0, 48e3, 2500.0, 3000.0)
+    a2, _ = sdr.fm_demod(np.asarray(iq), 48e3, 2500.0, 3000.0, state=st)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
