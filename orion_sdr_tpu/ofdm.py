@@ -12,9 +12,11 @@ binary-search loop.
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
+from functools import lru_cache
 from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
@@ -168,15 +170,51 @@ def channel_estimate_training(rx_training_freq, known_freq):
     return (jnp.asarray(rx_training_freq) / jnp.asarray(known_freq)).astype(jnp.complex64)
 
 
+@lru_cache(maxsize=64)
+def _pilot_interp_matrix(pb_key: tuple, n_fft: int) -> np.ndarray:
+    """(n_pilots, n_fft) linear-interpolation weights for SORTED constant
+    pilot bins (edge hold) — turns per-bin jnp.interp searchsorted gathers
+    (VPU-serial on TPU; measured 95% of the DVB-T receive program) into one
+    MXU matmul."""
+    pb = np.asarray(pb_key, np.float64)
+    W = np.zeros((len(pb), n_fft), np.float32)
+    for b in range(n_fft):
+        r = int(np.searchsorted(pb, b, side="left"))
+        if r == 0:
+            W[0, b] = 1.0
+        elif r >= len(pb):
+            W[-1, b] = 1.0
+        elif pb[r] == b:
+            W[r, b] = 1.0
+        else:
+            t = (b - pb[r - 1]) / (pb[r] - pb[r - 1])
+            W[r - 1, b] = 1.0 - t
+            W[r, b] = t
+    return W
+
+
 def channel_estimate_pilots(freq_syms, pilot_bins, pilot_values, n_fft: int):
     """PerSymbolPilotInterp: linear complex interpolation between bin-sorted
     pilot known-vs-received ratios, edge hold (ref: demodulate/ofdm.rs:357-426).
 
     ``freq_syms``: (..., n_sym, n_fft). ``pilot_bins``: (n_pilots,) or
     (n_sym, n_pilots); ``pilot_values`` matching. Returns (..., n_sym, n_fft)
-    channel estimate.
+    channel estimate. Constant (numpy, 1-D) pilot bins take the
+    matmul-interpolation fast path.
     """
     x = jnp.asarray(freq_syms)
+    if isinstance(pilot_bins, np.ndarray) and pilot_bins.ndim == 1:
+        order = np.argsort(pilot_bins, kind="stable")
+        pb_s = pilot_bins[order]
+        pv_s = jnp.asarray(np.asarray(pilot_values)[order],
+                           dtype=jnp.complex64)
+        W = jnp.asarray(_pilot_interp_matrix(tuple(int(b) for b in pb_s),
+                                             int(n_fft)))
+        ratio = x[..., pb_s] / pv_s
+        hi = jax.lax.Precision.HIGHEST
+        est = (jnp.matmul(ratio.real, W, precision=hi)
+               + 1j * jnp.matmul(ratio.imag, W, precision=hi))
+        return est.astype(jnp.complex64)
     pb = jnp.asarray(pilot_bins)
     pv = jnp.asarray(pilot_values, dtype=jnp.complex64)
     if pb.ndim == 1:
@@ -199,7 +237,6 @@ def channel_estimate_pilots(freq_syms, pilot_bins, pilot_values, n_fft: int):
     lead = ratio.shape[:-1]
     flat_pb = jnp.broadcast_to(pb, lead + pb.shape[-1:]).reshape((-1, pb.shape[-1]))
     flat_ratio = ratio.reshape((-1, ratio.shape[-1]))
-    import jax
     est = jax.vmap(interp_sym)(flat_pb, flat_ratio)
     return est.reshape(lead + (n_fft,)).astype(jnp.complex64)
 
