@@ -59,6 +59,7 @@ from .sync.ft8_sync import (ft8_sync, ft4_sync, ft8_sync_batch,
 from . import message
 from .message import (
     pack77, unpack77, CallsignHashTable,
+    ft8_pack_standard, ft8_pack_free_text, ft8_pack_telemetry, ft8_unpack,
     Standard as Ft8Standard, FreeText as Ft8FreeText,
     NonStd as Ft8NonStd, Telemetry as Ft8Telemetry,
 )
@@ -104,7 +105,7 @@ from . import fec
 # ── COFDM frame layer (FramePacket, McsTable, OfdmFrame{Mod,Demod,Stream}) ───
 from . import frame
 from .frame import (
-    FramePacket, FrameMetadata, RxError, Mcs, McsTable,
+    FramePacket, FrameMetadata, RxError, Mcs, McsTable, CodecCache,
     OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
 )
 

@@ -1,4 +1,5 @@
 from .types import (
+    CodecCache,
     FramePacket, FrameMetadata, RxError,
     OuterFec, InnerFec, InterleaverKind, ScramblerKind, crc_len_bytes,
     SCRAMBLER_BEFORE_OUTER, SCRAMBLER_AFTER_INNER,

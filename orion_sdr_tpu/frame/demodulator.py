@@ -139,7 +139,8 @@ class OfdmFrameDemod:
     """Batch demod at a KNOWN start (iq[0] = first post-preamble sample),
     flat channel (ref OfdmFrameDemod)."""
 
-    def __init__(self, cfg: OfdmConfig, mcs_table: McsTable) -> None:
+    def __init__(self, cfg: OfdmConfig, mcs_table: McsTable,
+                 cache=None) -> None:
         self.cfg = cfg
         self.mcs_table = mcs_table
 
@@ -250,7 +251,8 @@ class OfdmFrameStreamDemod:
     """
 
     def __init__(self, cfg: OfdmConfig, mcs_table: McsTable,
-                 preamble: OfdmPreamble, score_threshold: float = 0.5) -> None:
+                 preamble: OfdmPreamble, score_threshold: float = 0.5,
+                 cache=None) -> None:
         self.cfg = cfg
         self.mcs_table = mcs_table
         self.preamble = preamble

@@ -63,7 +63,9 @@ class OfdmFrameMod:
     """Frame modulator over a config, MCS table and acquisition preamble."""
 
     def __init__(self, cfg: OfdmConfig, mcs_table: McsTable,
-                 preamble: OfdmPreamble) -> None:
+                 preamble: OfdmPreamble, cache=None) -> None:
+        # ``cache``: reference-compat CodecCache slot (codes memoize
+        # process-wide here; accepted and ignored)
         self.cfg = cfg
         self.mcs_table = mcs_table
         self.preamble = preamble

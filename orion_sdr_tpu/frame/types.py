@@ -206,3 +206,15 @@ class McsTable:
 
     def __len__(self) -> int:
         return len(self.entries)
+
+
+class CodecCache:
+    """Drop-in stand-in for the reference's shared FEC-code cache
+    (python/__init__.pyi:955-983). Here code construction is memoized
+    process-wide (``lru_cache`` on the graph/table builders) and jitted
+    programs cache by shape, so a per-link cache object has nothing left to
+    do — accepted by the frame mod/demod constructors for source
+    compatibility and otherwise inert."""
+
+    def __repr__(self) -> str:  # stable, in case anyone keys on it
+        return "CodecCache()"

@@ -8,4 +8,5 @@ from .free_text import encode_free_text, decode_free_text
 from .message import (
     Ft8Message, Standard, FreeText, NonStd, Telemetry, Unknown,
     pack77, unpack77,
+    ft8_pack_standard, ft8_pack_free_text, ft8_pack_telemetry, ft8_unpack,
 )

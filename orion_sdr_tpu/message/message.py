@@ -153,3 +153,56 @@ def unpack77(payload, ht: Optional[CallsignHashTable] = None) -> Ft8Message:
             call_to = "CQ"
         return NonStd(call_to, call_de, _NRPT_INV.get(nrpt, ""))
     return Unknown(p.copy())
+
+
+# ── reference drop-in convenience wrappers (python/ft8.rs:386-505) ───────────
+
+
+def ft8_pack_standard(call_to: str, call_de: str, extra: str = "") -> bytes:
+    """Standard message → 10-byte payload; raises ValueError if unencodable."""
+    p = pack77(Standard(call_to, call_de, extra), CallsignHashTable())
+    if p is None:
+        raise ValueError("ft8_pack_standard: failed to pack message")
+    return bytes(p)
+
+
+def ft8_pack_free_text(text: str) -> bytes:
+    """Free text (≤13 chars of the base-42 alphabet) → 10-byte payload."""
+    p = pack77(FreeText(text), CallsignHashTable())
+    if p is None:
+        raise ValueError(
+            "ft8_pack_free_text: failed to pack message "
+            "(text too long or invalid chars?)")
+    return bytes(p)
+
+
+def ft8_pack_telemetry(data) -> bytes:
+    """9 bytes (71 bits, top bit masked) → 10-byte payload."""
+    d = bytes(data)
+    if len(d) != 9:
+        raise ValueError(f"ft8_pack_telemetry: expected 9 bytes, got {len(d)}")
+    p = pack77(Telemetry(np.frombuffer(d, np.uint8).copy()),
+               CallsignHashTable())
+    if p is None:
+        raise ValueError("ft8_pack_telemetry: failed to pack message")
+    return bytes(p)
+
+
+def ft8_unpack(payload) -> dict:
+    """10-byte payload → dict with a "type" key plus the message fields
+    (mirrors the reference binding's return shape)."""
+    d = bytes(payload)
+    if len(d) != 10:
+        raise ValueError(f"ft8_unpack: expected 10 bytes, got {len(d)}")
+    msg = unpack77(np.frombuffer(d, np.uint8).copy(), CallsignHashTable())
+    if isinstance(msg, Standard):
+        return {"type": "standard", "call_to": msg.call_to,
+                "call_de": msg.call_de, "extra": msg.extra}
+    if isinstance(msg, FreeText):
+        return {"type": "free_text", "text": msg.text}
+    if isinstance(msg, Telemetry):
+        return {"type": "telemetry", "data": bytes(msg.data)}
+    if isinstance(msg, NonStd):
+        return {"type": "nonstd", "call_to": msg.call_to,
+                "call_de": msg.call_de, "extra": msg.extra}
+    return {"type": "unknown"}

@@ -114,3 +114,34 @@ def test_trace_profiler_context(tmp_path):
         float(np.asarray(y)[0].real)
     files = [f for r, _, fs in os.walk(tmp_path) for f in fs]
     assert files, "profiler trace produced no files"
+
+
+def test_reference_dropin_wrappers():
+    # python/ft8.rs:386-505 convenience surface + CodecCache slot
+    p = sdr.ft8_pack_standard("CQ", "KA1ABC", "FN42")
+    assert isinstance(p, bytes) and len(p) == 10
+    out = sdr.ft8_unpack(p)
+    assert out == {"type": "standard", "call_to": "CQ",
+                   "call_de": "KA1ABC", "extra": "FN42"}
+    t = sdr.ft8_unpack(sdr.ft8_pack_free_text("TNX 73"))
+    assert t == {"type": "free_text", "text": "TNX 73"}
+    data = bytes(range(9))
+    tel = sdr.ft8_unpack(sdr.ft8_pack_telemetry(data))
+    assert tel["type"] == "telemetry" and tel["data"][1:] == data[1:]
+    try:
+        sdr.ft8_pack_telemetry(b"short")
+        assert False
+    except ValueError:
+        pass
+    # CodecCache accepted (and inert) by the frame constructors
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig
+    from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+    plan = CarrierPlan(64, 16).with_contiguous_data()
+    cfg = OfdmConfig(plan, fs=48e3)
+    pre = OfdmPreamble(repeat_len=32, num_repeats=2)
+    cache = sdr.CodecCache()
+    sdr.OfdmFrameMod(cfg, sdr.McsTable.default_ladder(), pre, cache=cache)
+    sdr.OfdmFrameDemod(cfg, sdr.McsTable.default_ladder(), cache=cache)
+    sdr.OfdmFrameStreamDemod(cfg, sdr.McsTable.default_ladder(), pre,
+                             cache=cache)
