@@ -201,8 +201,10 @@ def measure(fn, n_samples: int, repeats: int = 1):
 
 
 def atan2_approx(y, x):
-    """Fast atan2: 5th-order minimax polynomial, max err ≈ 0.0005 rad
-    (ref: util.rs:302-322). Vectorized; used by the FM/PM discriminators."""
+    """Fast atan2: Rajan-family minimax polynomial, max err ≈ 0.0015 rad
+    (ref: util.rs:302-322 claims 0.0005 for its variant, but its transcription
+    drops the (1−r) factor — see the inline note). Vectorized; used by the
+    FM/PM discriminators."""
     import jax.numpy as jnp
     y = jnp.asarray(y, jnp.float32)
     x = jnp.asarray(x, jnp.float32)

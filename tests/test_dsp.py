@@ -254,3 +254,38 @@ def test_empty_captures_are_safe():
     _, st = sdr.fm_demod(z0, 48e3, 2500.0, 3000.0)
     a2, _ = sdr.fm_demod(np.asarray(iq), 48e3, 2500.0, 3000.0, state=st)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+
+
+def test_atan2_approx_accuracy():
+    """Corrected Rajan minimax: max error ≈ 1.5e-3 rad, octant-continuous
+    (our docstring's bound; the reference's 5e-4 claim belongs to a variant
+    whose transcription has a 0.18 rad step at r=1)."""
+    from orion_sdr_tpu.util import atan2_approx
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(20000).astype(np.float32) * 3
+    x = rng.standard_normal(20000).astype(np.float32) * 3
+    got = np.asarray(atan2_approx(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y, x)
+    err = np.abs(np.angle(np.exp(1j * (got - want))))
+    assert float(err.max()) < 2e-3, float(err.max())
+
+
+def test_waterfall_matches_naive_goertzel():
+    """One matmul == the reference's per-(symbol, tone) correlator."""
+    from orion_sdr_tpu.sync.waterfall import compute_waterfall
+    fs, sps, n_sym, n_tones, base, spacing = 8000.0, 256, 12, 6, 500.0, 31.25
+    rng = np.random.default_rng(1)
+    n = n_sym * sps
+    iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+          ).astype(np.complex64)
+    wf = np.asarray(compute_waterfall(iq, fs, base, spacing, sps, n_sym,
+                                      n_tones))
+    for s in range(n_sym):
+        seg = iq[s * sps:(s + 1) * sps]
+        for t in range(n_tones):
+            f = base + t * spacing
+            acc = np.sum(seg * np.exp(-2j * np.pi * f *
+                                      np.arange(sps) / fs))
+            want = np.log(np.abs(acc) ** 2 + 1e-12)
+            assert abs(wf[s, t] - want) < 2e-2, (s, t)
