@@ -17,9 +17,11 @@ a cascade carries a tuple of them; the DC blocker a (..., 2) array (x1, y1).
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .recurrence import first_order
@@ -67,11 +69,78 @@ def biquad_init(lead_shape, dtype=jnp.float32) -> BiquadState:
                        x_tail=jnp.zeros(lead_shape + (2,), dtype))
 
 
+_BQ_CHUNK = 128   # MXU-aligned chunk for the real-Toeplitz fast path
+
+
+@_lru_cache(maxsize=64)
+def _biquad_tables(p: complex, A: complex, C: int, ko: int):
+    """Trace-time constants for the real-drive chunked biquad (float64 math,
+    rounded once): the combined impulse response g[d] = 2·Re(A·p^d), its
+    lower-triangular Toeplitz operator, the carry picks p^(C−1−j), the
+    boundary output rows ±2·(Re, Im)(A·p^(k+1)), and the last-sample state
+    pick p^(ko−j) (ko = offset of the final true sample in its chunk)."""
+    d = np.arange(C)
+    pk = p ** d                                    # p^0 .. p^(C−1)
+    g = 2.0 * np.real(A * pk)
+    expo = d[None, :] - d[:, None]
+    L = np.where(expo >= 0, g[np.maximum(expo, 0)], 0.0).astype(np.float32)
+    tail = p ** (C - 1 - d)                        # p^(C−1−j)
+    apk = A * p ** (d + 1)
+    u = (2.0 * np.real(apk)).astype(np.float32)
+    w = (-2.0 * np.imag(apk)).astype(np.float32)
+    last = np.where(d <= ko, p ** np.maximum(ko - d, 0), 0.0)
+    return (L, tail.real.astype(np.float32), tail.imag.astype(np.float32),
+            u, w, complex(p ** C),
+            last.real.astype(np.float32), last.imag.astype(np.float32),
+            complex(p ** (ko + 1)))
+
+
+def _biquad_chunked_real(v, p: complex, A: complex, s0):
+    """Chunked evaluation of s[n] = p·s[n−1] + v[n], y = 2·Re(A·s) for REAL
+    v: the zero-state output is one real triangular Toeplitz matmul per
+    chunk (the complex one-pole form costs 4 real matmuls — v's imaginary
+    part is identically zero, so the extra passes compute nothing).
+    Chunk carries chain through a small complex prefix scan."""
+    from .recurrence import _first_order_assoc
+    C = _BQ_CHUNK
+    n = v.shape[-1]
+    lead = v.shape[:-1]
+    nchunk = -(-n // C)
+    pad = nchunk * C - n
+    vp = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)]) if pad else v
+    vc = vp.reshape(lead + (nchunk, C))
+    ko = (n - 1) % C
+    L, tr, ti, u, w, pC, lr, li, pko1 = _biquad_tables(p, A, C, ko)
+    hi = jax.lax.Precision.HIGHEST
+
+    zs = jnp.matmul(vc, jnp.asarray(L), precision=hi)        # (..., nchunk, C)
+    er = jnp.matmul(vc, jnp.asarray(tr), precision=hi)       # (..., nchunk)
+    ei = jnp.matmul(vc, jnp.asarray(ti), precision=hi)
+    z = er + 1j * ei                                         # per-chunk Σ p^(C−1−j)·v[j]
+    chain, _ = _first_order_assoc(jnp.complex64(pC), z.astype(jnp.complex64),
+                                  jnp.asarray(s0, jnp.complex64))
+    s_in = jnp.concatenate([jnp.broadcast_to(
+        jnp.asarray(s0, jnp.complex64), lead)[..., None],
+        chain[..., :-1]], axis=-1)                           # carry INTO chunk
+    y = (zs + s_in.real[..., None] * jnp.asarray(u)
+         + s_in.imag[..., None] * jnp.asarray(w))
+    y = y.reshape(lead + (nchunk * C,))[..., :n]
+    # carry-out = state at the LAST TRUE sample (the padded tail would
+    # otherwise keep advancing the pole with zero drive)
+    v_last = vc[..., -1, :]
+    s_zs = (jnp.matmul(v_last, jnp.asarray(lr), precision=hi)
+            + 1j * jnp.matmul(v_last, jnp.asarray(li), precision=hi))
+    s_last = s_in[..., -1] * jnp.complex64(pko1) + s_zs.astype(jnp.complex64)
+    return y.astype(jnp.float32), s_last
+
+
 def biquad(x, c: BiquadCoefs, state: BiquadState | None = None):
     """One second-order section over the last axis. Returns (y, state).
 
     Same difference equation as the reference's TDF-II loop; evaluated via
-    the partial-fraction one-pole (see module docstring).
+    the partial-fraction one-pole (see module docstring). Real inputs take
+    the single-real-Toeplitz chunk path; complex inputs use the complex
+    one-pole scan.
     """
     x = jnp.asarray(x)
     if state is None:
@@ -80,8 +149,14 @@ def biquad(x, c: BiquadCoefs, state: BiquadState | None = None):
     A = p / (p - np.conj(p))
     xp = jnp.concatenate([state.x_tail, x], axis=-1)
     v = c.b0 * xp[..., 2:] + c.b1 * xp[..., 1:-1] + c.b2 * xp[..., :-2]
-    s, s_last = first_order(complex(p), v.astype(jnp.complex64), y0=state.sp)
-    y = 2.0 * (jnp.complex64(A) * s).real
+    if (not jnp.iscomplexobj(x)) and abs(p) < 1.0 \
+            and x.shape[-1] >= 2 * _BQ_CHUNK:
+        y, s_last = _biquad_chunked_real(v.astype(jnp.float32), complex(p),
+                                         complex(A), state.sp)
+    else:
+        s, s_last = first_order(complex(p), v.astype(jnp.complex64),
+                                y0=state.sp)
+        y = 2.0 * (jnp.complex64(A) * s).real
     return y.astype(x.dtype), BiquadState(sp=s_last, x_tail=xp[..., -2:])
 
 
