@@ -65,8 +65,8 @@ class Ft8StreamDecoder:
 
     def feed(self, iq) -> List[Ft8DecodeResult]:
         """Append samples; decode when a full frame is buffered."""
-        self._buf = np.concatenate([self._buf,
-                                    np.asarray(iq, dtype=np.complex64)])
+        from ..dsp.device import sanitize_iq
+        self._buf = np.concatenate([self._buf, sanitize_iq(iq)])
         if len(self._buf) >= self.frame_len:
             return self._decode_buf()
         return []
@@ -86,7 +86,9 @@ class Ft8StreamDecoder:
         for cand in sync(self._buf, self.fs, search_min, search_max,
                          0, 0, self.max_cand):
             payload = decode(cand.llr)
-            if payload is not None:
+            # the all-zero codeword is CRC-consistent, so silence would
+            # otherwise "decode" as an empty free-text message — reject it
+            if payload is not None and np.any(payload):
                 msg = unpack77(payload, self.hash_table)
                 return [Ft8DecodeResult(
                     message=msg,
@@ -129,7 +131,7 @@ def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8):
             if hit is None and errs[k] == 0:
                 a91 = np.packbits(np.concatenate(
                     [bits[k].astype(np.uint8), np.zeros(5, np.uint8)]))
-                if ft8_check_crc(a91):
+                if ft8_check_crc(a91) and np.any(a91[:10]):
                     payload = a91[:10].copy()
                     if not ft8:
                         payload = (payload ^ FT4_XOR).astype(np.uint8)

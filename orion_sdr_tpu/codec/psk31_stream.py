@@ -49,7 +49,8 @@ class Psk31Stream:
 
     def feed(self, iq) -> str:
         """Feed IQ samples; returns newly decoded printable ASCII."""
-        iq = np.asarray(iq, dtype=np.complex64)
+        from ..dsp.device import sanitize_iq
+        iq = sanitize_iq(iq)
         if iq.size == 0:
             return ""
         self._fed_up_to += len(iq)

@@ -26,6 +26,7 @@ class DvbTFrameStreamDemod:
         self.payload_len = payload_len
         self.sps = DVB_T_N_FFT + guard_cp_len_2k(params.link.guard)
         self._buf = np.zeros(0, np.complex64)
+        self._short_skips = 0
 
     def with_integer_cfo_correction(self, on: bool = True):
         self.demod = self.demod.with_integer_cfo_correction(on)
@@ -48,8 +49,8 @@ class DvbTFrameStreamDemod:
         return self.n_symbols * self.sps
 
     def feed(self, iq) -> List[Union[DvbTRxFrame, DvbTRxError]]:
-        self._buf = np.concatenate([self._buf,
-                                    np.asarray(iq, dtype=np.complex64)])
+        from ..dsp.device import sanitize_iq
+        self._buf = np.concatenate([self._buf, sanitize_iq(iq)])
         return self._drain()
 
     def flush(self) -> List[Union[DvbTRxFrame, DvbTRxError]]:
@@ -73,6 +74,13 @@ class DvbTFrameStreamDemod:
         acq = dvb_t_gi_sync(self._buf, DVB_T_N_FFT, cp_len, self.demod.fs,
                             self.sps)
         if acq is None:
+            # no lock at the front (a silent/blanked gap): keep only the
+            # last frame-plus-lookahead so the receiver re-syncs when signal
+            # returns instead of holding a growing dead buffer — the GI
+            # metric only examines the front of the buffer
+            keep = need + self.sps
+            if len(self._buf) > keep:
+                self._buf = self._buf[len(self._buf) - keep:]
             return None
         start = acq.start_sample
         consume_to = start + self._frame_samples()
@@ -81,7 +89,16 @@ class DvbTFrameStreamDemod:
         try:
             frame = self.demod.decode(self._buf[start:], self.n_symbols,
                                       self.payload_len)
+            self._short_skips = 0
             return frame, consume_to
         except DvbTRxError as e:
-            # genuine failure on a complete frame: emit + advance past it
+            # A failure right after acquisition is often a symbol-misaligned
+            # lock (the GI metric cannot tell frame boundaries from symbol
+            # boundaries, e.g. across a silence→signal transition): advance
+            # one symbol period and retry a few times before concluding the
+            # frame is genuinely corrupt and skipping it whole.
+            if self._short_skips < 3:
+                self._short_skips += 1
+                return e, min(start + self.sps, len(self._buf))
+            self._short_skips = 0
             return e, consume_to

@@ -143,3 +143,16 @@ def _static_key(v):
         return v
     except TypeError:
         return repr(v)
+
+
+def sanitize_iq(iq) -> "np.ndarray":
+    """Blank non-finite samples to 0 (receiver input hygiene: a NaN burst
+    would otherwise poison cumulative-sum sync metrics for the whole buffer
+    and can steer FEC onto the trivial all-zero codeword)."""
+    import numpy as np
+    a = np.asarray(iq, dtype=np.complex64)
+    bad = ~np.isfinite(a.real) | ~np.isfinite(a.imag)
+    if bad.any():
+        a = a.copy()
+        a[bad] = 0
+    return a

@@ -269,8 +269,8 @@ class OfdmFrameStreamDemod:
         self._buf = np.zeros(0, np.complex64)
 
     def feed(self, iq) -> List[Union[RxFrame, RxError]]:
-        self._buf = np.concatenate([self._buf,
-                                    np.asarray(iq, dtype=np.complex64)])
+        from ..dsp.device import sanitize_iq
+        self._buf = np.concatenate([self._buf, sanitize_iq(iq)])
         return self._drain()
 
     def flush(self) -> List[Union[RxFrame, RxError]]:

@@ -117,6 +117,10 @@ def dvb_t_gi_sync(iq, n_fft: int, cp_len: int, fs: float, search_len: int,
     bg = complex(g_origin if use_origin else g_peak)
     bp = float(p_origin if use_origin else p_peak)
     score = min(abs(bg) / bp, 1.0) if bp > 0 else 0.0
+    if score <= 0.0:
+        # zero correlation energy = silence/blanked input: no acquisition
+        # (a 0-score "lock" at the origin would send garbage downstream)
+        return None
     cfo_hz = -float(np.arctan2(bg.imag, bg.real)) * fs / (2 * np.pi * n_fft)
     return GiSyncResult(start_sample=best_d, cfo_hz=cfo_hz, score=score)
 

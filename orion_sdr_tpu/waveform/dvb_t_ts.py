@@ -89,8 +89,13 @@ def ts_stuff_null_packets(ts, target_packets: int) -> np.ndarray:
 
 
 def ts_depacketize(packets) -> Optional[np.ndarray]:
-    """Strip sync bytes, concatenate 187-byte payloads; None if not whole."""
+    """Strip sync bytes, concatenate 187-byte payloads; None if not whole or
+    if any sync byte is wrong (post-un-dispersal every packet must lead with
+    0x47 — the validation that makes sync bytes worth transmitting)."""
     p = np.asarray(packets, np.uint8)
     if p.size == 0 or p.size % TS_PACKET_LEN != 0:
         return None
-    return p.reshape(-1, TS_PACKET_LEN)[:, 1:].reshape(-1).copy()
+    rows = p.reshape(-1, TS_PACKET_LEN)
+    if not np.all(rows[:, 0] == TS_SYNC_BYTE):
+        return None
+    return rows[:, 1:].reshape(-1).copy()
