@@ -103,7 +103,8 @@ def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8):
     from ..message import unpack77 as _unpack
     from ..sync.ft8_sync import ft8_sync_batch, ft4_sync_batch
 
-    windows = np.asarray(windows, dtype=np.complex64)
+    from ..dsp.device import sanitize_iq
+    windows = sanitize_iq(windows)
     assert windows.ndim == 2
     ht = hash_table if hash_table is not None else CallsignHashTable()
     spacing = FT8_TONE_SPACING_HZ if ft8 else FT4_TONE_SPACING_HZ
