@@ -54,31 +54,38 @@ class DvbTFrameStreamDemod:
         return self._drain()
 
     def flush(self) -> List[Union[DvbTRxFrame, DvbTRxError]]:
-        return self._drain()
+        # end of stream: no more samples are coming, so attempt frames
+        # without the one-symbol look-ahead margin
+        return self._drain(final=True)
 
-    def _drain(self):
+    def _drain(self, final: bool = False):
         out = []
         while True:
-            step = self._try_one_frame()
+            step = self._try_one_frame(final)
             if step is None:
                 return out
             result, consume_to = step
             self._buf = self._buf[consume_to:]
             out.append(result)
 
-    def _try_one_frame(self):
+    def _try_one_frame(self, final: bool = False):
         cp_len = self.sps - DVB_T_N_FFT
-        need = self.sps + self._frame_samples()
+        need = self._frame_samples() + (0 if final else self.sps)
         if len(self._buf) < need:
             return None
         acq = dvb_t_gi_sync(self._buf, DVB_T_N_FFT, cp_len, self.demod.fs,
                             self.sps)
+        # score < 0.2 corresponds to ≈ −6 dB SNR — far below any decodable
+        # operating point; treating weak locks as noise prevents dead-air
+        # decode attempts from consuming samples that belong to a later frame
+        if acq is not None and acq.score < 0.2:
+            acq = None
         if acq is None:
             # no lock at the front (a silent/blanked gap): keep only the
             # last frame-plus-lookahead so the receiver re-syncs when signal
             # returns instead of holding a growing dead buffer — the GI
             # metric only examines the front of the buffer
-            keep = need + self.sps
+            keep = need + 4 * self.sps   # margin for a few short skips
             if len(self._buf) > keep:
                 self._buf = self._buf[len(self._buf) - keep:]
             return None

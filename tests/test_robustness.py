@@ -86,3 +86,34 @@ def test_ts_depacketize_validates_sync_bytes():
     bad = pk.copy()
     bad[0] = 0x00
     assert ts_depacketize(bad) is None
+
+
+def test_dvb_t_stream_soak_frames_through_noise_gaps():
+    """Production streaming: frames separated by odd-length noise gaps must
+    ALL decode, including the last one at flush (no look-ahead available)."""
+    rng = np.random.default_rng(0)
+    link = sdr.DvbTLinkParams(guard="1/32", constellation="qpsk",
+                              code_rate="1/2")
+    payloads, pieces = [], []
+    n_sym = None
+    for i in range(4):
+        params = sdr.DvbTFrameParams(link, i % 4, 10 + i)
+        pl = bytes(rng.integers(0, 256, 150).astype(np.uint8))
+        f = sdr.DvbTFrameMod(params).modulate(pl)
+        n_sym = f.n_symbols
+        payloads.append(pl)
+        gap = (rng.standard_normal(5000 + 1237 * i) * 0.01
+               ).astype(np.complex64)
+        pieces += [gap, np.asarray(f.iq)]
+    pieces.append(np.zeros(4300, np.complex64))
+    run = np.concatenate(pieces)
+    rx = sdr.DvbTFrameStreamDemod(sdr.DvbTFrameParams(link, 0, 10), n_sym,
+                                  150)
+    got = []
+    for chunk in np.array_split(run, 23):
+        got += rx.feed(chunk)
+    got += rx.flush()
+    frames = [g for g in got if hasattr(g, "payload")]
+    assert len(frames) == 4
+    assert [g.tps.cell_id for g in frames] == [10, 11, 12, 13]
+    assert all(bytes(fr.payload) == p for fr, p in zip(frames, payloads))
