@@ -311,6 +311,12 @@ class OfdmFrameStreamDemod:
                          len(self._buf))
         passing = [r for r in sync if r.score >= self.score_threshold]
         if not passing:
+            # nothing acquirable in the buffer: keep only a tail long enough
+            # to hold a preamble straddling the feed boundary, so dead air
+            # neither grows the buffer nor makes every re-sync more expensive
+            keep = pre_len + (n_fft + cp_len) * 4
+            if len(self._buf) > keep:
+                self._buf = self._buf[len(self._buf) - keep:]
             return None
         # Earliest among near-equal top scores: the sliding-sum metric can
         # jitter by an LSB between identical preambles, and decoding a LATER

@@ -117,3 +117,27 @@ def test_dvb_t_stream_soak_frames_through_noise_gaps():
     assert len(frames) == 4
     assert [g.tps.cell_id for g in frames] == [10, 11, 12, 13]
     assert all(bytes(fr.payload) == p for fr, p in zip(frames, payloads))
+
+
+def test_ofdm_stream_noise_buffer_bounded_and_straddle_recovers():
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig
+    from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+    plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+    cfg = OfdmConfig(plan, fs=1e6)
+    pre = OfdmPreamble(repeat_len=128, num_repeats=4).with_training_symbol(
+        256, 64)
+    table = sdr.McsTable.default_ladder()
+    rx = sdr.OfdmFrameStreamDemod(cfg, table, pre)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        rx.feed((rng.standard_normal(200000) +
+                 1j * rng.standard_normal(200000)
+                 ).astype(np.complex64) * 0.1)
+    assert len(rx) < 10000            # trimmed, not accumulating
+    p = rng.integers(0, 256, 90).astype(np.uint8)
+    iq = np.asarray(sdr.OfdmFrameMod(cfg, table, pre).modulate_frame(
+        sdr.FramePacket(sdr.FrameMetadata(2, 1), p), 0))
+    got = rx.feed(iq[:300]) + rx.feed(iq[300:]) + rx.flush()
+    assert any(hasattr(g, "packet") and np.array_equal(g.packet.payload, p)
+               for g in got)
