@@ -141,3 +141,11 @@ def test_ofdm_stream_noise_buffer_bounded_and_straddle_recovers():
     got = rx.feed(iq[:300]) + rx.feed(iq[300:]) + rx.flush()
     assert any(hasattr(g, "packet") and np.array_equal(g.packet.payload, p)
                for g in got)
+
+
+def test_psk31_stream_nan_then_text():
+    s = sdr.Psk31Stream.new_bpsk(8000.0)
+    assert s.feed(np.full(60000, np.nan + 1j * np.nan, np.complex64)) == ""
+    iq = np.asarray(sdr.bpsk31_mod_text("CQ CQ DE K5TPU", 8000.0))
+    text = s.feed(iq) + s.feed(np.zeros(4000, np.complex64))
+    assert "CQ CQ DE K5TPU" in text
