@@ -107,6 +107,7 @@ from . import frame
 from .frame import (
     FramePacket, FrameMetadata, RxError, Mcs, McsTable, CodecCache,
     OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
+    OuterFec, InnerFec, InterleaverKind, ScramblerKind,
 )
 
 # ── DVB-T 2K / NB-DVB-T ─────────────────────────────────────────────────────

@@ -40,6 +40,11 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
 
     ``estimate``: optional (n_fft,) channel for per-bin ZF equalization
     (the streaming training-symbol-hold path); None = flat channel.
+    When ``cfg.equalizer_method == 'pilot_interp'`` and the plan carries
+    pilots, the channel is instead re-estimated EVERY symbol by linear
+    interpolation between the plan's pilot bins (ref
+    EqualizerMethod::PerSymbolPilotInterp, demodulate/ofdm.rs:241-448) —
+    here one MXU interpolation matmul over the whole symbol run.
     """
     g = CarrierGrid(cfg.carrier_plan)
     sps = g.n_fft + g.cp_len
@@ -49,7 +54,12 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
     z = z[..., : n_symbols * sps]
     freq = symbol_fft(z, g.n_fft, g.cp_len, backoff=cfg.rx_window_backoff,
                       n_symbols=n_symbols)
-    if estimate is not None:
+    if cfg.equalizer_method == "pilot_interp" and g.pilot_bins.size:
+        from ..ofdm import channel_estimate_pilots
+        known = (g.pilot_values * np.complex64(cfg.gain))
+        est = channel_estimate_pilots(freq, g.pilot_bins, known, g.n_fft)
+        freq = zf_equalize(freq, est)
+    elif estimate is not None:
         freq = zf_equalize(freq, jnp.asarray(estimate))
     syms = grid_extract(g, freq)
     flat = syms.reshape(syms.shape[:-2] + (-1,))

@@ -41,21 +41,33 @@ class OfdmConfig:
     rf_hz: float = 0.0
     gain: float = 1.0
     constellation: str = "qpsk"
+    # channel equalization method on the frame RX path: 'training_symbol'
+    # (one estimate per packet, held — ref EqualizerMethod default,
+    # demodulate/ofdm.rs:241-266) or 'pilot_interp' (re-estimated every
+    # symbol by linear interpolation between the plan's pilot bins).
+    equalizer_method: str = "training_symbol"
     rx_window_backoff: int = 0
     tx_lowpass: Optional[TxLowpass] = None
     # frame-layer fields (orion_sdr_tpu.frame); defaults mirror the reference
+    outer_fec: object = None             # frame.types.OuterFec
+    inner_fec: object = None             # frame.types.InnerFec
     outer_interleaver: object = None     # frame.types.InterleaverKind
     inner_interleaver: object = None
     header_format: str = "orion_sdr"
     payload_crc: str = "crc32"
-    header_crc: str = "crc32"
+    header_crc: str = "crc16"   # ref default (modulate/ofdm.rs:158)
     scrambler: object = None             # frame.types.ScramblerKind
     scrambler_pos: str = "before_outer_fec"
     ldpc_decode_rule: str = "sum_product"
     dvb_t_scattered: bool = False
 
     def __post_init__(self):
-        from .frame.types import InterleaverKind, ScramblerKind
+        from .frame.types import (InterleaverKind, ScramblerKind, OuterFec,
+                                  InnerFec)
+        if self.outer_fec is None:
+            object.__setattr__(self, "outer_fec", OuterFec.none())
+        if self.inner_fec is None:
+            object.__setattr__(self, "inner_fec", InnerFec.none())
         if self.outer_interleaver is None:
             object.__setattr__(self, "outer_interleaver", InterleaverKind.none())
         if self.inner_interleaver is None:
@@ -64,6 +76,21 @@ class OfdmConfig:
             object.__setattr__(self, "scrambler", ScramblerKind.none())
 
     # builder-style helpers (ref with_* builders, modulate/ofdm.rs:171-310)
+    def with_fs(self, fs: float):
+        """Sets the sample rate (ref modulate/ofdm.rs:171) — e.g. a DVB-T
+        caller selects an NB bandwidth mode with
+        ``cfg.with_fs(NbBandwidth.BW_1MHZ.fs())``."""
+        return replace(self, fs=fs)
+
+    def with_outer_fec(self, outer_fec):
+        """Config-surface outer FEC (ref modulate/ofdm.rs:176-180; carried by
+        the config and checked by :meth:`validate` — the frame layer's
+        per-frame FEC selection is the Mcs table)."""
+        return replace(self, outer_fec=outer_fec)
+
+    def with_inner_fec(self, inner_fec):
+        return replace(self, inner_fec=inner_fec)
+
     def with_outer_interleaver(self, il):
         return replace(self, outer_interleaver=il)
 
@@ -94,8 +121,50 @@ class OfdmConfig:
     def with_rx_window_backoff(self, backoff: int):
         return replace(self, rx_window_backoff=backoff)
 
+    def with_equalizer_method(self, method: str):
+        """'training_symbol' (default) or 'pilot_interp' (per-symbol linear
+        interpolation between the plan's pilot bins — the opt-in for
+        time-varying channels; ref EqualizerMethod, demodulate/ofdm.rs:241-266
+        and python/ofdm.rs:505-532)."""
+        return replace(self, equalizer_method=method)
+
     def with_tx_lowpass(self, lowpass):
         return replace(self, tx_lowpass=lowpass)
+
+    def with_tx_lowpass_null_band(self, num_taps: int, stopband_db: float):
+        """Convenience TX mask centred in the unoccupied band above the plan's
+        edge (ref modulate/ofdm.rs:309 → TxLowpass::for_null_band)."""
+        lowpass = TxLowpass.for_null_band(
+            self.carrier_plan.n_fft,
+            self.carrier_plan.occupied_half_carriers(),
+            num_taps, stopband_db)
+        return self.with_tx_lowpass(lowpass)
+
+    def with_symbol_window(self, roll_off: int):
+        """TX symbol windowing: `roll_off`-sample raised-cosine taper per
+        symbol edge on the carrier plan; 0 disables (ref
+        modulate/ofdm.rs:256-264). RX-transparent only with a compatible
+        ``rx_window_backoff`` (roll_off ≤ cp_len/2, backoff = cp_len/2)."""
+        return replace(self,
+                       carrier_plan=self.carrier_plan.with_window_roll_off(roll_off))
+
+    def with_symbol_window_beta_guard(self, beta: float):
+        """Roll-off as a fraction of the guard: round(beta·cp_len), beta
+        clamped to [0, 0.5] — 0.5 is the max RX-transparent taper (ref
+        modulate/ofdm.rs:266-272)."""
+        cp_len = self.carrier_plan.cp_len
+        roll_off = int(round(min(max(beta, 0.0), 0.5) * cp_len))
+        return self.with_symbol_window(roll_off)
+
+    def with_symbol_window_beta_tu(self, beta: float):
+        """Roll-off as a fraction of the useful symbol Tu (n_fft) — the
+        DVB-family windowing-table convention (ref modulate/ofdm.rs:275-281).
+        Clamped so 2·roll_off does not exceed the symbol length."""
+        n_fft = self.carrier_plan.n_fft
+        roll_off = int(round(max(beta, 0.0) * n_fft))
+        sym = n_fft + self.carrier_plan.cp_len
+        roll_off = min(roll_off, sym // 2)
+        return self.with_symbol_window(roll_off)
 
     def bits_per_ofdm_symbol(self) -> int:
         return self.carrier_plan.num_data_carriers() * BITS_PER_SYMBOL[self.constellation]
@@ -113,12 +182,39 @@ class OfdmConfig:
             raise ValueError("fs must be positive")
         if self.constellation not in BITS_PER_SYMBOL:
             raise ValueError(f"unknown constellation {self.constellation!r}")
+        if self.equalizer_method not in ("training_symbol", "pilot_interp"):
+            raise ValueError(
+                f"unknown equalizer {self.equalizer_method!r} "
+                "(expected 'training_symbol' or 'pilot_interp')")
         if not (0 <= self.rx_window_backoff <= self.carrier_plan.cp_len):
             raise ValueError("rx_window_backoff must be within the cyclic prefix")
         if self.tx_lowpass is not None and not self.tx_lowpass.transition_fits(
                 self.carrier_plan.n_fft,
                 self.carrier_plan.occupied_half_carriers()):
             raise ValueError("tx_lowpass transition does not fit the null band")
+        # frame-layer checks (ref modulate/ofdm.rs:332-358)
+        from .frame.types import header_has_block
+        if (getattr(self.scrambler, "kind", "none") == "additive"
+                and getattr(self.scrambler, "seed_mode", "fixed") == "per_frame"
+                and not header_has_block(self.header_format)):
+            raise ValueError(
+                "per-frame-random scrambler seed needs a header block to "
+                "carry it to the receiver")
+        for il in (self.outer_interleaver, self.inner_interleaver):
+            kind = getattr(il, "kind", "none")
+            if kind == "block" and (il.rows == 0 or il.cols == 0):
+                raise ValueError("interleaver dimensions must be nonzero")
+            if kind == "conv" and (il.branches == 0 or il.depth == 0):
+                raise ValueError("interleaver dimensions must be nonzero")
+        ofec = self.outer_fec
+        okind = getattr(ofec, "kind", "none")
+        if okind == "bch" and ofec.t == 0:
+            raise ValueError("BCH t must be nonzero")
+        if okind == "rs":
+            n, n_parity = ofec.n, ofec.n_parity
+            if (n == 0 or n > 255 or n_parity == 0 or n_parity >= n
+                    or n_parity % 2 != 0):
+                raise ValueError("invalid Reed-Solomon (n, n_parity) config")
 
 
 # ── TX ───────────────────────────────────────────────────────────────────────

@@ -145,3 +145,59 @@ def test_reference_dropin_wrappers():
     sdr.OfdmFrameDemod(cfg, sdr.McsTable.default_ladder(), cache=cache)
     sdr.OfdmFrameStreamDemod(cfg, sdr.McsTable.default_ladder(), pre,
                              cache=cache)
+
+
+def test_ofdm_config_builder_parity():
+    """The reference's full with_* builder surface (modulate/ofdm.rs:171-310)
+    plus its validate() checks (:332-358)."""
+    import pytest
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig
+    from orion_sdr_tpu.frame import OuterFec, InnerFec, InterleaverKind, \
+        ScramblerKind
+
+    plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=24)
+    cfg = OfdmConfig(plan, fs=1e6)
+    assert cfg.header_crc == "crc16"      # ref default (modulate/ofdm.rs:158)
+
+    c = cfg.with_fs(2e6)
+    assert c.fs == 2e6
+    c = cfg.with_outer_fec(OuterFec.bch(8)).with_inner_fec(
+        InnerFec.ldpc("N512R12"))
+    assert c.outer_fec.kind == "bch" and c.inner_fec.kind == "ldpc"
+    c.validate()
+
+    # symbol-window conventions: raw samples, beta·guard, beta·Tu
+    assert cfg.with_symbol_window(16).carrier_plan.window_roll_off == 16
+    assert cfg.with_symbol_window_beta_guard(
+        0.5).carrier_plan.window_roll_off == 32     # cp_len/2, max transparent
+    assert cfg.with_symbol_window_beta_guard(
+        9.0).carrier_plan.window_roll_off == 32     # clamped to 0.5
+    assert cfg.with_symbol_window_beta_tu(
+        0.05).carrier_plan.window_roll_off == round(0.05 * 256)
+
+    c = cfg.with_tx_lowpass_null_band(45, 60.0)
+    assert c.tx_lowpass is not None and c.tx_lowpass.num_taps == 45
+    c.validate()
+
+    # equalizer method selection (demodulate/ofdm.rs:241-266)
+    assert cfg.equalizer_method == "training_symbol"
+    assert cfg.with_equalizer_method(
+        "pilot_interp").equalizer_method == "pilot_interp"
+    with pytest.raises(ValueError):
+        cfg.with_equalizer_method("bogus").validate()
+
+    # validate() rejections (ref FrameConfigError, modulate/ofdm.rs:332-358)
+    with pytest.raises(ValueError):   # per-frame seed needs a header block
+        cfg.with_scrambler(ScramblerKind.additive(0b1001, 15, per_frame=True)
+                           ).with_header_format("no_header").validate()
+    with pytest.raises(ValueError):   # zero interleaver dims
+        cfg.with_inner_interleaver(InterleaverKind.block(0, 8)).validate()
+    with pytest.raises(ValueError):
+        cfg.with_outer_interleaver(
+            InterleaverKind.convolutional(12, 0)).validate()
+    with pytest.raises(ValueError):   # zero BCH t
+        cfg.with_outer_fec(OuterFec.bch(0)).validate()
+    for n, p in ((0, 16), (300, 16), (204, 0), (10, 12), (204, 15)):
+        with pytest.raises(ValueError):   # bad RS configs incl. odd parity
+            cfg.with_outer_fec(OuterFec.reed_solomon(n, p)).validate()

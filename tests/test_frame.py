@@ -354,3 +354,67 @@ def test_frame_fer_zero_at_noise_0p2(concat):
         except RxError:
             fails += 1
     assert fails == 0, f"{fails}/{n_frames} frames failed at noise 0.2"
+
+
+# ── per-symbol pilot-interp equalizer on the generic frame path ──────────────
+
+def _pilot_link(**cfg_kw):
+    """Pilot-bearing generic plan: pilots every 8 carriers BRACKETING the
+    contiguous data span (like DVB-T's edge continual pilots) — data bins
+    beyond the outermost pilots would interpolate across the natural-bin-order
+    wrap gap, degenerate in the reference too (interpolate_at,
+    demodulate/ofdm.rs:392-426)."""
+    plan = (CarrierPlan(256, 64)
+            .with_pilot_carriers([(i, 1.0 + 0j) for i in range(-100, 101, 8)])
+            .with_contiguous_data(edge_guard=27))
+    cfg = OfdmConfig(plan, fs=FS, **cfg_kw)
+    pre = OfdmPreamble(repeat_len=128, num_repeats=4).with_training_symbol(
+        plan.n_fft, plan.cp_len)
+    return cfg, pre
+
+
+def test_pilot_interp_load_bearing_multipath():
+    """Pilot interpolation is selectable — and load-bearing — on the GENERIC
+    frame path (ref EqualizerMethod::PerSymbolPilotInterp,
+    demodulate/ofdm.rs:241-448): a frequency-selective multipath capture
+    decodes with 'pilot_interp' and fails with the flat/held estimate,
+    mirroring the reference's scattered-vs-continual pair (docs/dvb.md:329-338)."""
+    table = McsTable.default_ladder()
+    payload = _payload(150, 77)
+    cfg_hold, pre = _pilot_link()
+    cfg_pi = cfg_hold.with_equalizer_method("pilot_interp")
+    cfg_pi.validate()
+    iq = _frame_iq(cfg_hold, pre, table, payload, mcs=2)
+    h = np.zeros(8, np.complex64)
+    h[0], h[5] = 1.0, 0.55 * np.exp(1j * 1.9)
+    body = np.convolve(iq, h)[pre.total_len():].astype(np.complex64)
+    out = OfdmFrameDemod(cfg_pi, table).decode(body)
+    assert np.array_equal(out.payload, payload)
+    with pytest.raises(RxError):
+        OfdmFrameDemod(cfg_hold, table).decode(body)
+
+
+def test_stream_pilot_interp_tracks_drifting_channel():
+    """A channel that drifts WITHIN the packet: the training-symbol-hold
+    estimate goes stale (ref rationale, demodulate/ofdm.rs:262-266) while
+    per-symbol pilot re-estimation tracks it."""
+    table = McsTable.default_ladder()
+    payload = _payload(150, 78)
+    cfg_hold, pre = _pilot_link()
+    cfg_pi = cfg_hold.with_equalizer_method("pilot_interp")
+    iq = _frame_iq(cfg_hold, pre, table, payload, mcs=2)
+    # two-tap channel whose echo phase rotates across the capture
+    delayed = np.concatenate([np.zeros(5, np.complex64), iq[:-5]])
+    drift = np.exp(1j * np.linspace(0.0, 2.0 * np.pi, len(iq))
+                   ).astype(np.complex64)
+    rx = (iq + 0.55 * delayed * drift).astype(np.complex64)
+
+    s_pi = OfdmFrameStreamDemod(cfg_pi, table, pre)
+    res = s_pi.feed(rx) + s_pi.flush()
+    ok = [r for r in res if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
+
+    s_hold = OfdmFrameStreamDemod(cfg_hold, table, pre)
+    res = s_hold.feed(rx) + s_hold.flush()
+    assert not any(hasattr(r, "packet") and
+                   np.array_equal(r.packet.payload, payload) for r in res)
