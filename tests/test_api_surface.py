@@ -201,3 +201,24 @@ def test_ofdm_config_builder_parity():
     for n, p in ((0, 16), (300, 16), (204, 0), (10, 12), (204, 15)):
         with pytest.raises(ValueError):   # bad RS configs incl. odd parity
             cfg.with_outer_fec(OuterFec.reed_solomon(n, p)).validate()
+
+
+def test_typed_stub_covers_flat_namespace():
+    """PEP 561 stub parity (ref python/orion_sdr/__init__.pyi): the generated
+    stub parses and declares every public flat-namespace symbol."""
+    import ast, os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "orion_sdr_tpu", "__init__.pyi")
+    tree = ast.parse(open(path).read())
+    declared = set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+            declared.add(node.name)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            declared.add(node.target.id)
+        elif isinstance(node, ast.ImportFrom):
+            declared.update(a.asname or a.name for a in node.names)
+    public = {n for n in dir(sdr) if not n.startswith("_")}
+    missing = public - declared - {"ofdm_mod_api"}
+    assert not missing, f"stub missing: {sorted(missing)}"
+    assert os.path.exists(os.path.join(root, "orion_sdr_tpu", "py.typed"))
