@@ -6,6 +6,15 @@
 // the high end of the 255-frame. Per-codeword decode is sequential
 // (BM + Chien + Forney); the batch loop is the parallel axis.
 //
+// Perf layout (v2): every hot loop is branchless table algebra over a
+// 64 KB full GF multiplication table — syndromes run Horner with a per-root
+// row pointer (acc = MUL[α^j][acc] ^ r[p]; 2 L1 ops/byte, no modulo, no
+// zero-test), the Chien search steps per-coefficient rows instead of
+// re-evaluating σ, and binary-BCH even syndromes come from S_{2j} = S_j²
+// (frobenius), halving the syndrome work. The v1 code computed
+// exp[(j·deg) % 255] per nonzero byte — an integer divide in the innermost
+// loop, which measured BELOW the reference's single-core Rust.
+//
 // C ABI for ctypes. Build: g++ -O3 -shared -fPIC (see native/__init__.py).
 
 #include <algorithm>
@@ -19,8 +28,8 @@ namespace {
 
 // Codewords are independent → split the batch across hardware threads.
 // (The reference is single-core by design; this is the native runtime's
-// free parallel axis.) Small batches stay single-threaded: spawn cost
-// would dominate.
+// free parallel axis — a no-op on a 1-core host.) Small batches stay
+// single-threaded: spawn cost would dominate.
 void parallel_rows(int batch, const std::function<void(int, int)>& fn) {
     unsigned hw = std::thread::hardware_concurrency();
     int nt = (int)std::min<unsigned>(hw ? hw : 1u, 16u);
@@ -45,6 +54,9 @@ constexpr int ORDER = 255;
 struct Tables {
     uint8_t exp[512];
     uint8_t log[256];
+    // full multiplication table: MUL[a][b] = a·b in GF(2^8). 64 KB; the hot
+    // loops touch only the ~2t rows MUL[α^j], which stay L1-resident.
+    uint8_t mul[256][256];
     Tables() {
         int x = 1;
         for (int i = 0; i < ORDER; ++i) {
@@ -56,16 +68,25 @@ struct Tables {
         for (int i = ORDER; i < 510; ++i) exp[i] = exp[i - ORDER];
         exp[510] = exp[511] = 0;
         log[0] = 0;
+        for (int a = 0; a < 256; ++a) {
+            mul[0][a] = mul[a][0] = 0;
+        }
+        for (int a = 1; a < 256; ++a)
+            for (int b = 1; b < 256; ++b)
+                mul[a][b] = exp[log[a] + log[b]];
     }
 };
 const Tables GF;
 
-inline uint8_t gmul(uint8_t a, uint8_t b) {
-    if (a == 0 || b == 0) return 0;
-    return GF.exp[GF.log[a] + GF.log[b]];
-}
+inline uint8_t gmul(uint8_t a, uint8_t b) { return GF.mul[a][b]; }
 
 inline uint8_t ginv(uint8_t a) { return GF.exp[ORDER - GF.log[a]]; }
+
+// row pointer for multiply-by-constant: y = MROW(c)[x]
+inline const uint8_t* MROW(uint8_t c) { return GF.mul[c]; }
+
+// α^e for any non-negative e
+inline uint8_t apow(long e) { return GF.exp[e % ORDER]; }
 
 // Berlekamp–Massey. start = 0 (RS: s[0..2t-1]) or 1 (BCH: s[1..2t]).
 // s has length 2t+start. sigma out is low-degree-first, length <= t+1.
@@ -80,23 +101,21 @@ int berlekamp_massey(const uint8_t* s, int t, int start, uint8_t* sigma_out,
     for (int n = n_lo; n < n_hi; ++n) {
         int delta = s[n];
         for (int i = 1; i <= l && i < cap; ++i)
-            if (sigma[i]) delta ^= gmul(sigma[i], s[n - i]);
+            delta ^= gmul(sigma[i], s[n - i]);
         bool cond = start == 1 ? (2 * l < n) : (2 * l <= n);
         if (delta == 0) {
             ++m;
         } else if (cond) {
             tmp = sigma;
-            uint8_t coef = (uint8_t)delta;
-            for (int i = 0; i + m < cap; ++i)
-                if (b[i]) sigma[i + m] ^= gmul(coef, b[i]);
+            const uint8_t* md = MROW((uint8_t)delta);
+            for (int i = 0; i + m < cap; ++i) sigma[i + m] ^= md[b[i]];
             l = start == 1 ? (n - l) : (n + 1 - l);
-            uint8_t inv = ginv(coef);
-            for (int i = 0; i < cap; ++i) b[i] = gmul(tmp[i], inv);
+            const uint8_t* mi = MROW(ginv((uint8_t)delta));
+            for (int i = 0; i < cap; ++i) b[i] = mi[tmp[i]];
             m = 1;
         } else {
-            uint8_t coef = (uint8_t)delta;
-            for (int i = 0; i + m < cap; ++i)
-                if (b[i]) sigma[i + m] ^= gmul(coef, b[i]);
+            const uint8_t* md = MROW((uint8_t)delta);
+            for (int i = 0; i + m < cap; ++i) sigma[i + m] ^= md[b[i]];
             ++m;
         }
     }
@@ -109,8 +128,49 @@ int berlekamp_massey(const uint8_t* s, int t, int start, uint8_t* sigma_out,
 
 inline uint8_t poly_eval(const uint8_t* p, int len, uint8_t x) {
     uint8_t acc = 0;
-    for (int i = len - 1; i >= 0; --i) acc = (uint8_t)(gmul(acc, x) ^ p[i]);
+    const uint8_t* mx = MROW(x);
+    for (int i = len - 1; i >= 0; --i) acc = (uint8_t)(mx[acc] ^ p[i]);
     return acc;
+}
+
+// S_j = Σ_p r[p]·α^{j·deg(p)}, deg(p) = n-1-p+shift — as Horner with the
+// MUL[α^j] row (branchless, 2 L1 loads/byte) then one α^{j·shift} twist.
+// All 2t accumulator chains advance interleaved in ONE pass over the bytes:
+// a single Horner chain is a serial string of dependent L1 loads
+// (latency-bound at ~5 cycles/byte); 2t independent chains pipeline to the
+// load-port limit instead.
+constexpr int MAX_SYN = 64;
+
+void rs_syndromes_all(const uint8_t* r, int n, int shift, int n_parity,
+                      uint8_t* s) {
+    uint8_t acc[MAX_SYN] = {0};
+    const uint8_t* rows[MAX_SYN];
+    for (int j = 0; j < n_parity; ++j) rows[j] = MROW(apow(j));
+    for (int p = 0; p < n; ++p) {
+        uint8_t rp = r[p];
+        for (int j = 0; j < n_parity; ++j)
+            acc[j] = (uint8_t)(rows[j][acc[j]] ^ rp);
+    }
+    for (int j = 0; j < n_parity; ++j)
+        s[j] = gmul(acc[j], apow((long)j * shift));
+}
+
+// binary-input variant (bits 0/1 in bytes); computes the ODD syndromes
+// s[1], s[3], … s[2t-1] only (evens are frobenius squares of these).
+void bch_syndromes_odd(const uint8_t* r, int n, int shift, int t,
+                       uint8_t* s) {
+    uint8_t acc[MAX_SYN] = {0};
+    const uint8_t* rows[MAX_SYN];
+    for (int i = 0; i < t; ++i) rows[i] = MROW(apow(2 * i + 1));
+    for (int p = 0; p < n; ++p) {
+        uint8_t rp = (uint8_t)(r[p] & 1);
+        for (int i = 0; i < t; ++i)
+            acc[i] = (uint8_t)(rows[i][acc[i]] ^ rp);
+    }
+    for (int i = 0; i < t; ++i) {
+        int j = 2 * i + 1;
+        s[j] = gmul(acc[i], apow((long)j * shift));
+    }
 }
 
 }  // namespace
@@ -129,7 +189,7 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
 
     parallel_rows(batch, [=](int row_lo, int row_hi) {
     std::vector<uint8_t> s(n_parity), sigma(cap), omega(n_parity),
-        deriv(cap), word(n);
+        deriv(cap), word(n), cterm(cap);
 
     for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;
@@ -137,18 +197,9 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         std::memcpy(o, r, k);
         ok[bi] = 0;
 
-        // syndromes: S_j = Σ_p r[p] · α^(j·deg(p)), deg(p) = n-1-p+shift
+        rs_syndromes_all(r, n, shift, n_parity, s.data());
         bool any = false;
-        for (int j = 0; j < n_parity; ++j) {
-            uint8_t acc = 0;
-            for (int p = 0; p < n; ++p) {
-                if (!r[p]) continue;
-                int deg = (n - 1 - p + shift);
-                acc ^= gmul(r[p], GF.exp[((long)j * deg) % ORDER]);
-            }
-            s[j] = acc;
-            any |= acc != 0;
-        }
+        for (int j = 0; j < n_parity; ++j) any |= s[j] != 0;
         if (!any) {
             ok[bi] = 1;
             continue;
@@ -158,22 +209,29 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         int sdeg = berlekamp_massey(s.data(), t, 0, sigma.data(), cap);
         if (sdeg > t) continue;
 
-        // Chien: error at code degree i where σ(α^{-i}) == 0
+        // Chien over all 255 degrees, stepping σ's coefficients by α^{-m}
+        // per degree (terms for σ(α^{-i}): c_m = σ_m·α^{-m·i}).
         int err_deg[64];
         int n_err = 0;
-        for (int i = 0; i < ORDER && n_err <= t; ++i) {
-            uint8_t xinv = GF.exp[(ORDER - i % ORDER) % ORDER];
-            if (poly_eval(sigma.data(), sdeg + 1, xinv) == 0)
-                err_deg[n_err++] = i;
+        for (int m = 0; m <= sdeg; ++m) cterm[m] = sigma[m];
+        // early exit: a degree-sdeg σ has at most sdeg distinct roots
+        for (int i = 0; i < ORDER && n_err < sdeg; ++i) {
+            uint8_t v = 0;
+            for (int m = 0; m <= sdeg; ++m) v ^= cterm[m];
+            if (v == 0) err_deg[n_err++] = i;
+            for (int m = 1; m <= sdeg; ++m)
+                cterm[m] = GF.mul[GF.exp[ORDER - m]][cterm[m]];
         }
         if (n_err != sdeg) continue;
 
         // Forney: Ω = S·σ mod x^(2t); σ' = odd terms
         std::fill(omega.begin(), omega.end(), 0);
         for (int i = 0; i < n_parity; ++i)
-            if (s[i])
+            if (s[i]) {
+                const uint8_t* ms = MROW(s[i]);
                 for (int j = 0; j <= sdeg && i + j < n_parity; ++j)
-                    if (sigma[j]) omega[i + j] ^= gmul(s[i], sigma[j]);
+                    omega[i + j] ^= ms[sigma[j]];
+            }
         std::fill(deriv.begin(), deriv.end(), 0);
         for (int kk = 1; kk <= sdeg; kk += 2) deriv[kk - 1] = sigma[kk];
 
@@ -181,7 +239,7 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         bool bad = false;
         for (int e = 0; e < n_err; ++e) {
             int i = err_deg[e];
-            uint8_t x = GF.exp[i % ORDER];
+            uint8_t x = apow(i);
             uint8_t x_inv = ginv(x);
             uint8_t ov = poly_eval(omega.data(), n_parity, x_inv);
             uint8_t dv = poly_eval(deriv.data(), sdeg > 0 ? sdeg : 1, x_inv);
@@ -192,17 +250,10 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         }
         if (bad) continue;
 
-        // residual check
+        // residual check on the corrected word
+        rs_syndromes_all(word.data(), n, shift, n_parity, s.data());
         bool resid = false;
-        for (int j = 0; j < n_parity && !resid; ++j) {
-            uint8_t acc = 0;
-            for (int p = 0; p < n; ++p) {
-                if (!word[p]) continue;
-                int deg = (n - 1 - p + shift);
-                acc ^= gmul(word[p], GF.exp[((long)j * deg) % ORDER]);
-            }
-            resid = acc != 0;
-        }
+        for (int j = 0; j < n_parity; ++j) resid |= s[j] != 0;
         if (resid) continue;
         std::memcpy(o, word.data(), k);
         ok[bi] = 1;
@@ -218,7 +269,7 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
     const int cap = t + 2;
 
     parallel_rows(batch, [=](int row_lo, int row_hi) {
-    std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n);
+    std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n), cterm(cap);
 
     for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;
@@ -226,16 +277,13 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         for (int i = 0; i < k; ++i) o[i] = r[i] & 1;
         ok[bi] = 0;
 
+        // odd syndromes by interleaved Horner; even by frobenius S_{2j} = S_j²
+        bch_syndromes_odd(r, n, shift, t, s.data());
         bool any = false;
-        for (int j = 1; j <= 2 * t; ++j) {
-            uint8_t acc = 0;
-            for (int p = 0; p < n; ++p) {
-                if (!(r[p] & 1)) continue;
-                int deg = (n - 1 - p + shift);
-                acc ^= GF.exp[((long)j * deg) % ORDER];
-            }
-            s[j] = acc;
-            any |= acc != 0;
+        for (int j = 1; j <= 2 * t; j += 2) any |= s[j] != 0;
+        for (int j = 2; j <= 2 * t; j += 2) {
+            s[j] = gmul(s[j / 2], s[j / 2]);
+            any |= s[j] != 0;
         }
         if (!any) {
             ok[bi] = 1;
@@ -244,32 +292,29 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
 
         std::fill(sigma.begin(), sigma.end(), 0);
         int sdeg = berlekamp_massey(s.data(), t, 1, sigma.data(), cap);
-        (void)sdeg;
 
         for (int i = 0; i < n; ++i) word[i] = r[i] & 1;
         int n_found = 0;
+        for (int m = 0; m < cap; ++m) cterm[m] = sigma[m];
         for (int d = 0; d < ORDER; ++d) {
-            uint8_t xinv = GF.exp[(ORDER - d % ORDER) % ORDER];
-            if (poly_eval(sigma.data(), cap, xinv) != 0) continue;
-            if (shift <= d && d <= n - 1 + shift) {
+            uint8_t v = 0;
+            for (int m = 0; m < cap; ++m) v ^= cterm[m];
+            if (v == 0 && shift <= d && d <= n - 1 + shift) {
                 int p = n - 1 + shift - d;
                 if (p < n) {
                     word[p] ^= 1;
                     ++n_found;
                 }
             }
+            for (int m = 1; m < cap; ++m)
+                cterm[m] = GF.mul[GF.exp[ORDER - m]][cterm[m]];
         }
+        (void)sdeg;
 
+        // odd syndromes zero ⟺ all zero (evens are frobenius squares)
+        bch_syndromes_odd(word.data(), n, shift, t, s.data());
         bool resid = false;
-        for (int j = 1; j <= 2 * t && !resid; ++j) {
-            uint8_t acc = 0;
-            for (int p = 0; p < n; ++p) {
-                if (!word[p]) continue;
-                int deg = (n - 1 - p + shift);
-                acc ^= GF.exp[((long)j * deg) % ORDER];
-            }
-            resid = acc != 0;
-        }
+        for (int j = 1; j <= 2 * t; j += 2) resid |= s[j] != 0;
         if (resid || n_found > t) continue;
         for (int i = 0; i < k; ++i) o[i] = word[i];
         ok[bi] = 1;
