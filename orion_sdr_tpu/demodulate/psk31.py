@@ -56,13 +56,22 @@ def _dfm_core(z, sps: int, gain: float, qpsk: bool,
     (Re of the differential product) or (..., n_syms, 2) for QPSK
     (phase-corrected [Re, Im] differential products).
     """
+    seg = z.reshape(z.shape[:-1] + (-1, sps))
+    h = jnp.asarray(psk31_hann(sps))
+    dots = seg @ h.astype(seg.real.dtype)   # (..., n_syms) — the MXU matmul
+    return _pll_scan(dots, sps, gain, qpsk, prev_sym0, phase_acc0)
+
+
+def _pll_scan(dots, sps: int, gain: float, qpsk: bool,
+              prev_sym0=1.0 + 0.0j, phase_acc0=0.0):
+    """The per-symbol decision-feedback + PLL recurrence over precomputed
+    matched-filter dot products (..., n_syms). Split out so the time-sharded
+    path (parallel/streaming.py) can shard the heavy matmul across devices
+    and run this light recurrence on the all-gathered dots."""
     h = jnp.asarray(psk31_hann(sps))
     c_fb = jnp.sum(h * (1.0 - h))          # decision-feedback constant Σh(1−h)
     scale = gain / jnp.sum(h * h)
     loop_gain = QPSK31_LOOP_GAIN if qpsk else BPSK31_LOOP_GAIN
-
-    seg = z.reshape(z.shape[:-1] + (-1, sps))
-    dots = seg @ h.astype(seg.real.dtype)   # (..., n_syms) — the MXU matmul
 
     def step(carry, dot_k):
         prev_sym, phase_acc = carry

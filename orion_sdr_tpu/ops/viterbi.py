@@ -44,9 +44,17 @@ def _max_vmem_steps(s_pad: int) -> int:
 
 @lru_cache(maxsize=None)
 def _kernel_tables(code: str):
-    """State-major tables: one-hot predecessor matrices P_z (so
-    pm_prev_z = P_z @ pm for (S, B) metrics), per-state branch-sign columns,
-    the state pad bias column, and the traceback MSB column.
+    """State-major tables for the RADIX-2 kernel (two trellis steps per
+    iteration — same MXU work as radix-1, half the sequential latency
+    chain). For composite branch (z1, z2) through intermediate state
+    ms = prev(ns, z2), ps = prev(ms, z1):
+
+      c_{z1z2}[ns] = (Q_{z1z2} @ pm)[ns] + a1·l0(t) + b1·l1(t)
+                     + a2·l0(t+1) + b2·l1(t+1)
+
+    with Q_{z1z2} = P_{z2}·P_{z1} and sign columns gathered through the
+    intermediate state. The two-level max (over z1 at fixed z2, then z2)
+    reproduces radix-1's per-step `c1 > c0` tie-breaks exactly.
 
     States pad to ``s_pad = max(S, 32)`` sublanes (int8 tile floor)."""
     K, S, top, _, _, prev, sign0, sign1 = _tables(code)
@@ -58,30 +66,55 @@ def _kernel_tables(code: str):
         p1[ns, prev[ns, 1]] = 1.0
     pad_bias = np.where(np.arange(s_pad) < S, 0.0, _NEG
                         ).astype(np.float32)[:, None]          # (S_pad, 1)
-    col = lambda v: np.concatenate(
-        [v, np.zeros(s_pad - S)]).astype(np.float32)[:, None]
-    s00, s10 = col(sign0[:, 0]), col(sign1[:, 0])
-    s01, s11 = col(sign0[:, 1]), col(sign1[:, 1])
+
+    def col(v):
+        return np.concatenate(
+            [v, np.zeros(s_pad - S)]).astype(np.float32)[:, None]
+
+    P = [p0, p1]
+    q = {}
+    a1 = {}
+    b1 = {}
+    a2 = {}
+    b2 = {}
+    for z2 in range(2):
+        a2[z2] = col(sign0[:, z2])
+        b2[z2] = col(sign1[:, z2])
+        for z1 in range(2):
+            q[(z1, z2)] = (P[z2] @ P[z1]).astype(np.float32)
+            # sign of step t's branch at the intermediate state ms=prev(ns,z2)
+            a1[(z1, z2)] = col(sign0[prev[:, z2], z1])
+            b1[(z1, z2)] = col(sign1[prev[:, z2], z1])
     msb = col((np.arange(S) >> top) & 1)
-    return K, S, s_pad, p0, p1, pad_bias, s00, s10, s01, s11, msb
+    return K, S, s_pad, p0, p1, q, a1, b1, a2, b2, pad_bias, msb
 
 
 def _make_kernel(zero_start: bool):
-    """ACS + traceback kernel body. ``zero_start``: pm pinned at state 0 and
-    traceback starts at state 0 (zero-tail termination). Otherwise initial
-    metrics come in per lane and the traceback starts from each lane's argmax
-    state (chunked fixed-lag decode, no termination at chunk boundaries)."""
+    """Radix-2 ACS + traceback kernel body. ``zero_start``: pm pinned at
+    state 0 and traceback starts at state 0 (zero-tail termination).
+    Otherwise initial metrics come in per lane and the traceback starts from
+    each lane's argmax state (chunked fixed-lag decode, no termination at
+    chunk boundaries). T (trellis steps) must be even."""
 
     def kernel(*refs):
         if zero_start:
-            (l0_ref, l1_ref, p0_ref, p1_ref, bias_ref,
-             s00_ref, s10_ref, s01_ref, s11_ref, msb_ref,
-             bits_ref, dec_ref, pm_ref, oh_ref) = refs
+            (l0_ref, l1_ref, p0_ref, p1_ref,
+             q00_ref, q10_ref, q01_ref, q11_ref,
+             a100_ref, a110_ref, a101_ref, a111_ref,
+             b100_ref, b110_ref, b101_ref, b111_ref,
+             a20_ref, a21_ref, b20_ref, b21_ref,
+             bias_ref, msb_ref,
+             bits_ref, dec2_ref, dec1_ref, pm_ref, oh_ref) = refs
         else:
-            (l0_ref, l1_ref, pm0_ref, p0_ref, p1_ref, bias_ref,
-             s00_ref, s10_ref, s01_ref, s11_ref, msb_ref,
-             bits_ref, dec_ref, pm_ref, oh_ref) = refs
+            (l0_ref, l1_ref, pm0_ref, p0_ref, p1_ref,
+             q00_ref, q10_ref, q01_ref, q11_ref,
+             a100_ref, a110_ref, a101_ref, a111_ref,
+             b100_ref, b110_ref, b101_ref, b111_ref,
+             a20_ref, a21_ref, b20_ref, b21_ref,
+             bias_ref, msb_ref,
+             bits_ref, dec2_ref, dec1_ref, pm_ref, oh_ref) = refs
         T = l0_ref.shape[0]
+        T2 = T // 2
         p0 = p0_ref[:]
         p1 = p1_ref[:]
         bias = bias_ref[:]                          # (S_pad, 1)
@@ -95,21 +128,38 @@ def _make_kernel(zero_start: bool):
 
         def fwd(t, _):
             pm = pm_ref[:]
-            la = l0_ref[pl.ds(t, 1), :]             # (1, B)
-            lb = l1_ref[pl.ds(t, 1), :]
-            c0 = jnp.dot(p0, pm, preferred_element_type=jnp.float32) \
-                + s00_ref[:] * la + s10_ref[:] * lb + bias
-            c1 = jnp.dot(p1, pm, preferred_element_type=jnp.float32) \
-                + s01_ref[:] * la + s11_ref[:] * lb + bias
-            dec_ref[t] = (c1 > c0).astype(jnp.int8)
-            new_pm = jnp.maximum(c0, c1)
-            # renormalize every step: unbounded metric drift breaks the MXU's
-            # f32-via-bf16-passes exactness past a few hundred steps (measured
-            # on v5e: correct at 206 steps, corrupt from ~600 without this)
+            la1 = l0_ref[pl.ds(2 * t, 1), :]        # (1, B)
+            lb1 = l1_ref[pl.ds(2 * t, 1), :]
+            la2 = l0_ref[pl.ds(2 * t + 1, 1), :]
+            lb2 = l1_ref[pl.ds(2 * t + 1, 1), :]
+            e20 = a20_ref[:] * la2 + b20_ref[:] * lb2 + bias
+            e21 = a21_ref[:] * la2 + b21_ref[:] * lb2 + bias
+            c00 = jnp.dot(q00_ref[:], pm, preferred_element_type=jnp.float32) \
+                + a100_ref[:] * la1 + b100_ref[:] * lb1 + e20
+            c10 = jnp.dot(q10_ref[:], pm, preferred_element_type=jnp.float32) \
+                + a110_ref[:] * la1 + b110_ref[:] * lb1 + e20
+            c01 = jnp.dot(q01_ref[:], pm, preferred_element_type=jnp.float32) \
+                + a101_ref[:] * la1 + b101_ref[:] * lb1 + e21
+            c11 = jnp.dot(q11_ref[:], pm, preferred_element_type=jnp.float32) \
+                + a111_ref[:] * la1 + b111_ref[:] * lb1 + e21
+            # two-level max: z1 at fixed z2 first, then z2 — reproduces the
+            # radix-1 per-step (c1 > c0) tie-breaks exactly. Selects are
+            # float arithmetic (Mosaic can't truncate i8→i1 for bool where).
+            d1_0 = (c10 > c00).astype(jnp.float32)
+            d1_1 = (c11 > c01).astype(jnp.float32)
+            m0 = jnp.maximum(c00, c10)
+            m1 = jnp.maximum(c01, c11)
+            dec2 = (m1 > m0).astype(jnp.float32)
+            z1_sel = d1_0 + dec2 * (d1_1 - d1_0)
+            dec2_ref[t] = dec2.astype(jnp.int8)
+            dec1_ref[t] = z1_sel.astype(jnp.int8)
+            new_pm = jnp.maximum(m0, m1)
+            # renormalize every composite step: unbounded metric drift breaks
+            # the MXU's f32 exactness past a few hundred steps (measured)
             pm_ref[:] = new_pm - jnp.max(new_pm, axis=0, keepdims=True)
             return 0
 
-        jax.lax.fori_loop(0, T, fwd, 0)
+        jax.lax.fori_loop(0, T2, fwd, 0)
 
         if zero_start:
             oh_ref[:] = jnp.where(state == 0, 1.0, 0.0)
@@ -125,19 +175,26 @@ def _make_kernel(zero_start: bool):
         msb = msb_ref[:]
 
         def bwd(i, _):
-            t = T - 1 - i
+            t = T2 - 1 - i
             oh = oh_ref[:]
-            bits_ref[pl.ds(t, 1), :] = jnp.sum(oh * msb, axis=0,
-                                               keepdims=True)
-            z = jnp.sum(oh * dec_ref[t].astype(jnp.float32), axis=0,
-                        keepdims=True)              # (1, B)
-            prev_oh = jnp.dot(p0.T, oh * (1.0 - z),
-                              preferred_element_type=jnp.float32) \
-                + jnp.dot(p1.T, oh * z, preferred_element_type=jnp.float32)
-            oh_ref[:] = prev_oh
+            bits_ref[pl.ds(2 * t + 1, 1), :] = jnp.sum(oh * msb, axis=0,
+                                                       keepdims=True)
+            z2 = jnp.sum(oh * dec2_ref[t].astype(jnp.float32), axis=0,
+                         keepdims=True)             # (1, B)
+            z1 = jnp.sum(oh * dec1_ref[t].astype(jnp.float32), axis=0,
+                         keepdims=True)
+            ms_oh = jnp.dot(p0.T, oh * (1.0 - z2),
+                            preferred_element_type=jnp.float32) \
+                + jnp.dot(p1.T, oh * z2, preferred_element_type=jnp.float32)
+            bits_ref[pl.ds(2 * t, 1), :] = jnp.sum(ms_oh * msb, axis=0,
+                                                   keepdims=True)
+            oh_ref[:] = jnp.dot(p0.T, ms_oh * (1.0 - z1),
+                                preferred_element_type=jnp.float32) \
+                + jnp.dot(p1.T, ms_oh * z1,
+                          preferred_element_type=jnp.float32)
             return 0
 
-        jax.lax.fori_loop(0, T, bwd, 0)
+        jax.lax.fori_loop(0, T2, bwd, 0)
 
     return kernel
 
@@ -148,12 +205,13 @@ _kernel_chunked = _make_kernel(zero_start=False)
 
 def _run_kernel(l0, l1, pm0, code: str, interpret: bool):
     """Shared pallas_call driver. ``l0``/``l1``: (L, T) LLR planes for L
-    codeword/chunk lanes; ``pm0``: (L, S) initial metrics or None for the
-    zero-start (terminated) trellis. Returns (L, T) decoded bit planes."""
-    _, S, s_pad, p0, p1, bias, s00, s10, s01, s11, msb = _kernel_tables(code)
+    codeword/chunk lanes (T even); ``pm0``: (L, S) initial metrics or None
+    for the zero-start (terminated) trellis. Returns (L, T) bit planes."""
+    _, S, s_pad, p0, p1, q, a1, b1, a2, b2, bias, msb = _kernel_tables(code)
     l0 = jnp.asarray(l0, jnp.float32)
     l1 = jnp.asarray(l1, jnp.float32)
     L, T = l0.shape
+    assert T % 2 == 0, "radix-2 kernel needs an even trellis length"
     l_pad = -(-L // _B_LANES) * _B_LANES
     if l_pad != L:
         pad = jnp.zeros((l_pad - L, T), jnp.float32)
@@ -173,10 +231,14 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool):
         args.append(pm0.T)                           # (S_pad, L_pad)
         in_specs.append(pl.BlockSpec((s_pad, _B_LANES), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
-    args += [jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(bias),
-             jnp.asarray(s00), jnp.asarray(s10), jnp.asarray(s01),
-             jnp.asarray(s11), jnp.asarray(msb)]
-    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8
+    tables = [p0, p1,
+              q[(0, 0)], q[(1, 0)], q[(0, 1)], q[(1, 1)],
+              a1[(0, 0)], a1[(1, 0)], a1[(0, 1)], a1[(1, 1)],
+              b1[(0, 0)], b1[(1, 0)], b1[(0, 1)], b1[(1, 1)],
+              a2[0], a2[1], b2[0], b2[1],
+              bias, msb]
+    args += [jnp.asarray(t) for t in tables]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
 
     bits = pl.pallas_call(
         _kernel_zero_start if pm0 is None else _kernel_chunked,
@@ -186,7 +248,8 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, l_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T, s_pad, _B_LANES), jnp.int8),   # decisions
+            pltpu.VMEM((T // 2, s_pad, _B_LANES), jnp.int8),  # z2 decisions
+            pltpu.VMEM((T // 2, s_pad, _B_LANES), jnp.int8),  # z1 decisions
             pltpu.VMEM((s_pad, _B_LANES), jnp.float32),   # pm
             pltpu.VMEM((s_pad, _B_LANES), jnp.float32),   # traceback one-hot
         ],
@@ -222,7 +285,8 @@ def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
     assert l.ndim == 2, "pallas path takes (B, n_coded)"
     n_steps = info_bits + tail_bits(code)
     s_pad = _kernel_tables(code)[2]
-    if n_steps > _max_vmem_steps(s_pad):
+    if n_steps > _max_vmem_steps(s_pad) or n_steps % 2:
+        # over the VMEM budget, or odd trellis (radix-2 kernel needs even)
         out = _viterbi_jnp(l, info_bits, rate, code)
         return out[0] if squeeze else out
 

@@ -106,3 +106,137 @@ class TestSharding:
         ref_l, ref_c = _receive_frame(segs, n_sym, cp, 0, 2)
         np.testing.assert_allclose(llrs, np.asarray(ref_l), atol=1e-3)
         np.testing.assert_allclose(cells, np.asarray(ref_c), atol=1e-4)
+
+
+# ── time-sharded streaming state (SURVEY §5; VERDICT r1 items 5/6) ──────────
+
+from orion_sdr_tpu.parallel import (
+    psk31_demod_sharded, psk31_stream_decode_sharded, viterbi_decode_sharded,
+    forney_deinterleave_sharded, dvb_t_receive_time_sharded,
+    dvb_t_decode_time_sharded, make_process_mesh, ber_sharded,
+    power_spectrum_sharded, measure_scaling, format_scaling_table,
+)
+
+
+class TestStreamingState:
+    def test_psk31_demod_sharded_matches_single(self, mesh8):
+        """AFC/PLL phase: sharded matched-filter matmul + replicated PLL
+        equals the single-device decision-feedback demod."""
+        from orion_sdr_tpu.modulate.psk31 import bpsk31_mod_text
+        fs = 8000.0
+        iq = bpsk31_mod_text("the quick brown fox", fs)
+        iq = np.asarray(iq)
+        ref = np.asarray(sdr.bpsk31_demod(iq, fs))
+        out = psk31_demod_sharded(iq, mesh8, fs)
+        n = min(len(ref), len(out))
+        assert n > 100
+        np.testing.assert_allclose(out[:n], ref[:n], atol=1e-5)
+
+    def test_psk31_stream_decode_sharded_text(self, mesh8):
+        from orion_sdr_tpu.modulate.psk31 import bpsk31_mod_text
+        fs = 8000.0
+        text = "tpu native psk31 stream"
+        iq = bpsk31_mod_text(text, fs)
+        decoded = psk31_stream_decode_sharded(np.asarray(iq), mesh8, fs)
+        assert text in decoded
+
+    def test_viterbi_sharded_matches_chunked(self, mesh8):
+        """Trellis state: LLR-halo sharded decode equals the single-device
+        overlap-chunked decode bit for bit."""
+        from orion_sdr_tpu.fec import conv as fc
+        rng = np.random.default_rng(3)
+        info = rng.integers(0, 2, 30_000).astype(np.uint8)
+        coded = np.asarray(fc.conv_encode_punctured(info, "3/4", "dvb_k7"))
+        llr = ((1.0 - 2.0 * coded.astype(np.float32)) * 3.0
+               + rng.standard_normal(len(coded)).astype(np.float32))
+        ref = np.asarray(fc.viterbi_decode_soft_chunked(
+            llr, len(info), "3/4", "dvb_k7"))
+        out = viterbi_decode_sharded(llr, len(info), mesh8, "3/4", "dvb_k7")
+        assert np.array_equal(out, ref)
+        assert np.mean(out != info) < 1e-3
+
+    def test_forney_sharded_bit_exact(self, mesh8):
+        """Interleaver lines: delay-line halo equals the streaming Forney."""
+        from orion_sdr_tpu.fec.interleave import forney_deinterleave
+        rng = np.random.default_rng(4)
+        x = rng.integers(0, 256, 48_000).astype(np.uint8)
+        ref, _ = forney_deinterleave(x)
+        out = forney_deinterleave_sharded(x, mesh8)
+        assert np.array_equal(out, np.asarray(ref))
+
+    def test_dvb_t_decode_time_sharded_capstone(self, mesh8):
+        """One long conformant DVB-T capture decoded across the mesh equals
+        the single-device frame decode (payload + TPS)."""
+        from orion_sdr_tpu.waveform import DvbTFrameParams, DvbTLinkParams
+        from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+        from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTFrameDemod
+        params = DvbTFrameParams(DvbTLinkParams("1/8", "qpsk", "1/2"), 0, 0)
+        rng = np.random.default_rng(5)
+        payload = rng.integers(0, 256, 4000).astype(np.uint8)
+        frame = DvbTFrameMod(params).modulate(payload)
+        iq = np.concatenate([np.zeros(1500, np.complex64), frame.iq])
+        single = DvbTFrameDemod(params).decode(iq, frame.n_symbols,
+                                               len(payload))
+        sharded = dvb_t_decode_time_sharded(iq, frame.n_symbols,
+                                            len(payload), params, mesh8)
+        assert np.array_equal(sharded.payload, single.payload)
+        assert sharded.tps == single.tps
+
+
+class TestDistributed:
+    def test_process_mesh_single_host_shape(self):
+        mesh = make_process_mesh()
+        assert mesh.devices.shape == (1, 8)
+        assert mesh.axis_names == ("host", "chip")
+
+    def test_ber_sharded_counts(self):
+        mesh = make_mesh(8, shape=(8, 1))
+        from jax.sharding import Mesh
+        import jax as _jax
+        flat = Mesh(np.array(_jax.devices()[:8]), ("ch",))
+        rng = np.random.default_rng(6)
+        ref = rng.integers(0, 2, (8, 1000)).astype(np.uint8)
+        hat = ref.copy()
+        hat[3, :17] ^= 1          # 17 injected errors
+        ber, errs, n = ber_sharded(ref, hat, flat)
+        assert errs == 17 and n == 8000
+        assert abs(ber - 17 / 8000) < 1e-12
+
+    def test_power_spectrum_sharded_matches_host(self):
+        import jax as _jax
+        from jax.sharding import Mesh
+        flat = Mesh(np.array(_jax.devices()[:8]), ("ch",))
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((8, 4096))
+             + 1j * rng.standard_normal((8, 4096))).astype(np.complex64)
+        got = power_spectrum_sharded(x, flat, nfft=512)
+        segs = x.reshape(8, 8, 512)
+        want = np.mean(np.abs(np.fft.fft(segs, axis=-1)) ** 2, axis=(0, 1))
+        np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    def test_measure_scaling_runs_and_formats(self):
+        """The efficiency harness runs on the virtual mesh and reports
+        sane numbers (weak-scaling FIR chain)."""
+        from jax.sharding import PartitionSpec as P, NamedSharding
+        import jax as _jax
+        taps = np.asarray(dsp.kaiser_lowpass_taps(31, 0.2, 50.0), np.float32)
+
+        def make_fn(mesh):
+            def fn(x):
+                sh = NamedSharding(mesh, P("ch", None))
+                y, _ = _jax.jit(lambda z: dsp.fir_apply(z, taps))(
+                    _jax.device_put(x, sh))
+                return y
+            return fn
+
+        def make_input(n):
+            rng = np.random.default_rng(n)
+            return (rng.standard_normal((n, 1 << 15)).astype(np.float32),)
+
+        rows = measure_scaling(make_fn, make_input, device_counts=[1, 2, 4, 8],
+                               reps=2)
+        assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+        assert rows[0]["efficiency"] == 1.0
+        assert all(r["samples_per_s"] > 0 for r in rows)
+        table = format_scaling_table(rows)
+        assert "efficiency" in table and "8" in table
