@@ -240,15 +240,22 @@ class DvbTFrameDemod:
         return DvbTRxFrame(payload=payload[:payload_len], tps=tps_word)
 
 
-@cjit
-def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int):
-    """The whole per-frame device program: symbol FFT → per-phase
-    scattered-pilot equalization → data extraction → Figure-9a LLRs, plus the
-    raw TPS cells — ONE jit, two host fetches (the axon relay charges ~100 ms
-    per boundary crossing, so stage-at-a-time hosting dominates otherwise)."""
+def _receive_frame_body(seg, n_symbols: int, cp_len: int, backoff: int,
+                        vbits: int):
+    """Pure-jax body of the fused receive (also embedded directly by the
+    on-device benchmark harness and the sharded receive)."""
     freq = symbol_fft(seg, DVB_T_N_FFT, cp_len, backoff=backoff,
                       n_symbols=n_symbols)
     cells = freq[..., jnp.asarray(tps_carrier_bins())]
     eq = scattered_equalize(freq, backoff=backoff)
     data = scattered_extract_frame(eq)
     return dvb_t_soft_llrs(data, vbits), cells
+
+
+@cjit
+def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int):
+    """The whole per-frame device program: symbol FFT → per-phase
+    scattered-pilot equalization → data extraction → Figure-9a LLRs, plus the
+    raw TPS cells — ONE jit, two host fetches (the axon relay charges ~100 ms
+    per boundary crossing, so stage-at-a-time hosting dominates otherwise)."""
+    return _receive_frame_body(seg, n_symbols, cp_len, backoff, vbits)

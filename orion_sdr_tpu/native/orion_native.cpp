@@ -209,20 +209,46 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         int sdeg = berlekamp_massey(s.data(), t, 0, sigma.data(), cap);
         if (sdeg > t) continue;
 
-        // Chien over all 255 degrees, stepping σ's coefficients by α^{-m}
-        // per degree (terms for σ(α^{-i}): c_m = σ_m·α^{-m·i}).
+        // Chien restricted to the valid degree window [shift, n-1+shift]
+        // (roots below it can't be corrected and fail the count either
+        // way), stepping σ's terms c_m = σ_m·α^{-m·i} with FOUR independent
+        // interleaved chains (strides of 4 positions) — one chain is a
+        // serial string of dependent L1 loads; four pipeline. Early exit
+        // once all sdeg roots are found (a degree-sdeg σ has no more).
         int err_deg[64];
         int n_err = 0;
-        for (int m = 0; m <= sdeg; ++m) cterm[m] = sigma[m];
-        // early exit: a degree-sdeg σ has at most sdeg distinct roots
-        for (int i = 0; i < ORDER && n_err < sdeg; ++i) {
-            uint8_t v = 0;
-            for (int m = 0; m <= sdeg; ++m) v ^= cterm[m];
-            if (v == 0) err_deg[n_err++] = i;
-            for (int m = 1; m <= sdeg; ++m)
-                cterm[m] = GF.mul[GF.exp[ORDER - m]][cterm[m]];
+        uint8_t ch[4][16];
+        for (int kk = 0; kk < 4; ++kk)
+            for (int m = 0; m <= sdeg; ++m)
+                ch[kk][m] = gmul(sigma[m], apow((long)(ORDER - m) *
+                                                (shift + kk) % ORDER));
+        const uint8_t* step[16];
+        for (int m = 1; m <= sdeg; ++m)
+            step[m] = MROW(apow((long)(ORDER - m) * 4 % ORDER));
+        bool over = false;
+        for (int i = shift; i < ORDER && n_err < sdeg; i += 4) {
+            uint8_t v0 = 0, v1 = 0, v2 = 0, v3 = 0;
+            for (int m = 0; m <= sdeg; ++m) {
+                v0 ^= ch[0][m];
+                v1 ^= ch[1][m];
+                v2 ^= ch[2][m];
+                v3 ^= ch[3][m];
+            }
+            const uint8_t vs[4] = {v0, v1, v2, v3};
+            for (int kk = 0; kk < 4; ++kk)
+                if (vs[kk] == 0 && i + kk < ORDER) {
+                    if (n_err >= sdeg) { over = true; break; }
+                    err_deg[n_err++] = i + kk;
+                }
+            for (int m = 1; m <= sdeg; ++m) {
+                const uint8_t* sm = step[m];
+                ch[0][m] = sm[ch[0][m]];
+                ch[1][m] = sm[ch[1][m]];
+                ch[2][m] = sm[ch[2][m]];
+                ch[3][m] = sm[ch[3][m]];
+            }
         }
-        if (n_err != sdeg) continue;
+        if (over || n_err != sdeg) continue;
 
         // Forney: Ω = S·σ mod x^(2t); σ' = odd terms
         std::fill(omega.begin(), omega.end(), 0);
@@ -294,22 +320,42 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         int sdeg = berlekamp_massey(s.data(), t, 1, sigma.data(), cap);
 
         for (int i = 0; i < n; ++i) word[i] = r[i] & 1;
+        // Chien over the valid window only, 4 interleaved stride chains
+        // (see the RS decoder above), early exit at sdeg roots.
         int n_found = 0;
-        for (int m = 0; m < cap; ++m) cterm[m] = sigma[m];
-        for (int d = 0; d < ORDER; ++d) {
-            uint8_t v = 0;
-            for (int m = 0; m < cap; ++m) v ^= cterm[m];
-            if (v == 0 && shift <= d && d <= n - 1 + shift) {
-                int p = n - 1 + shift - d;
-                if (p < n) {
-                    word[p] ^= 1;
-                    ++n_found;
-                }
+        uint8_t ch[4][16];
+        for (int kk = 0; kk < 4; ++kk)
+            for (int m = 0; m < cap; ++m)
+                ch[kk][m] = gmul(sigma[m], apow((long)(ORDER - m) *
+                                                (shift + kk) % ORDER));
+        const uint8_t* step[16];
+        for (int m = 1; m < cap; ++m)
+            step[m] = MROW(apow((long)(ORDER - m) * 4 % ORDER));
+        for (int d = shift; d < ORDER && n_found < sdeg; d += 4) {
+            uint8_t v0 = 0, v1 = 0, v2 = 0, v3 = 0;
+            for (int m = 0; m < cap; ++m) {
+                v0 ^= ch[0][m];
+                v1 ^= ch[1][m];
+                v2 ^= ch[2][m];
+                v3 ^= ch[3][m];
             }
-            for (int m = 1; m < cap; ++m)
-                cterm[m] = GF.mul[GF.exp[ORDER - m]][cterm[m]];
+            const uint8_t vs[4] = {v0, v1, v2, v3};
+            for (int kk = 0; kk < 4; ++kk)
+                if (vs[kk] == 0 && d + kk <= n - 1 + shift) {
+                    int p = n - 1 + shift - (d + kk);
+                    if (p >= 0 && p < n) {
+                        word[p] ^= 1;
+                        ++n_found;
+                    }
+                }
+            for (int m = 1; m < cap; ++m) {
+                const uint8_t* sm = step[m];
+                ch[0][m] = sm[ch[0][m]];
+                ch[1][m] = sm[ch[1][m]];
+                ch[2][m] = sm[ch[2][m]];
+                ch[3][m] = sm[ch[3][m]];
+            }
         }
-        (void)sdeg;
 
         // odd syndromes zero ⟺ all zero (evens are frobenius squares)
         bch_syndromes_odd(word.data(), n, shift, t, s.data());
