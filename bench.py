@@ -1,12 +1,17 @@
-"""Benchmark: FM quadrature demod chain throughput on one TPU chip.
+"""Benchmarks: the five BASELINE configs on one TPU chip, one JSON line each.
 
-Headline metric per BASELINE.json: complex Msamples/s/chip on the demod
-chains. Baseline (BASELINE.md): FM demod = 103 Msps on M2 Pro single core,
-measured on FmQuadratureDemod = delay-conjugate discriminator (atan2_approx)
-→ LR4 audio lowpass — the exact chain timed here (demodulate/fm.rs:12-90),
-batched over channels.
+Per BASELINE.json: (1) FM broadcast chain, (2) PSK31 roundtrip, (3) FT8
+batched-window receive, (4) COFDM frame decode chain, (5) DVB-T decode
+chain. Baselines from BASELINE.md (Apple M2 Pro single core).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement method (CLAUDE.md "Relay effects"): the axon relay charges
+~100 ms per host↔device boundary and ~10 MB/s of bandwidth, so device
+kernels are timed by looping them INSIDE one jit (lax.scan with
+data-dependent carry to defeat CSE) and taking the median marginal cost
+between scan lengths 1 and N. Host-side stages (native RS/BCH, Forney
+lines) are timed directly and composed with per-sample weights into the
+chain numbers — the sequential (non-overlapped) accounting, matching the
+reference's single-thread methodology.
 """
 
 import json
@@ -17,51 +22,339 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 2),
+    }), flush=True)
+
+
+def _fetch(x):
+    # completion via scalar host fetch: block_until_ready is unreliable
+    # through the relay
+    return float(jnp.sum(jnp.asarray(x)))
+
+
+def _marginal_s(make_body, n_long=17, trials=5):
+    """Median marginal seconds per body() application.
+
+    ``make_body()`` → (body, carry0): body(carry) → carry, all jax arrays,
+    data-dependent so the scan can't collapse."""
+    body, carry0 = make_body()
+
+    def runner(R):
+        @jax.jit
+        def f(c):
+            out, _ = jax.lax.scan(lambda cc, _: (body(cc), 0.0), c, None,
+                                  length=R)
+            return jax.tree.map(jnp.sum, out)
+        return f
+
+    f1, fn = runner(1), runner(n_long)
+    _fetch(jax.tree.leaves(f1(carry0))[0])
+    _fetch(jax.tree.leaves(fn(carry0))[0])
+    pers = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _fetch(jax.tree.leaves(f1(carry0))[0])
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fetch(jax.tree.leaves(fn(carry0))[0])
+        dn = time.perf_counter() - t0
+        pers.append((dn - d1) / (n_long - 1))
+    return float(np.median(pers))
+
+
+# ── 1. FM broadcast chain ────────────────────────────────────────────────────
+
+
+def bench_fm():
+    """FmQuadratureDemod equivalent: delay-conjugate discriminator
+    (atan2_approx) → LR4 audio lowpass, 64ch (demodulate/fm.rs:12-90)."""
     from orion_sdr_tpu.dsp.iir import design_butter_lp, lp_cascade
     from orion_sdr_tpu.util import atan2_approx
 
-    fs = 480_000.0
-    channels, n = 64, 1 << 20   # 64 × 1M complex samples per step
+    channels, n = 64, 1 << 20
     rng = np.random.default_rng(0)
-    xr_np = rng.standard_normal((channels, n)).astype(np.float32)
-    xi_np = rng.standard_normal((channels, n)).astype(np.float32)
-    c = design_butter_lp(fs, 5_000.0)
-    k = 1.0 / 75_000.0
+    c = design_butter_lp(480e3, 5e3)
+    k = np.float32(1.0 / 75e3)
+    re = jnp.asarray(rng.standard_normal((channels, n)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((channels, n)).astype(np.float32))
 
-    # real-valued boundary: the axon TPU backend cannot transfer complex64
-    # across host<->device; complex math inside jit is fine.
-    @jax.jit
-    def fm_chain(z_re, z_im):
-        z = z_re + 1j * z_im
-        prev = jnp.concatenate([jnp.ones_like(z[..., :1]), z[..., :-1]],
-                               axis=-1)
-        prod = z * jnp.conj(prev)
-        disc = (atan2_approx(prod.imag, prod.real) * k).astype(jnp.float32)
-        audio, _ = lp_cascade(disc, c)
-        return audio
+    def make_body():
+        def body(carry):
+            r, i = carry
+            z = r + 1j * i
+            prev = jnp.concatenate([jnp.ones_like(z[..., :1]), z[..., :-1]],
+                                   axis=-1)
+            prod = z * jnp.conj(prev)
+            disc = (atan2_approx(prod.imag, prod.real) * k
+                    ).astype(jnp.float32)
+            audio, _ = lp_cascade(disc, c)
+            return (audio, i)        # data-dependent: audio feeds back
+        return body, (re, im)
 
-    xr = jnp.asarray(xr_np)
-    xi = jnp.asarray(xi_np)
-    # Warm up and force completion: through the axon relay block_until_ready
-    # is unreliable, so completion is forced via a scalar host fetch.
-    float(jnp.sum(fm_chain(xr, xi)))
-    iters = 8
-    t0 = time.perf_counter()
-    a = xr
-    for _ in range(iters):
-        a = fm_chain(a, xi)  # data-dependent chain: no elision across iters
-    float(jnp.sum(a))
-    dt = time.perf_counter() - t0
+    per = _marginal_s(make_body, n_long=9)
+    _emit("fm_demod_chain_throughput", channels * n / per / 1e6,
+          "Msps/chip", 103.0)
 
-    msps = channels * n * iters / dt / 1e6
-    baseline = 103.0  # M2 Pro single-core FM demod (docs/performance.md:20)
-    print(json.dumps({
-        "metric": "fm_demod_chain_throughput",
-        "value": round(msps, 1),
-        "unit": "Msps/chip",
-        "vs_baseline": round(msps / baseline, 2),
-    }))
+
+# ── 2. PSK31 roundtrip ───────────────────────────────────────────────────────
+
+
+def bench_psk31():
+    """BPSK31 full roundtrip: bits → Hann-pulse DBPSK mod → decision-feedback
+    MF demod + PLL, 16 channels (modulate/psk31.rs + demodulate/psk31.rs;
+    baseline 678 Msps roundtrip)."""
+    from orion_sdr_tpu.modulate.psk31 import psk31_sps, psk31_hann
+    from orion_sdr_tpu.demodulate.psk31 import bpsk31_demod
+
+    fs = 8000.0
+    sps = psk31_sps(fs)
+    channels, n_bits = 16, 2048
+    rng = np.random.default_rng(1)
+    bits = jnp.asarray(rng.integers(0, 2, (channels, n_bits)
+                                    ).astype(np.uint8))
+    h = jnp.asarray(psk31_hann(sps))
+
+    def make_body():
+        def body(carry):
+            b, = carry
+            # differential DBPSK phasors + Hann crossfade (the jnp form of
+            # modulate/psk31.bpsk31_mod_bits, batched over channels)
+            flips = jnp.cumsum(1 - (b & 1), axis=-1)
+            phasors = jnp.where(flips % 2 == 1, -1.0, 1.0
+                                ).astype(jnp.complex64)
+            prev = jnp.concatenate(
+                [jnp.ones_like(phasors[..., :1]), phasors[..., :-1]],
+                axis=-1)
+            seg = prev[..., None] * (1.0 - h) + phasors[..., None] * h
+            iq = seg.reshape(seg.shape[0], -1).astype(jnp.complex64)
+            soft = bpsk31_demod(iq, fs)
+            nb = (soft >= 0).astype(jnp.uint8)
+            return (jnp.roll(b ^ (nb[..., :n_bits] & 1), 1, axis=0),)
+        return body, (bits,)
+
+    per = _marginal_s(make_body, n_long=9)
+    samples = channels * n_bits * 256      # sps at 8 kHz
+    _emit("psk31_roundtrip_throughput", samples / per / 1e6,
+          "Msps/chip", 678.0)
+
+
+# ── 3. FT8 batched-window receive ────────────────────────────────────────────
+
+
+def bench_ft8():
+    """Device-side Msps of the fused many-window receive: waterfall +
+    Costas score grid + top-k per window, plus the batched LDPC(174,91) BP
+    on the candidates (sync/ft8_sync.rs + codec/ldpc.rs; baseline 35 Msps
+    demod). B=4 windows of 15 s @ 12 kHz."""
+    from orion_sdr_tpu.sync.ft8_sync import _sync_grid_device, _MODE
+    from orion_sdr_tpu.codec.ft8_ldpc import ldpc_decode_soft
+
+    fs, base_hz, max_hz = 12000.0, 200.0, 3000.0
+    B, n = 4, 180_000
+    m = _MODE["ft8"]
+    num_bins = int(np.ceil((max_hz - base_hz) / m["spacing"])) \
+        + m["n_tones"] + 1
+    k = 4
+    rng = np.random.default_rng(2)
+    re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    llr0 = jnp.asarray(rng.standard_normal((B * k, 174)).astype(np.float32))
+
+    def make_body():
+        def body(carry):
+            r, i, llr = carry
+            wf, vals, idx = _sync_grid_device(
+                r + 1j * i, fs, base_hz, "ft8", num_bins,
+                m["total_syms"], 0, 0, k)
+            bits, _ = ldpc_decode_soft(llr, 20)
+            bump = (jnp.sum(vals) + jnp.sum(bits)).astype(jnp.float32)
+            return (jnp.roll(r, 1, axis=0) + 1e-9 * bump,
+                    jnp.roll(i, 1, axis=0), llr + 1e-9 * bump)
+        return body, (re, im, llr0)
+
+    per = _marginal_s(make_body, n_long=9)
+    _emit("ft8_batched_receive_throughput", B * n / per / 1e6,
+          "Msps/chip", 35.0)
+
+
+# ── 4. COFDM frame decode chain ──────────────────────────────────────────────
+
+
+def bench_cofdm():
+    """COFDM LDPC+BCH frame decode chain: soft demap (device) + N512R12 BP
+    at worst-case 50 iters (device) + shortened BCH t=8 (native host),
+    composed sequentially with the link's per-sample weights
+    (demodulate/ofdm_frame.rs; baseline ~58 Msps demod)."""
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig
+    from orion_sdr_tpu.frame.demodulator import soft_demap
+    from orion_sdr_tpu.fec.ldpc import ldpc_decode, ldpc_graph
+    from orion_sdr_tpu.frame.chain import shortened_bch_for
+    from orion_sdr_tpu import native
+
+    plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+    cfg = OfdmConfig(plan, fs=1e6, constellation="qpsk")
+    n_data = plan.num_data_carriers()
+    sps = cfg.samples_per_ofdm_symbol()
+    n_sym, batch = 32, 4
+    rng = np.random.default_rng(3)
+    n = n_sym * sps
+    re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+
+    def make_demap():
+        def body(carry):
+            r, i = carry
+            llr = soft_demap(cfg, "qpsk", r + 1j * i, n_sym)
+            bump = jnp.sum(llr) * 1e-9
+            return (jnp.roll(r, 1, axis=0) + bump, jnp.roll(i, 1, axis=0))
+        return body, (re, im)
+
+    per_demap = _marginal_s(make_demap, n_long=9)
+    demap_rate = batch * n / per_demap               # samples/s
+
+    g = ldpc_graph("N512R12")
+    nb = 512
+    llr0 = jnp.asarray(rng.standard_normal((nb, g.n)).astype(np.float32) * 4)
+
+    def make_bp():
+        def body(carry):
+            llr, = carry
+            bits, unsat = ldpc_decode("N512R12", llr, 50)
+            bump = jnp.sum(unsat).astype(jnp.float32) * 1e-9
+            return (jnp.roll(llr, 1, axis=0) + bump,)
+        return body, (llr0,)
+
+    per_bp = _marginal_s(make_bp, n_long=5)
+    bp_coded_rate = nb * g.n / per_bp                # coded bits/s
+
+    # native BCH host rate (error-injected, the reference's Rx methodology)
+    bch = shortened_bch_for(8)
+    nbb = 2048
+    msgs = rng.integers(0, 2, (nbb, bch.k)).astype(np.uint8)
+    cw = bch.encode(msgs.reshape(nbb, bch.k)).astype(np.uint8)
+    bad = cw.copy()
+    for i in range(nbb):
+        pos = rng.choice(bch.n, 4, replace=False)
+        bad[i, pos] ^= 1
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native.bch_decode_batch(bch.n, bch.k, 8, bad)
+        best = min(best, time.perf_counter() - t0)
+    bch_info_rate = nbb * bch.k / best               # info bits/s
+
+    # per-sample weights for this link (QPSK, LDPC r1/2, BCH 120/184)
+    coded_per_sample = n_data * 2 / sps
+    ldpc_info_per_sample = coded_per_sample * g.k / g.n
+    bch_info_per_sample = ldpc_info_per_sample * bch.k / bch.n
+    t_sample = (1.0 / demap_rate
+                + coded_per_sample / bp_coded_rate
+                + bch_info_per_sample / bch_info_rate)
+    _emit("cofdm_frame_decode_throughput", 1.0 / t_sample / 1e6,
+          "Msps/chip", 58.0)
+
+
+# ── 5. DVB-T decode chain ────────────────────────────────────────────────────
+
+
+def bench_dvb_t():
+    """Conformant DVB-T decode chain, QPSK r1/2 GI 1/8: fused receive
+    (FFT → scattered-pilot eq → extract → Figure-9a LLR + TPS, device) +
+    chunked K=7 Viterbi (Pallas, device) + Forney lines (host) + RS(204,188)
+    (native host) + TS, composed sequentially (demodulate/dvb_t_frame.rs;
+    baseline ~13 Msps demod)."""
+    from orion_sdr_tpu.demodulate.dvb_t_frame import _receive_frame_body
+    from orion_sdr_tpu.ops.viterbi import viterbi_chunks_pallas
+    from orion_sdr_tpu.fec.interleave import forney_deinterleave
+    from orion_sdr_tpu.fec.galois import ReedSolomon
+    from orion_sdr_tpu import native
+
+    n_symbols, cp_len, vbits, B = 68, 256, 2, 2
+    sps = 2048 + cp_len
+    n = n_symbols * sps
+    rng = np.random.default_rng(4)
+    re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+
+    def make_rx():
+        def body(carry):
+            r, i = carry
+            llrs, cells = _receive_frame_body(r + 1j * i, n_symbols, cp_len,
+                                              0, vbits)
+            bump = (jnp.sum(llrs) + jnp.sum(jnp.abs(cells))) * 1e-9
+            return (jnp.roll(r, 1, axis=0) + bump, jnp.roll(i, 1, axis=0))
+        return body, (re, im)
+
+    per_rx = _marginal_s(make_rx)
+    rx_rate = B * n / per_rx                         # samples/s
+
+    # chunked Pallas Viterbi: 128 chunk lanes × 1216-step trellis
+    L, span, S = 128, 1216, 64
+    c0 = jnp.asarray(rng.standard_normal((L, span)).astype(np.float32))
+    c1 = jnp.asarray(rng.standard_normal((L, span)).astype(np.float32))
+    pm0 = jnp.asarray(np.zeros((L, S), np.float32))
+
+    def make_vit():
+        def body(carry):
+            a, b = carry
+            bits = viterbi_chunks_pallas(a, b, pm0, "dvb_k7",
+                                         interpret=False)
+            bump = jnp.sum(bits) * 1e-6
+            return (jnp.roll(a, 1, axis=0) + bump, jnp.roll(b, 1, axis=0))
+        return body, (c0, c1)
+
+    per_vit = _marginal_s(make_vit)
+    vit_info_rate = L * 1024 / per_vit               # trellis info bits/s
+
+    # host stages: Forney lines + native RS (error-injected) + dispersal
+    byts = rng.integers(0, 256, 500_000).astype(np.uint8)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        forney_deinterleave(byts)
+        best = min(best, time.perf_counter() - t0)
+    forney_rate = len(byts) / best                   # bytes/s
+
+    rs = ReedSolomon(204, 16)
+    nbb = 2048
+    msgs = rng.integers(0, 256, (nbb, 188)).astype(np.uint8)
+    cw = np.stack([rs.encode(mm) for mm in msgs]).astype(np.uint8)
+    for i in range(nbb):
+        pos = rng.choice(204, 4, replace=False)
+        cw[i, pos] ^= rng.integers(1, 256, 4).astype(np.uint8)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        native.rs_decode_batch(204, 16, cw)
+        best = min(best, time.perf_counter() - t0)
+    rs_info_rate = nbb * 188 * 8 / best              # info bits/s
+
+    # per-sample weights (1512 data cells × 2 bits / 2304 samples, r1/2)
+    coded_per_sample = 1512 * vbits / sps
+    vit_info_per_sample = coded_per_sample / 2
+    bytes_per_sample = vit_info_per_sample / 8
+    rs_info_per_sample = vit_info_per_sample * 188 / 204
+    t_sample = (1.0 / rx_rate
+                + vit_info_per_sample / vit_info_rate
+                + bytes_per_sample / forney_rate
+                + rs_info_per_sample / rs_info_rate)
+    _emit("dvb_t_decode_chain_throughput", 1.0 / t_sample / 1e6,
+          "Msps/chip", 13.0)
+
+
+def main():
+    for fn in (bench_fm, bench_psk31, bench_ft8, bench_cofdm, bench_dvb_t):
+        try:
+            fn()
+        except Exception as e:                        # noqa: BLE001
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -217,12 +217,12 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
         // once all sdeg roots are found (a degree-sdeg σ has no more).
         int err_deg[64];
         int n_err = 0;
-        uint8_t ch[4][16];
+        uint8_t ch[4][40];
         for (int kk = 0; kk < 4; ++kk)
             for (int m = 0; m <= sdeg; ++m)
                 ch[kk][m] = gmul(sigma[m], apow((long)(ORDER - m) *
                                                 (shift + kk) % ORDER));
-        const uint8_t* step[16];
+        const uint8_t* step[40];
         for (int m = 1; m <= sdeg; ++m)
             step[m] = MROW(apow((long)(ORDER - m) * 4 % ORDER));
         bool over = false;
@@ -323,12 +323,12 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         // Chien over the valid window only, 4 interleaved stride chains
         // (see the RS decoder above), early exit at sdeg roots.
         int n_found = 0;
-        uint8_t ch[4][16];
+        uint8_t ch[4][40];
         for (int kk = 0; kk < 4; ++kk)
             for (int m = 0; m < cap; ++m)
                 ch[kk][m] = gmul(sigma[m], apow((long)(ORDER - m) *
                                                 (shift + kk) % ORDER));
-        const uint8_t* step[16];
+        const uint8_t* step[40];
         for (int m = 1; m < cap; ++m)
             step[m] = MROW(apow((long)(ORDER - m) * 4 % ORDER));
         for (int d = shift; d < ORDER && n_found < sdeg; d += 4) {
