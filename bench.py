@@ -67,6 +67,28 @@ def _marginal_s(make_body, n_long=17, trials=5):
     return float(np.median(pers))
 
 
+def _size_marginal_s(make, size_small, size_big, trials=7):
+    """Device seconds per unit of size: median(t(big)) − median(t(small))
+    over size_big − size_small. The fixed relay/dispatch overhead cancels
+    in the difference, and each compiled program contains ONE kernel
+    invocation (scan-replication of big fused programs blows the AOT
+    compile budget). ``make(size)`` → (jitted_f, args)."""
+    fs, args_s = make(size_small)
+    fb, args_b = make(size_big)
+    _fetch(fs(*args_s))
+    _fetch(fb(*args_b))
+    ds, db = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _fetch(fs(*args_s))
+        ds.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _fetch(fb(*args_b))
+        db.append(time.perf_counter() - t0)
+    d = float(np.median(db)) - float(np.median(ds))
+    return max(d, 1e-9) / (size_big - size_small)
+
+
 # ── 1. FM broadcast chain ────────────────────────────────────────────────────
 
 
@@ -155,30 +177,30 @@ def bench_ft8():
     from orion_sdr_tpu.codec.ft8_ldpc import ldpc_decode_soft
 
     fs, base_hz, max_hz = 12000.0, 200.0, 3000.0
-    B, n = 4, 180_000
+    n = 180_000
     m = _MODE["ft8"]
     num_bins = int(np.ceil((max_hz - base_hz) / m["spacing"])) \
         + m["n_tones"] + 1
     k = 4
     rng = np.random.default_rng(2)
-    re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
-    im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
-    llr0 = jnp.asarray(rng.standard_normal((B * k, 174)).astype(np.float32))
 
-    def make_body():
-        def body(carry):
-            r, i, llr = carry
+    def make(B):
+        re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+        llr = jnp.asarray(rng.standard_normal((B * k, 174)
+                                              ).astype(np.float32))
+
+        @jax.jit
+        def f(r, i, l):
             wf, vals, idx = _sync_grid_device(
                 r + 1j * i, fs, base_hz, "ft8", num_bins,
                 m["total_syms"], 0, 0, k)
-            bits, _ = ldpc_decode_soft(llr, 20)
-            bump = (jnp.sum(vals) + jnp.sum(bits)).astype(jnp.float32)
-            return (jnp.roll(r, 1, axis=0) + 1e-9 * bump,
-                    jnp.roll(i, 1, axis=0), llr + 1e-9 * bump)
-        return body, (re, im, llr0)
+            bits, _ = ldpc_decode_soft(l, 20)
+            return jnp.sum(vals) + jnp.sum(bits) + jnp.sum(wf)
+        return f, (re, im, llr)
 
-    per = _marginal_s(make_body, n_long=9)
-    _emit("ft8_batched_receive_throughput", B * n / per / 1e6,
+    per_window = _size_marginal_s(make, 2, 6)      # batch-marginal (<8: relay)
+    _emit("ft8_batched_receive_throughput", n / per_window / 1e6,
           "Msps/chip", 35.0)
 
 
@@ -201,37 +223,36 @@ def bench_cofdm():
     cfg = OfdmConfig(plan, fs=1e6, constellation="qpsk")
     n_data = plan.num_data_carriers()
     sps = cfg.samples_per_ofdm_symbol()
-    n_sym, batch = 32, 4
+    batch = 4
     rng = np.random.default_rng(3)
-    n = n_sym * sps
-    re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
-    def make_demap():
-        def body(carry):
-            r, i = carry
-            llr = soft_demap(cfg, "qpsk", r + 1j * i, n_sym)
-            bump = jnp.sum(llr) * 1e-9
-            return (jnp.roll(r, 1, axis=0) + bump, jnp.roll(i, 1, axis=0))
-        return body, (re, im)
+    def make_demap(n_sym):
+        n = n_sym * sps
+        re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
-    per_demap = _marginal_s(make_demap, n_long=9)
-    demap_rate = batch * n / per_demap               # samples/s
+        @jax.jit
+        def f(r, i):
+            return jnp.sum(soft_demap(cfg, "qpsk", r + 1j * i, n_sym))
+        return f, (re, im)
+
+    per_sym = _size_marginal_s(make_demap, 32, 256)
+    demap_rate = batch * sps / per_sym               # samples/s
 
     g = ldpc_graph("N512R12")
-    nb = 512
-    llr0 = jnp.asarray(rng.standard_normal((nb, g.n)).astype(np.float32) * 4)
 
-    def make_bp():
-        def body(carry):
-            llr, = carry
-            bits, unsat = ldpc_decode("N512R12", llr, 50)
-            bump = jnp.sum(unsat).astype(jnp.float32) * 1e-9
-            return (jnp.roll(llr, 1, axis=0) + bump,)
-        return body, (llr0,)
+    def make_bp(nb):
+        llr = jnp.asarray(rng.standard_normal((nb, g.n)
+                                              ).astype(np.float32) * 4)
 
-    per_bp = _marginal_s(make_bp, n_long=5)
-    bp_coded_rate = nb * g.n / per_bp                # coded bits/s
+        @jax.jit
+        def f(l):
+            bits, unsat = ldpc_decode("N512R12", l, 50)
+            return jnp.sum(unsat) + jnp.sum(bits)
+        return f, (llr,)
+
+    per_cw = _size_marginal_s(make_bp, 256, 1024)
+    bp_coded_rate = g.n / per_cw                     # coded bits/s
 
     # native BCH host rate (error-injected, the reference's Rx methodology)
     bch = shortened_bch_for(8)
@@ -275,24 +296,24 @@ def bench_dvb_t():
     from orion_sdr_tpu.fec.galois import ReedSolomon
     from orion_sdr_tpu import native
 
-    n_symbols, cp_len, vbits, B = 68, 256, 2, 2
+    cp_len, vbits, B = 256, 2, 2
     sps = 2048 + cp_len
-    n = n_symbols * sps
     rng = np.random.default_rng(4)
-    re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
-    im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
 
-    def make_rx():
-        def body(carry):
-            r, i = carry
+    def make_rx(n_symbols):
+        n = n_symbols * sps
+        re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+        im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+
+        @jax.jit
+        def f(r, i):
             llrs, cells = _receive_frame_body(r + 1j * i, n_symbols, cp_len,
                                               0, vbits)
-            bump = (jnp.sum(llrs) + jnp.sum(jnp.abs(cells))) * 1e-9
-            return (jnp.roll(r, 1, axis=0) + bump, jnp.roll(i, 1, axis=0))
-        return body, (re, im)
+            return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
+        return f, (re, im)
 
-    per_rx = _marginal_s(make_rx)
-    rx_rate = B * n / per_rx                         # samples/s
+    per_sym_rx = _size_marginal_s(make_rx, 68, 612)
+    rx_rate = B * sps / per_sym_rx                   # samples/s
 
     # chunked Pallas Viterbi: 128 chunk lanes × 1216-step trellis
     L, span, S = 128, 1216, 64

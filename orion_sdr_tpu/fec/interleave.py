@@ -13,6 +13,7 @@ Design:
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -50,6 +51,19 @@ class ForneyState(NamedTuple):
     pos: int              # commutator offset of the next input byte
 
 
+@lru_cache(maxsize=64)
+def _forney_src(n: int, pos: int, branches: int, depth: int,
+                deinterleave: bool) -> np.ndarray:
+    """Cached gather indices for one (chunk length, commutator phase) pair —
+    computing arange/mod/scale per call was 5× the cost of the gather."""
+    I, M = branches, depth
+    D = (I - 1) * M * I
+    t = np.arange(n)
+    j = (t + pos) % I
+    delay = ((I - 1 - j) if deinterleave else j) * M * I
+    return D + t - delay
+
+
 def _forney_apply(x, branches: int, depth: int, state: Optional[ForneyState],
                   deinterleave: bool):
     x = np.asarray(x)
@@ -60,10 +74,7 @@ def _forney_apply(x, branches: int, depth: int, state: Optional[ForneyState],
             history=np.zeros(x.shape[:-1] + (D,), dtype=x.dtype), pos=0)
     xp = np.concatenate([state.history, x], axis=-1)
     n = x.shape[-1]
-    t = np.arange(n)
-    j = (t + state.pos) % I
-    delay = ((I - 1 - j) if deinterleave else j) * M * I
-    src = D + t - delay
+    src = _forney_src(n, int(state.pos), I, M, deinterleave)
     out = xp[..., src]
     new_state = ForneyState(history=xp[..., xp.shape[-1] - D:],
                             pos=int((state.pos + n) % I))
