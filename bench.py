@@ -296,11 +296,12 @@ def bench_dvb_t():
     from orion_sdr_tpu.fec.galois import ReedSolomon
     from orion_sdr_tpu import native
 
-    cp_len, vbits, B = 256, 2, 2
+    cp_len, vbits = 256, 2
     sps = 2048 + cp_len
+    n_symbols = 340
     rng = np.random.default_rng(4)
 
-    def make_rx(n_symbols):
+    def make_rx(B):                                  # batch marginal (< 8)
         n = n_symbols * sps
         re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
         im = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
@@ -312,8 +313,8 @@ def bench_dvb_t():
             return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
         return f, (re, im)
 
-    per_sym_rx = _size_marginal_s(make_rx, 68, 612)
-    rx_rate = B * sps / per_sym_rx                   # samples/s
+    per_frame_rx = _size_marginal_s(make_rx, 2, 6)
+    rx_rate = n_symbols * sps / per_frame_rx         # samples/s
 
     # chunked Pallas Viterbi: 128 chunk lanes × 1216-step trellis
     L, span, S = 128, 1216, 64

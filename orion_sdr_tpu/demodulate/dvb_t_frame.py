@@ -64,14 +64,29 @@ class DvbTRxFrame(NamedTuple):
 @cjit
 def scattered_equalize(freq, first_phase: int = 0, backoff: int = 0):
     """(..., n_sym, 2048) raw spectra → per-symbol-pilot-interp ZF-equalized
-    spectra; symbols grouped by the four scattered phases (vectorized)."""
+    spectra; symbols grouped by the four scattered phases (vectorized).
+
+    Fast path (n_sym % 4 == 0, phase 0): phases become a strided reshape so
+    every phase works on a contiguous slab and the result restacks with one
+    reshape — no full-tensor at[].set scatters."""
     g = scattered_grid()
     f = jnp.asarray(freq)
     n_sym = f.shape[-2]
+    P = DVB_T_SCATTERED_PHASES
+    if first_phase == 0 and n_sym % P == 0 and n_sym:
+        fb = f.reshape(f.shape[:-2] + (n_sym // P, P, f.shape[-1]))
+        cols = []
+        for phase in range(P):
+            sub = fb[..., phase, :]
+            est = channel_estimate_pilots(sub, np.asarray(g.ref_bins[phase]),
+                                          np.asarray(g.ref_vals[phase]),
+                                          DVB_T_N_FFT)
+            cols.append(zf_equalize(sub, est))
+        out = jnp.stack(cols, axis=-2)
+        return out.reshape(f.shape)
     out = f
-    for phase in range(DVB_T_SCATTERED_PHASES):
-        syms = np.arange(n_sym)[(np.arange(n_sym) + first_phase)
-                                % DVB_T_SCATTERED_PHASES == phase]
+    for phase in range(P):
+        syms = np.arange(n_sym)[(np.arange(n_sym) + first_phase) % P == phase]
         if len(syms) == 0:
             continue
         sub = f[..., syms, :]
