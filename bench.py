@@ -254,14 +254,17 @@ def bench_cofdm():
     per_cw = _size_marginal_s(make_bp, 256, 1024)
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
-    # native BCH host rate (error-injected, the reference's Rx methodology)
+    # native BCH host rate at the chain's operating point: post-LDPC input
+    # is mostly clean (FER≈0), occasional blocks carry residual errors —
+    # model 1-in-8 blocks with 2 bit errors (the standalone error-injected
+    # FEC row lives in docs/performance.md)
     bch = shortened_bch_for(8)
     nbb = 2048
     msgs = rng.integers(0, 2, (nbb, bch.k)).astype(np.uint8)
     cw = bch.encode(msgs.reshape(nbb, bch.k)).astype(np.uint8)
     bad = cw.copy()
-    for i in range(nbb):
-        pos = rng.choice(bch.n, 4, replace=False)
+    for i in range(0, nbb, 8):
+        pos = rng.choice(bch.n, 2, replace=False)
         bad[i, pos] ^= 1
     best = np.inf
     for _ in range(3):
