@@ -242,8 +242,17 @@ def bench_cofdm():
     g = ldpc_graph("N512R12")
 
     def make_bp(nb):
-        llr = jnp.asarray(rng.standard_normal((nb, g.n)
-                                              ).astype(np.float32) * 4)
+        # decodable error-injected codewords (the reference's Rx
+        # methodology): the kernel's in-device early exit fires as it
+        # does at the operating point
+        from orion_sdr_tpu.fec.ldpc import ldpc_encode
+        msg = rng.integers(0, 2, (nb, g.k)).astype(np.uint8)
+        cwb = np.asarray(ldpc_encode("N512R12", msg))
+        llr_np = (1.0 - 2.0 * cwb).astype(np.float32) * 4.0
+        for i in range(nb):
+            pos = rng.choice(g.n, 6, replace=False)
+            llr_np[i, pos] = -llr_np[i, pos]
+        llr = jnp.asarray(llr_np)
 
         @jax.jit
         def f(l):

@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..fec import (
@@ -353,6 +354,12 @@ def inner_decode(inner: InnerFec, coded_llrs, info_len: int,
         # long stream: overlap-chunked batched trellis (TPU-native form)
         info = viterbi_decode_soft_chunked(llrs, info_len, inner.rate,
                                            inner.code)
+    elif jax.default_backend() == "tpu":
+        # short terminated trellis: whole-trellis-in-VMEM Pallas kernel
+        # (falls back to the jnp scan itself if over budget / odd length)
+        from ..ops.viterbi import viterbi_decode_soft_pallas
+        info = viterbi_decode_soft_pallas(llrs, info_len, inner.rate,
+                                          inner.code)
     else:
         info = viterbi_decode_soft(llrs, info_len, inner.rate, inner.code)
     return np.asarray(info), True
@@ -406,6 +413,10 @@ def inner_decode_batch(inner: InnerFec, coded_llrs_mat, info_len: int,
     if info_len > 4096:
         info = viterbi_decode_soft_chunked(llrs, info_len, inner.rate,
                                            inner.code)
+    elif jax.default_backend() == "tpu":
+        from ..ops.viterbi import viterbi_decode_soft_pallas
+        info = viterbi_decode_soft_pallas(llrs, info_len, inner.rate,
+                                          inner.code)
     else:
         info = viterbi_decode_soft(llrs, info_len, inner.rate, inner.code)
     return np.asarray(info), np.ones(nb, bool)

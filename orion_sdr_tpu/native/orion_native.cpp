@@ -157,19 +157,31 @@ void rs_syndromes_all(const uint8_t* r, int n, int shift, int n_parity,
 
 // binary-input variant (bits 0/1 in bytes); computes the ODD syndromes
 // s[1], s[3], … s[2t-1] only (evens are frobenius squares of these).
+// Bit-sliced for t ≤ 8: the 8 odd syndromes pack into ONE uint64 word per
+// position (byte i of W64[p] = α^{(2i+1)·deg(p)}), so the whole syndrome
+// pass is one branchless masked-XOR per bit — S_j = Σ_p bit_p·α^{j·deg(p)}
+// needs no Horner and no shift twist.
 void bch_syndromes_odd(const uint8_t* r, int n, int shift, int t,
-                       uint8_t* s) {
-    uint8_t acc[MAX_SYN] = {0};
+                       uint8_t* s, const uint64_t* w64) {
+    if (t <= 8 && w64) {
+        uint64_t acc = 0;
+        for (int p = 0; p < n; ++p)
+            acc ^= w64[p] & (uint64_t)(-(int64_t)(r[p] & 1));
+        for (int i = 0; i < t; ++i)
+            s[2 * i + 1] = (uint8_t)(acc >> (8 * i));
+        return;
+    }
+    uint8_t accs[MAX_SYN] = {0};
     const uint8_t* rows[MAX_SYN];
     for (int i = 0; i < t; ++i) rows[i] = MROW(apow(2 * i + 1));
     for (int p = 0; p < n; ++p) {
         uint8_t rp = (uint8_t)(r[p] & 1);
         for (int i = 0; i < t; ++i)
-            acc[i] = (uint8_t)(rows[i][acc[i]] ^ rp);
+            accs[i] = (uint8_t)(rows[i][accs[i]] ^ rp);
     }
     for (int i = 0; i < t; ++i) {
         int j = 2 * i + 1;
-        s[j] = gmul(acc[i], apow((long)j * shift));
+        s[j] = gmul(accs[i], apow((long)j * shift));
     }
 }
 
@@ -294,6 +306,20 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
     const int shift = ORDER - n;
     const int cap = t + 2;
 
+    // bit-sliced syndrome table (t <= 8): byte i of w64[p] = α^{(2i+1)·deg(p)}
+    std::vector<uint64_t> w64;
+    if (t <= 8) {
+        w64.resize(n);
+        for (int p = 0; p < n; ++p) {
+            long deg = n - 1 - p + shift;
+            uint64_t w = 0;
+            for (int i = 0; i < t; ++i)
+                w |= (uint64_t)apow((long)(2 * i + 1) * deg) << (8 * i);
+            w64[p] = w;
+        }
+    }
+    const uint64_t* w64p = w64.empty() ? nullptr : w64.data();
+
     parallel_rows(batch, [=](int row_lo, int row_hi) {
     std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n), cterm(cap);
 
@@ -303,8 +329,8 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         for (int i = 0; i < k; ++i) o[i] = r[i] & 1;
         ok[bi] = 0;
 
-        // odd syndromes by interleaved Horner; even by frobenius S_{2j} = S_j²
-        bch_syndromes_odd(r, n, shift, t, s.data());
+        // odd syndromes (bit-sliced); even by frobenius S_{2j} = S_j²
+        bch_syndromes_odd(r, n, shift, t, s.data(), w64p);
         bool any = false;
         for (int j = 1; j <= 2 * t; j += 2) any |= s[j] != 0;
         for (int j = 2; j <= 2 * t; j += 2) {
@@ -358,7 +384,7 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
         }
 
         // odd syndromes zero ⟺ all zero (evens are frobenius squares)
-        bch_syndromes_odd(word.data(), n, shift, t, s.data());
+        bch_syndromes_odd(word.data(), n, shift, t, s.data(), w64p);
         bool resid = false;
         for (int j = 1; j <= 2 * t; j += 2) resid |= s[j] != 0;
         if (resid || n_found > t) continue;

@@ -58,7 +58,7 @@ def ber_sharded(bits_ref, bits_hat, mesh: Mesh):
     """Global bit-error rate over channel-sharded bit tensors: each device
     counts its own errors, one scalar `psum` crosses the mesh (rides ICI
     within a host, DCN across). Returns (ber, n_errors, n_bits)."""
-    axis = mesh.axis_names[0]
+
 
     def local(r, h):
         errs = jnp.sum((r != h).astype(jnp.float32))
@@ -81,7 +81,7 @@ def ber_sharded(bits_ref, bits_hat, mesh: Mesh):
 def power_spectrum_sharded(x, mesh: Mesh, nfft: int = 1024):
     """Mean power spectrum over channel-sharded captures: per-device Welch
     accumulation, one (nfft,) `psum` across the mesh. x: (channels, n)."""
-    axis = mesh.axis_names[0]
+
     nd = int(np.prod(mesh.devices.shape))
     x = np.asarray(x)
     ch = x.shape[0]

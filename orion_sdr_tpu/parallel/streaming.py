@@ -150,7 +150,6 @@ def viterbi_decode_sharded(coded_llrs, info_bits: int, mesh: Mesh,
     l0p = np.pad(l0, (0, total - n_steps))
     l1p = np.pad(l1, (0, total - n_steps))
     k = nchunk // nd                         # chunks per device
-    blk = k * C
 
     prev_j = jnp.asarray(prev)
     s0 = jnp.asarray(sign0)

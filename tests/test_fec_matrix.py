@@ -30,8 +30,9 @@ def test_ldpc_code_rule_error_injected(code, rule):
     msg = rng.integers(0, 2, (8, g.k)).astype(np.uint8)
     cw = np.asarray(ldpc_encode(code, msg))
     llr = (1.0 - 2.0 * cw).astype(np.float32) * 4.0
-    # flip a few positions per codeword (R34 has the least margin)
-    n_flip = 8 if code != "N512R34" else 4
+    # flip a few positions per codeword (higher-rate codes have less
+    # margin, and min-sum costs ~0.3-1 dB vs sum-product)
+    n_flip = {"N512R12": 8, "N576R23": 4, "N512R34": 3}[code]
     for i in range(len(llr)):
         pos = rng.choice(g.n, n_flip, replace=False)
         llr[i, pos] = -llr[i, pos]
