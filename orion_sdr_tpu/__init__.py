@@ -85,6 +85,17 @@ def __getattr__(name):
     raise AttributeError(name)
 
 
+# ── Block-style drop-in classes (the reference's class surface) ──────────────
+from .blocks import (
+    CwKeyedMod, CwEnvelopeDemod, AmDsbMod, AmEnvelopeDemod,
+    SsbPhasingMod, SsbProductDemod, FmPhaseAccumMod, FmQuadratureDemod,
+    PmDirectPhaseMod, PmQuadratureDemod,
+    BpskMod, BpskDemod, QpskMod, QpskDemod, QamMod, QamDemod,
+    Ft8Mod, Ft8Demod, Ft8Codec, Ft4Mod, Ft4Demod, Ft4Codec,
+    Bpsk31Mod, Bpsk31Demod, Bpsk31Decider, Qpsk31Mod, Qpsk31Demod,
+    OfdmMod, OfdmDemod,
+)
+
 # ── multicarrier / OFDM (OfdmConfig, OfdmMod/Demod, equalizers, sync) ────────
 from . import multicarrier
 from .multicarrier import CarrierPlan, CarrierGrid, TxLowpass
