@@ -235,6 +235,8 @@ def bench_cofdm():
     batch = 4
     rng = np.random.default_rng(3)
 
+    REPS = 8   # in-scan reps: lift tiny marginals above relay jitter
+
     def make_demap(n_sym):
         n = n_sym * sps
         re = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
@@ -242,10 +244,18 @@ def bench_cofdm():
 
         @jax.jit
         def f(r, i):
-            return jnp.sum(soft_demap(cfg, "qpsk", r + 1j * i, n_sym))
+            def body(carry, _):
+                rr, ii, acc = carry
+                llr = soft_demap(cfg, "qpsk", rr + 1j * ii, n_sym)
+                acc = acc + jnp.sum(llr)
+                return (jnp.roll(rr, 1, axis=0) + 1e-9 * acc,
+                        jnp.roll(ii, 1, axis=0), acc), 0.0
+            (_, _, acc), _ = jax.lax.scan(body, (re, im, jnp.float32(0)),
+                                          None, length=REPS)
+            return acc
         return f, (re, im)
 
-    per_sym = _size_marginal_s(make_demap, 32, 256)
+    per_sym = _size_marginal_s(make_demap, 32, 256) / REPS
     demap_rate = batch * sps / per_sym               # samples/s
 
     g = ldpc_graph("N512R12")
@@ -265,11 +275,17 @@ def bench_cofdm():
 
         @jax.jit
         def f(l):
-            bits, unsat = ldpc_decode("N512R12", l, 50)
-            return jnp.sum(unsat) + jnp.sum(bits)
+            def body(carry, _):
+                ll, acc = carry
+                bits, unsat = ldpc_decode("N512R12", ll, 50)
+                acc = acc + jnp.sum(unsat) + jnp.sum(bits)
+                return (jnp.roll(ll, 1, axis=0) + 1e-9 * acc, acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (l, jnp.float32(0)), None,
+                                       length=REPS)
+            return acc
         return f, (llr,)
 
-    per_cw = _size_marginal_s(make_bp, 256, 1024)
+    per_cw = _size_marginal_s(make_bp, 256, 1024) / REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
     # native BCH host rate at the chain's operating point: post-LDPC input

@@ -218,7 +218,13 @@ def test_typed_stub_covers_flat_namespace():
             declared.add(node.target.id)
         elif isinstance(node, ast.ImportFrom):
             declared.update(a.asname or a.name for a in node.names)
-    public = {n for n in dir(sdr) if not n.startswith("_")}
+    import types
+    # submodules appear in dir(sdr) as a side effect of OTHER tests
+    # importing them (e.g. orion_sdr_tpu.native) — only the symbols the
+    # package itself re-exports belong in the stub
+    public = {n for n in dir(sdr) if not n.startswith("_")
+              and not (isinstance(getattr(sdr, n), types.ModuleType)
+                       and n not in declared)}
     missing = public - declared - {"ofdm_mod_api"}
     assert not missing, f"stub missing: {sorted(missing)}"
     assert os.path.exists(os.path.join(root, "orion_sdr_tpu", "py.typed"))
