@@ -420,7 +420,7 @@ class _Psk31DemodBase:
         self.fs, self.rf_hz, self.gain = fs, rf_hz, gain
         self.sps = _mp.psk31_sps(fs)
         self._leftover = np.zeros(0, np.complex64)
-        self._phase = 0.0
+        self._n_mixed = 0            # samples already down-mixed (phase carry)
         self._prev_sym = 1.0 + 0.0j
         self._phase_acc = 0.0
 
@@ -433,8 +433,13 @@ class _Psk31DemodBase:
             return np.zeros(shape, np.float32)
         take = n_syms * self.sps
         self._leftover = z[take:]
+        # continue the down-mix oscillator across process() calls
+        # (same carry Psk31Stream threads via its sample counter)
+        phase0 = np.float32(-2.0 * np.pi * self.rf_hz
+                            * self._n_mixed / self.fs)
+        self._n_mixed += take
         soft, prev, acc = _dp.stream_step(
-            z[:take], np.float32(self._phase), np.complex64(self._prev_sym),
+            z[:take], phase0, np.complex64(self._prev_sym),
             np.float32(self._phase_acc), self.sps, self.gain, self.qpsk,
             self.rf_hz, self.fs)
         self._prev_sym = complex(np.asarray(prev).reshape(())[()])
@@ -525,8 +530,14 @@ class OfdmDemod:
         from .ofdm import (ofdm_demod, ofdm_decide, channel_estimate_pilots,
                            zf_equalize)
         from .multicarrier import CarrierGrid, symbol_fft, grid_extract
+        from .dsp.osc import rotate_host
         z = _c64(iq)
         if self.equalizer == "pilot_interp":
+            if self.cfg.rf_hz != 0.0:
+                # same down-mix the training_symbol branch gets via
+                # ofdm_demod, with the carried oscillator phase
+                z, self._phase = rotate_host(z, np.float32(-self.cfg.rf_hz),
+                                             self.cfg.fs, self._phase)
             g = CarrierGrid(self.cfg.carrier_plan)
             freq = symbol_fft(z, g.n_fft, g.cp_len,
                               backoff=self.cfg.rx_window_backoff)

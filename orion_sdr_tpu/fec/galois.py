@@ -228,7 +228,9 @@ class ReedSolomon:
         r = np.asarray(received, np.uint8)
         from .. import native
         if native.AVAILABLE:
-            return native.rs_decode_batch(self.n, self.n_parity, r)
+            res = native.rs_decode_batch(self.n, self.n_parity, r)
+            if res is not None:
+                return res
         out = np.empty((r.shape[0], self.k), np.uint8)
         ok = np.ones(r.shape[0], bool)
         for i, row in enumerate(r):
@@ -351,7 +353,9 @@ class Bch:
         r = np.asarray(received_bits, np.uint8) & 1
         from .. import native
         if native.AVAILABLE:
-            return native.bch_decode_batch(self.n, self.k, self.t, r)
+            res = native.bch_decode_batch(self.n, self.k, self.t, r)
+            if res is not None:
+                return res
         out = np.empty((r.shape[0], self.k), np.uint8)
         ok = np.ones(r.shape[0], bool)
         for i, row in enumerate(r):

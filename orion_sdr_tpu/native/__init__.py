@@ -72,7 +72,10 @@ def rs_decode_batch(n: int, n_parity: int, received: np.ndarray):
     adjudicates). Returns None if the native library is unavailable.
     """
     lib = _load()
-    if lib is None:
+    if lib is None or n_parity > 64:
+        # the native fast path's fixed buffers support n_parity <= 64
+        # (every deployed config; RS(204,16), RS(60,8), ...); larger codes
+        # take the numpy path
         return None
     r = np.ascontiguousarray(received, np.uint8)
     assert r.ndim == 2 and r.shape[1] == n
@@ -86,7 +89,7 @@ def rs_decode_batch(n: int, n_parity: int, received: np.ndarray):
 def bch_decode_batch(n: int, k: int, t: int, received_bits: np.ndarray):
     """(B, n) bit codewords → ((B, k) message bits, (B,) ok flags)."""
     lib = _load()
-    if lib is None:
+    if lib is None or t > 16:
         return None
     r = np.ascontiguousarray(received_bits, np.uint8)
     assert r.ndim == 2 and r.shape[1] == n

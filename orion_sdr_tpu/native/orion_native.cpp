@@ -199,9 +199,19 @@ void rs_decode_batch(int n, int n_parity, const uint8_t* in, int batch,
     const int shift = ORDER - n;
     const int cap = t + 2;
 
+    // fixed-size fast-path buffers (acc[MAX_SYN], ch[4][40]) bound the
+    // supported code sizes; the Python wrapper falls back to numpy beyond
+    if (n_parity > MAX_SYN || t + 2 > 40) {
+        for (int bi = 0; bi < batch; ++bi) {
+            std::memcpy(out + (size_t)bi * k, in + (size_t)bi * n, k);
+            ok[bi] = 0;
+        }
+        return;
+    }
+
     parallel_rows(batch, [=](int row_lo, int row_hi) {
     std::vector<uint8_t> s(n_parity), sigma(cap), omega(n_parity),
-        deriv(cap), word(n), cterm(cap);
+        deriv(cap), word(n);
 
     for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;
@@ -320,8 +330,17 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
     }
     const uint64_t* w64p = w64.empty() ? nullptr : w64.data();
 
+    if (2 * t + 1 > MAX_SYN || cap > 40) {
+        for (int bi = 0; bi < batch; ++bi) {
+            for (int i = 0; i < k; ++i)
+                out[(size_t)bi * k + i] = in[(size_t)bi * n + i] & 1;
+            ok[bi] = 0;
+        }
+        return;
+    }
+
     parallel_rows(batch, [=](int row_lo, int row_hi) {
-    std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n), cterm(cap);
+    std::vector<uint8_t> s(2 * t + 1), sigma(cap), word(n);
 
     for (int bi = row_lo; bi < row_hi; ++bi) {
         const uint8_t* r = in + (size_t)bi * n;

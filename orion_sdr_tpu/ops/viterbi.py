@@ -258,14 +258,53 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool):
     return bits.T[:L]
 
 
+def _chunks_jnp(c0, c1, pm0, code: str):
+    """jnp reference for the chunked decode (argmax-start traceback) —
+    the odd-span fallback; mirrors fec.conv.viterbi_decode_soft_chunked's
+    per-chunk math exactly."""
+    _, S, top, _, _, prev, sign0, sign1 = _tables(code)
+    prev_j = jnp.asarray(prev)
+    s0 = jnp.asarray(sign0)
+    s1 = jnp.asarray(sign1)
+    c0 = jnp.asarray(c0, jnp.float32)
+    c1 = jnp.asarray(c1, jnp.float32)
+    pm = jnp.asarray(pm0, jnp.float32)
+
+    def acs(pm, ls):
+        la, lb = ls
+        cand = pm[..., prev_j] + s0 * la[..., None, None] \
+            + s1 * lb[..., None, None]
+        dec = jnp.argmax(cand, axis=-1)
+        new_pm = jnp.max(cand, axis=-1)
+        new_pm = new_pm - jnp.max(new_pm, axis=-1, keepdims=True)
+        return new_pm, dec.astype(jnp.uint8)
+
+    pm, decs = jax.lax.scan(acs, pm,
+                            (jnp.moveaxis(c0, -1, 0),
+                             jnp.moveaxis(c1, -1, 0)))
+
+    def traceback(state, dec_t):
+        bit = (state >> top) & 1
+        z = jnp.take_along_axis(dec_t, state[..., None],
+                                axis=-1)[..., 0].astype(jnp.int32)
+        return prev_j[state, z], bit
+
+    state0 = jnp.argmax(pm, axis=-1).astype(jnp.int32)
+    _, bits_rev = jax.lax.scan(traceback, state0, decs[::-1])
+    return jnp.moveaxis(bits_rev[::-1], 0, -1).astype(jnp.float32)
+
+
 def viterbi_chunks_pallas(c0, c1, pm0, code: str, interpret=None):
     """Run the chunked ACS+traceback over pre-chunked LLR lanes.
 
     ``c0``/``c1``: (L, span) per-step LLR pairs for L = batch·n_chunks lanes;
     ``pm0``: (L, S) initial metrics per lane (unpadded state count). Returns
-    (L, span) decoded bit planes (margins included — caller drops them)."""
+    (L, span) decoded bit planes (margins included — caller drops them).
+    Odd spans take the jnp fallback (the radix-2 kernel needs even T)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if np.shape(c0)[-1] % 2:
+        return _chunks_jnp(c0, c1, pm0, code)
     return _run_kernel(c0, c1, pm0, code, interpret)
 
 

@@ -175,13 +175,16 @@ def dvb_t_receive_sharded(segs, n_symbols: int, cp_len: int, backoff: int,
     flat_mesh = Mesh(mesh.devices.reshape(-1), ("ch",))
 
     def local(z):
-        return _receive_frame(z, n_symbols, cp_len, backoff, vbits)
+        llrs, cells = _receive_frame(z, n_symbols, cp_len, backoff, vbits)
+        # complex64 cannot cross the axon host<->device boundary
+        return llrs, cells.real.astype(jnp.float32), \
+            cells.imag.astype(jnp.float32)
 
     shard_fn = jax.shard_map(local, mesh=flat_mesh,
                              in_specs=P("ch"),
-                             out_specs=(P("ch"), P("ch")))
+                             out_specs=(P("ch"), P("ch"), P("ch")))
     sh = NamedSharding(flat_mesh, P("ch", None))
     re = jax.device_put(segs.real.astype(np.float32), sh)
     im = jax.device_put(segs.imag.astype(np.float32), sh)
-    llrs, cells = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
-    return np.asarray(llrs), np.asarray(cells)
+    llrs, cr, ci = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
+    return np.asarray(llrs), np.asarray(cr) + 1j * np.asarray(ci)

@@ -75,12 +75,16 @@ def psk31_demod_sharded(iq, mesh: Mesh, fs: float, rf_hz: float = 0.0,
         z, _ = rotate_host(z, np.float32(-rf_hz), fs)
     fm = _flat_mesh(mesh)
     nd = fm.devices.size
-    n_syms = z.shape[-1] // sps
-    n_syms -= n_syms % nd
-    if n_syms == 0:
+    true_syms = z.shape[-1] // sps
+    if true_syms == 0:
         shape = (0, 2) if qpsk else (0,)
         return np.zeros(shape, np.float32)
-    seg = z[: n_syms * sps].reshape(n_syms, sps)
+    # pad the symbol count to a whole number per device with zero samples;
+    # the PLL scan is causal, so the real symbols' outputs are unchanged
+    # and the padded tail is trimmed below
+    n_syms = -(-true_syms // nd) * nd
+    seg = np.zeros((n_syms, sps), z.dtype)
+    seg[:true_syms] = z[: true_syms * sps].reshape(true_syms, sps)
     h = psk31_hann(sps).astype(np.float32)
 
     def local(re, im):
@@ -95,7 +99,7 @@ def psk31_demod_sharded(iq, mesh: Mesh, fs: float, rf_hz: float = 0.0,
                               in_specs=(P("t", None), P("t", None)),
                               out_specs=out_spec, check_vma=False))
     re, im = _put_complex(fm, P("t", None), seg)
-    return np.asarray(f(re, im))
+    return np.asarray(f(re, im))[:true_syms]
 
 
 def psk31_stream_decode_sharded(iq, mesh: Mesh, fs: float,
@@ -232,7 +236,12 @@ def forney_deinterleave_sharded(x, mesh: Mesh, branches: int = 12,
     D = (I - 1) * M * I
     x = np.asarray(x)
     n = x.shape[-1]
-    # each block must cover the max delay; short streams use fewer devices
+    # each block must cover the max delay; short streams use fewer devices,
+    # and one shorter than the delay itself takes the plain host path
+    if n < D:
+        from ..fec.interleave import forney_deinterleave
+        out, _ = forney_deinterleave(x, branches, depth)
+        return np.asarray(out)
     all_devs = mesh.devices.reshape(-1)
     nd = int(max(1, min(all_devs.size, n // D)))
     fm = Mesh(all_devs[:nd], ("t",))
@@ -289,14 +298,20 @@ def dvb_t_receive_time_sharded(iq_aligned, n_symbols: int, cp_len: int,
                                       np.complex64)])
 
     def local(re, im):
-        return _receive_frame(re + 1j * im, local_syms, cp_len, backoff,
-                              vbits)
+        llrs, cells = _receive_frame(re + 1j * im, local_syms, cp_len,
+                                     backoff, vbits)
+        # complex64 cannot cross the axon host<->device boundary: split the
+        # TPS cells to re/im here, rejoin host-side
+        return llrs, cells.real.astype(jnp.float32), \
+            cells.imag.astype(jnp.float32)
 
     f = jax.jit(jax.shard_map(local, mesh=fm, in_specs=(P("t"), P("t")),
-                              out_specs=(P("t"), P("t")), check_vma=False))
+                              out_specs=(P("t"), P("t"), P("t")),
+                              check_vma=False))
     re, im = _put_complex(fm, P("t"), iq)
-    llrs, cells = f(re, im)
-    return (np.asarray(llrs)[:n_symbols], np.asarray(cells)[:n_symbols])
+    llrs, cr, ci = f(re, im)
+    cells = np.asarray(cr) + 1j * np.asarray(ci)
+    return (np.asarray(llrs)[:n_symbols], cells[:n_symbols])
 
 
 def dvb_t_decode_time_sharded(iq, n_symbols: int, payload_len: int, params,

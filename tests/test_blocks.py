@@ -172,3 +172,37 @@ class TestOfdmBlocks:
         assert np.array_equal(out[:len(bits)], bits)
         with pytest.raises(ValueError):
             sdr.OfdmDemod(cfg, equalizer="nope")
+
+
+class TestBlockStateCarry:
+    def test_bpsk31_demod_phase_carry_across_chunks(self):
+        """Regression: the down-mix oscillator phase must continue across
+        process() calls — at an rf that is not a multiple of the symbol
+        rate, a restarted mixer decodes a wrong bit at every chunk seam."""
+        fs = 8000.0
+        rf = 1001.5625          # NOT a multiple of 31.25 Hz
+        iq = np.asarray(sdr.Bpsk31Mod(fs, rf_hz=rf
+                                      ).modulate_text("phase carry"))
+        one = sdr.Bpsk31Demod(fs, rf_hz=rf).process(iq)
+        s = sdr.Bpsk31Demod(fs, rf_hz=rf)
+        two = np.concatenate([s.process(iq[:30_011]),
+                              s.process(iq[30_011:])])
+        n = min(len(one), len(two))
+        np.testing.assert_allclose(two[:n], one[:n], atol=1e-4)
+
+    def test_ofdm_demod_pilot_interp_with_rf(self):
+        """Regression: the pilot_interp branch must down-mix cfg.rf_hz
+        exactly like the training_symbol branch does via ofdm_demod."""
+        from orion_sdr_tpu.multicarrier import CarrierPlan
+        plan = (CarrierPlan(256, 64)
+                .with_pilot_carriers([(i, 1.0 + 0j)
+                                      for i in range(-100, 101, 8)])
+                .with_contiguous_data(edge_guard=27))
+        cfg = sdr.OfdmConfig(plan, fs=FS, constellation="qpsk",
+                             rf_hz=1000.0)
+        rng = np.random.default_rng(0)
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 4
+                            ).astype(np.uint8)
+        iq = sdr.OfdmMod(cfg).process(bits)
+        out = sdr.OfdmDemod(cfg, equalizer="pilot_interp").process(iq)
+        assert np.array_equal(out[:len(bits)], bits)

@@ -118,3 +118,14 @@ def test_bp_pallas_reports_unsat_on_garbage():
     llr = rng.standard_normal((2, g.n)).astype(np.float32)
     _, mu = bp_decode_pallas(_graph_key(g), llr, 15, interpret=True)
     assert (np.asarray(mu) > 0).all()
+
+
+def test_pallas_chunked_odd_span_falls_back():
+    """Regression: the radix-2 kernel needs even spans; odd spans must take
+    the jnp fallback instead of asserting."""
+    rng = np.random.default_rng(9)
+    c0 = rng.standard_normal((2, 1215)).astype(np.float32)
+    c1 = rng.standard_normal((2, 1215)).astype(np.float32)
+    pm0 = np.zeros((2, 64), np.float32)
+    bits = np.asarray(viterbi_chunks_pallas(c0, c1, pm0, "dvb_k7"))
+    assert bits.shape == (2, 1215)
