@@ -53,6 +53,14 @@ _NRPT = {"": 0, "RRR": 1, "RR73": 2, "73": 3}
 _NRPT_INV = {v: k for k, v in _NRPT.items()}
 
 
+def _as_bytes(data) -> bytes:
+    """Accept bytes/bytearray or any uint8 array-like (drop-in ergonomics:
+    the reference bindings take bytes-like payloads)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return bytes(data)
+    return bytes(np.asarray(data, np.uint8))
+
+
 def _bits_to_payload(v: int) -> Payload77:
     return np.frombuffer(v.to_bytes(10, "big"), np.uint8).copy()
 
@@ -72,7 +80,7 @@ def pack77(msg: Ft8Message, ht: Optional[CallsignHashTable] = None
     if isinstance(msg, NonStd):
         return _pack_nonstd(msg, ht)
     if isinstance(msg, Telemetry):
-        v = int.from_bytes(bytes(np.asarray(msg.data, np.uint8)), "big")
+        v = int.from_bytes(_as_bytes(msg.data), "big")
         v &= (1 << 71) - 1   # top bit of data[0] is outside the 71-bit field
         p = _bits_to_payload((v << 1) << 8)
         p[8] |= 0x01                   # n3 bit 2
@@ -118,7 +126,10 @@ def _pack_nonstd(msg: NonStd, ht: CallsignHashTable) -> Optional[Payload77]:
 def unpack77(payload, ht: Optional[CallsignHashTable] = None) -> Ft8Message:
     """77-bit payload → decoded message."""
     ht = ht if ht is not None else CallsignHashTable()
-    p = np.asarray(payload, np.uint8)
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        p = np.frombuffer(bytes(payload), np.uint8)
+    else:
+        p = np.asarray(payload, np.uint8)
     i3 = (int(p[9]) >> 3) & 0x07
     n3 = ((int(p[8]) << 2) | (int(p[9]) >> 6)) & 0x07
     v = int.from_bytes(bytes(p), "big") >> 3   # the 77 bits, right-aligned
