@@ -365,6 +365,18 @@ def inner_decode(inner: InnerFec, coded_llrs, info_len: int,
     return np.asarray(info), True
 
 
+# past this many codewords the batched on-device BCH/RS decoders
+# (fec/bch_device.py, one fused program per batch) beat the native host path
+# on the TPU backend; below it the relay's per-call latency dominates
+_DEVICE_OUTER_MIN_BLOCKS = 64
+
+
+def _outer_device_ok(t: int, n_blocks: int) -> bool:
+    from ..fec.bch_device import MAX_DEVICE_T
+    return (t <= MAX_DEVICE_T and n_blocks >= _DEVICE_OUTER_MIN_BLOCKS
+            and jax.default_backend() == "tpu")
+
+
 def outer_decode(outer: OuterFec, coded_bits):
     """(message_bits, all_ok); per-block failures fall back to the systematic
     prefix so the CRC still adjudicates (ref :309-360)."""
@@ -378,7 +390,12 @@ def outer_decode(outer: OuterFec, coded_bits):
         if n_full == 0:
             return np.zeros(0, np.uint8), False
         blocks = bits[: n_full * n].reshape(n_full, n)
-        msg, ok = code.decode_batch(blocks)      # native C++ when available
+        if _outer_device_ok(outer.t, n_full):
+            from ..fec.bch_device import bch_decode_batch_device
+            msg, okd = bch_decode_batch_device(n, code.k, code.t, blocks)
+            msg, ok = np.asarray(msg), np.asarray(okd).astype(bool)
+        else:
+            msg, ok = code.decode_batch(blocks)  # native C++ when available
         return msg.reshape(-1), bool(ok.all()) and len(bits) % n == 0
     rs = rs_for(outer.n, outer.n_parity)
     byts = bits_to_bytes(bits)
@@ -387,7 +404,12 @@ def outer_decode(outer: OuterFec, coded_bits):
     if n_full == 0:
         return np.zeros(0, np.uint8), False
     blocks = byts[: n_full * n].reshape(n_full, n)
-    msg, ok = rs.decode_batch(blocks)            # native C++ when available
+    if _outer_device_ok(outer.n_parity // 2, n_full):
+        from ..fec.bch_device import rs_decode_batch_device
+        msg, okd = rs_decode_batch_device(n, outer.n_parity, blocks)
+        msg, ok = np.asarray(msg), np.asarray(okd).astype(bool)
+    else:
+        msg, ok = rs.decode_batch(blocks)        # native C++ when available
     return bytes_to_bits(msg.reshape(-1)), \
         bool(ok.all()) and len(byts) % n == 0
 
@@ -436,7 +458,12 @@ def outer_decode_batch(outer: OuterFec, coded_bits_mat):
         if n_full == 0:
             return np.zeros((nb, 0), np.uint8), np.zeros(nb, bool)
         blocks = bits[:, : n_full * n].reshape(nb * n_full, n)
-        msg, ok = code.decode_batch(blocks)
+        if _outer_device_ok(outer.t, nb * n_full):
+            from ..fec.bch_device import bch_decode_batch_device
+            msg, okd = bch_decode_batch_device(n, code.k, code.t, blocks)
+            msg, ok = np.asarray(msg), np.asarray(okd).astype(bool)
+        else:
+            msg, ok = code.decode_batch(blocks)
         ok = ok.reshape(nb, n_full).all(axis=1) & (nbits % n == 0)
         return msg.reshape(nb, -1), ok
     rs = rs_for(outer.n, outer.n_parity)
@@ -446,7 +473,12 @@ def outer_decode_batch(outer: OuterFec, coded_bits_mat):
     if n_full == 0:
         return np.zeros((nb, 0), np.uint8), np.zeros(nb, bool)
     blocks = byts[:, : n_full * n].reshape(nb * n_full, n)
-    msg, ok = rs.decode_batch(blocks)
+    if _outer_device_ok(outer.n_parity // 2, nb * n_full):
+        from ..fec.bch_device import rs_decode_batch_device
+        msg, okd = rs_decode_batch_device(n, outer.n_parity, blocks)
+        msg, ok = np.asarray(msg), np.asarray(okd).astype(bool)
+    else:
+        msg, ok = rs.decode_batch(blocks)
     ok = ok.reshape(nb, n_full).all(axis=1) & (byts.shape[1] % n == 0)
     return np.unpackbits(msg.reshape(nb, -1), axis=1), ok
 

@@ -289,3 +289,64 @@ def test_rs_large_parity_takes_numpy_path():
     cw[1, 10] ^= 0x0F
     out, ok = rs.decode_batch(cw)
     assert ok.all() and np.array_equal(out, msg)
+
+
+# ── batched on-device BCH/RS decoders (fec/bch_device.py) ────────────────────
+
+from orion_sdr_tpu.fec.bch_device import (bch_decode_batch_device,
+                                          rs_decode_batch_device,
+                                          gf_mul as gf_mul_dev,
+                                          gf_inv as gf_inv_dev)
+
+
+def test_device_gf_primitives():
+    from orion_sdr_tpu.fec.galois import gf_mul as gf_mul_host
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, 500)
+    b = rng.integers(0, 256, 500)
+    dev = np.asarray(gf_mul_dev(a, b))
+    host = np.array([int(gf_mul_host(np.uint8(x), np.uint8(y)))
+                     for x, y in zip(a, b)])
+    assert np.array_equal(dev, host)
+    inv = np.asarray(gf_inv_dev(np.arange(1, 256)))
+    assert np.all(np.asarray(gf_mul_dev(np.arange(1, 256), inv)) == 1)
+
+
+@pytest.mark.parametrize("t,n", [(8, 184), (4, 255)])
+def test_device_bch_matches_host(t, n):
+    bch = Bch(t, n)
+    rng = np.random.default_rng(t * 100 + n)
+    B = 48
+    msgs = rng.integers(0, 2, (B, bch.k)).astype(np.uint8)
+    cw = bch.encode(msgs.reshape(B, bch.k)).astype(np.uint8)
+    bad = cw.copy()
+    for i in range(B):
+        ne = int(rng.integers(0, t + 1))
+        if ne:
+            pos = rng.choice(n, ne, replace=False)
+            bad[i, pos] ^= 1
+    bad[0, ::3] ^= 1                      # one uncorrectable row
+    out, okd = bch_decode_batch_device(n, bch.k, t, bad)
+    ref_out, ref_ok = bch.decode_batch(bad)
+    assert np.array_equal(np.asarray(out), ref_out)
+    assert np.array_equal(np.asarray(okd).astype(bool), ref_ok)
+
+
+@pytest.mark.parametrize("n,p", [(204, 16)])
+def test_device_rs_matches_host(n, p):
+    rs = ReedSolomon(n, p)
+    rng = np.random.default_rng(n + p)
+    B = 32
+    msgs = rng.integers(0, 256, (B, rs.k)).astype(np.uint8)
+    cw = np.stack([rs.encode(m) for m in msgs]).astype(np.uint8)
+    bad = cw.copy()
+    for i in range(B):
+        ne = int(rng.integers(0, p // 2 + 1))
+        if ne:
+            pos = rng.choice(n, ne, replace=False)
+            bad[i, pos] ^= rng.integers(1, 256, ne).astype(np.uint8)
+    bad[0, ::3] ^= 0xA5                   # one uncorrectable row
+    out, okd = rs_decode_batch_device(n, p, bad)
+    ref_out, ref_ok = rs.decode_batch(bad)
+    assert np.array_equal(np.asarray(out), ref_out)
+    assert np.array_equal(np.asarray(okd).astype(bool), ref_ok)
