@@ -36,14 +36,15 @@ from ..dsp.device import cjit
 
 def gf_mul(a, b):
     """Branchless GF(2^8) multiply over int32 arrays (poly 0x11D):
-    carryless multiply then polynomial reduction — no tables, no gathers."""
+    carryless multiply then polynomial reduction — no tables, no gathers,
+    and no selects (mask-multiplies keep the Mosaic/XLA graphs lean)."""
     a = jnp.asarray(a, jnp.int32)
     b = jnp.asarray(b, jnp.int32)
     res = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), jnp.int32)
     for i in range(8):
-        res = res ^ jnp.where((b >> i) & 1, a << i, 0)
+        res = res ^ (((b >> i) & 1) * (a << i))
     for i in range(14, 7, -1):
-        res = res ^ jnp.where((res >> i) & 1, 0x11D << (i - 8), 0)
+        res = res ^ (((res >> i) & 1) * (0x11D << (i - 8)))
     return res
 
 
