@@ -372,6 +372,12 @@ _DEVICE_OUTER_MIN_BLOCKS = 64
 
 
 def _outer_device_ok(t: int, n_blocks: int) -> bool:
+    import os
+    if os.environ.get("ORION_SDR_TPU_DEVICE_OUTER", "1") == "0":
+        # escape hatch: the device decoders' one-time compile through the
+        # axon relay is slow (~minutes); latency-sensitive sessions can pin
+        # the native host path
+        return False
     from ..fec.bch_device import MAX_DEVICE_T
     return (t <= MAX_DEVICE_T and n_blocks >= _DEVICE_OUTER_MIN_BLOCKS
             and jax.default_backend() == "tpu")
