@@ -18,3 +18,4 @@ from .interleave import (
 )
 from .scrambler import pn_sequence, scramble, PnScramblerStream, DVB_TAPS
 from .crc import crc16, crc32
+from .bch_device import bch_decode_batch_device, rs_decode_batch_device
