@@ -350,3 +350,12 @@ def test_device_rs_matches_host(n, p):
     ref_out, ref_ok = rs.decode_batch(bad)
     assert np.array_equal(np.asarray(out), ref_out)
     assert np.array_equal(np.asarray(okd).astype(bool), ref_ok)
+
+
+def test_outer_device_gate_logic(monkeypatch):
+    """The TPU-only device-outer dispatch never fires on CPU and honors the
+    escape hatch."""
+    from orion_sdr_tpu.frame.chain import _outer_device_ok
+    assert not _outer_device_ok(8, 1000)       # CPU backend in tests
+    monkeypatch.setenv("ORION_SDR_TPU_DEVICE_OUTER", "0")
+    assert not _outer_device_ok(8, 1000)
