@@ -1,0 +1,96 @@
+"""Property fuzz: randomized-but-seeded geometry sweeps — every valid
+numerology must roundtrip bit-exactly (the caller-owned-plan contract)."""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as sdr
+from orion_sdr_tpu.multicarrier import CarrierPlan
+from orion_sdr_tpu.ofdm import OfdmConfig
+from orion_sdr_tpu.frame.chain import block_plan, encode_chain, decode_chain
+from orion_sdr_tpu.frame.types import (OuterFec, InnerFec, InterleaverKind,
+                                       ScramblerKind, SCRAMBLER_BEFORE_OUTER)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_plan_ofdm_roundtrip(seed):
+    rng = np.random.default_rng(1000 + seed)
+    n_fft = int(rng.choice([64, 128, 256, 512]))
+    cp = n_fft // int(rng.choice([4, 8, 16]))
+    guard = int(rng.integers(1, max(n_fft // 8, 2)))
+    order = str(rng.choice(["bpsk", "qpsk", "qam16", "qam64"]))
+    plan = CarrierPlan(n_fft, cp).with_contiguous_data(edge_guard=guard)
+    cfg = OfdmConfig(plan, fs=1e6, constellation=order)
+    cfg.validate()
+    n_sym = int(rng.integers(1, 6))
+    bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * n_sym
+                        ).astype(np.uint8)
+    iq, _ = sdr.ofdm_mod(cfg, bits)
+    soft, _ = sdr.ofdm_demod(cfg, np.asarray(iq), n_symbols=n_sym)
+    out = np.asarray(sdr.ofdm_decide(cfg, soft))
+    assert np.array_equal(out[:len(bits)], bits), (n_fft, cp, guard, order)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_chain_scheme_roundtrip(seed):
+    rng = np.random.default_rng(2000 + seed)
+    outer = [OuterFec.none(), OuterFec.bch(int(rng.choice([2, 4, 8]))),
+             OuterFec.reed_solomon(int(rng.choice([60, 204])),
+                                   int(rng.choice([8, 16])))][
+                                       int(rng.integers(0, 3))]
+    inner = [InnerFec.ldpc(str(rng.choice(["N512R12", "N576R23"]))),
+             InnerFec.convolutional(str(rng.choice(["1/2", "2/3", "3/4"])),
+                                    str(rng.choice(["k5", "dvb_k7"])))][
+                                        int(rng.integers(0, 2))]
+    oil = [InterleaverKind.none(), InterleaverKind.block(8, 16),
+           InterleaverKind.convolutional(4, 3)][int(rng.integers(0, 3))]
+    iil = [InterleaverKind.none(),
+           InterleaverKind.block(16, 32)][int(rng.integers(0, 2))]
+    scr = [ScramblerKind.none(),
+           ScramblerKind.additive(0b1001, 15, 0x3C3)][
+               int(rng.integers(0, 2))]
+    crc = str(rng.choice(["none", "crc16", "crc32"]))
+    n_bytes = int(rng.integers(20, 400))
+    data = rng.integers(0, 256, n_bytes).astype(np.uint8)
+    plan = block_plan(n_bytes, crc, outer, inner, oil, iil)
+    coded = encode_chain(data, crc, outer, inner, oil, iil, scr,
+                         SCRAMBLER_BEFORE_OUTER, 5)
+    assert len(coded) == plan.coded_bits, (outer, inner, oil, iil)
+    llrs = (1.0 - 2.0 * coded.astype(np.float32)) * 4.0
+    out, ok = decode_chain(llrs, plan, crc, outer, inner, oil, iil, scr,
+                           SCRAMBLER_BEFORE_OUTER, 5)
+    assert ok and np.array_equal(np.asarray(out)[:n_bytes], data), \
+        (outer, inner, oil, iil, scr, crc)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_pilot_plan_interp_roundtrip(seed):
+    """Random pilot spacings with pilots bracketing the data span: the
+    generic pilot-interp equalizer decodes a static-multipath capture."""
+    rng = np.random.default_rng(3000 + seed)
+    spacing = int(rng.choice([4, 8, 16]))
+    n_fft = 256
+    lim = int(rng.choice([96, 100]))
+    lim = (lim // spacing) * spacing
+    plan = (CarrierPlan(n_fft, 64)
+            .with_pilot_carriers([(i, 1.0 + 0j)
+                                  for i in range(-lim, lim + 1, spacing)])
+            .with_contiguous_data(edge_guard=n_fft // 2 - lim - 1))
+    cfg = (OfdmConfig(plan, fs=1e6, constellation="qpsk")
+           .with_equalizer_method("pilot_interp"))
+    cfg.validate()
+    bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 4
+                        ).astype(np.uint8)
+    iq = np.asarray(sdr.ofdm_mod(cfg, bits)[0])
+    h = np.zeros(6, np.complex64)
+    h[0], h[3] = 1.0, 0.4 * np.exp(1j * float(rng.uniform(0, 6.28)))
+    rx = np.convolve(iq, h)[:len(iq)].astype(np.complex64)
+    from orion_sdr_tpu.multicarrier import CarrierGrid, symbol_fft, \
+        grid_extract
+    from orion_sdr_tpu.ofdm import channel_estimate_pilots, zf_equalize
+    g = CarrierGrid(plan)
+    freq = symbol_fft(rx, n_fft, 64, n_symbols=4)
+    est = channel_estimate_pilots(freq, g.pilot_bins, g.pilot_values, n_fft)
+    soft = grid_extract(g, zf_equalize(freq, est))
+    out = np.asarray(sdr.ofdm_decide(cfg, soft))
+    assert np.array_equal(out[:len(bits)], bits), (spacing, lim)
