@@ -122,20 +122,25 @@ def bch_decode_batch_device(n: int, k: int, t: int, bits):
         return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), p[:, :-1]],
                                axis=-1)
 
-    for nn in range(1, 2 * t + 1):
-        # δ = Σ_i σ_i · S_{nn-i} (σ_i = 0 beyond its degree)
-        terms = 0
-        for i in range(0, min(nn, cap - 1) + 1):
-            if nn - i < 1:
-                continue
-            terms = terms ^ gf_mul(sigma[:, i], s1[:, nn - i])
-        delta = terms                                           # (B,)
+    # fori_loop keeps the BM graph one-iteration-sized (the unrolled form
+    # made the relay's AOT compile take ~20 minutes)
+    iidx = jnp.arange(cap)
+
+    def bm_body(nn, carry):
+        sigma, bx, l = carry
+        gather = jnp.take(s1, jnp.clip(nn - iidx, 0, 2 * t), axis=1)
+        gather = jnp.where((nn - iidx >= 1)[None, :], gather, 0)
+        prods = gf_mul(sigma, gather)
+        delta = jax.lax.reduce(prods, np.int32(0), jax.lax.bitwise_xor, [1])
         t_new = sigma ^ gf_mul(delta[:, None], bx)
         reset = (delta != 0) & (2 * l < nn)
         new_bx_reset = shift1(gf_mul(gf_inv(delta)[:, None], sigma))
         sigma = jnp.where((delta != 0)[:, None], t_new, sigma)
         bx = jnp.where(reset[:, None], new_bx_reset, shift1(bx))
         l = jnp.where(reset, nn - l, l)
+        return sigma, bx, l
+
+    sigma, bx, l = jax.lax.fori_loop(1, 2 * t + 1, bm_body, (sigma, bx, l))
 
     # degree of σ (highest nonzero coefficient)
     nz = sigma != 0
@@ -234,29 +239,37 @@ def rs_decode_batch_device(n: int, n_parity: int, received):
         return jnp.concatenate([jnp.zeros((B, 1), jnp.int32), p[:, :-1]],
                                axis=-1)
 
-    for nn in range(0, n_parity):
-        terms = 0
-        for i in range(0, min(nn, cap - 1) + 1):
-            terms = terms ^ gf_mul(sigma[:, i], s[:, nn - i])
-        delta = terms
+    iidx = jnp.arange(cap)
+
+    def bm_body(nn, carry):
+        sigma, bx, l = carry
+        gather = jnp.take(s, jnp.clip(nn - iidx, 0, n_parity - 1), axis=1)
+        gather = jnp.where((nn - iidx >= 0)[None, :], gather, 0)
+        prods = gf_mul(sigma, gather)
+        delta = jax.lax.reduce(prods, np.int32(0), jax.lax.bitwise_xor, [1])
         t_new = sigma ^ gf_mul(delta[:, None], bx)
         reset = (delta != 0) & (2 * l <= nn)
         new_bx_reset = shift1(gf_mul(gf_inv(delta)[:, None], sigma))
         sigma = jnp.where((delta != 0)[:, None], t_new, sigma)
         bx = jnp.where(reset[:, None], new_bx_reset, shift1(bx))
         l = jnp.where(reset, nn + 1 - l, l)
+        return sigma, bx, l
+
+    sigma, bx, l = jax.lax.fori_loop(0, n_parity, bm_body, (sigma, bx, l))
 
     nz = sigma != 0
     idx = jnp.arange(cap, dtype=jnp.int32)
     sdeg = jnp.max(jnp.where(nz, idx, 0), axis=-1)
 
     # ── Ω = S·σ mod x^{2t} ───────────────────────────────────────────────────
+    # Ω as a GF polynomial convolution: Σ_j shift_j(σ_j · S), j static-small
     omega = jnp.zeros((B, n_parity), jnp.int32)
-    for i in range(n_parity):
-        row = 0
-        for j in range(min(i, cap - 1) + 1):
-            row = row ^ gf_mul(sigma[:, j], s[:, i - j])
-        omega = omega.at[:, i].set(row)
+    for j in range(cap):
+        prod = gf_mul(sigma[:, j:j + 1], s)          # (B, 2t)
+        if j:
+            prod = jnp.concatenate(
+                [jnp.zeros((B, j), jnp.int32), prod[:, :-j]], axis=1)
+        omega = omega ^ prod
     # σ' = odd terms: deriv[m] = σ_{m+1} for even m
     deriv = jnp.zeros((B, cap), jnp.int32)
     for m in range(0, cap - 1, 2):
