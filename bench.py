@@ -295,24 +295,44 @@ def bench_cofdm():
     per_cw = _size_marginal_s(make_bp, 256, 1024) / REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
-    # native BCH host rate at the chain's operating point: post-LDPC input
-    # is mostly clean (FER≈0), occasional blocks carry residual errors —
-    # model 1-in-8 blocks with 2 bit errors (the standalone error-injected
-    # FEC row lives in docs/performance.md)
+    # outer BCH at the chain's operating point (post-LDPC input is mostly
+    # clean; model 1-in-8 blocks with 2 bit errors). On TPU the chain
+    # dispatches to the batched DEVICE decoder — measure that (its program
+    # is AOT-cached server-side after the first-ever compile); fall back to
+    # the native host decoder if the device path is unavailable.
     bch = shortened_bch_for(8)
-    nbb = 2048
-    msgs = rng.integers(0, 2, (nbb, bch.k)).astype(np.uint8)
-    cw = bch.encode(msgs.reshape(nbb, bch.k)).astype(np.uint8)
+    msgs = rng.integers(0, 2, (4096, bch.k)).astype(np.uint8)
+    cw = bch.encode(msgs.reshape(4096, bch.k)).astype(np.uint8)
     bad = cw.copy()
-    for i in range(0, nbb, 8):
+    for i in range(0, 4096, 8):
         pos = rng.choice(bch.n, 2, replace=False)
         bad[i, pos] ^= 1
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        native.bch_decode_batch(bch.n, bch.k, 8, bad)
-        best = min(best, time.perf_counter() - t0)
-    bch_info_rate = nbb * bch.k / best               # info bits/s
+    bch_info_rate = None
+    if jax.default_backend() == "tpu":
+        try:
+            from orion_sdr_tpu.fec.bch_device import bch_decode_batch_device
+
+            def wall(data, reps=5):
+                bch_decode_batch_device(bch.n, bch.k, 8, data)  # warm
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    bch_decode_batch_device(bch.n, bch.k, 8, data)
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts))
+
+            d = wall(bad) - wall(bad[:1024])     # batch marginal: relay
+            d = max(d, 1e-4)                     # overhead cancels
+            bch_info_rate = (4096 - 1024) * bch.k / d
+        except Exception:                        # noqa: BLE001
+            bch_info_rate = None
+    if bch_info_rate is None:
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native.bch_decode_batch(bch.n, bch.k, 8, bad[:2048])
+            best = min(best, time.perf_counter() - t0)
+        bch_info_rate = 2048 * bch.k / best      # info bits/s
 
     # per-sample weights for this link (QPSK, LDPC r1/2, BCH 120/184)
     coded_per_sample = n_data * 2 / sps
