@@ -13,6 +13,7 @@ from .streaming import (
     forney_deinterleave_sharded,
     dvb_t_receive_time_sharded,
     dvb_t_decode_time_sharded,
+    ofdm_frame_decode_time_sharded,
 )
 from .distributed import (
     init_distributed,

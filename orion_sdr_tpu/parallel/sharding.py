@@ -126,6 +126,8 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
     from ..constellation import soft_llr
     from ..ofdm import zf_equalize
 
+    from ..ofdm import channel_estimate_pilots
+
     g = CarrierGrid(cfg.carrier_plan)
     sps = g.n_fft + g.cp_len
     iq = np.asarray(iq)
@@ -139,6 +141,12 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
         freq = symbol_fft(z, g.n_fft, g.cp_len,
                           backoff=cfg.rx_window_backoff,
                           n_symbols=local_syms)
+        if cfg.equalizer_method == "pilot_interp" and g.pilot_bins.size:
+            # per-symbol re-estimation is symbol-local: shards need no halo
+            known = g.pilot_values * np.complex64(cfg.gain)
+            est = channel_estimate_pilots(freq, g.pilot_bins, known,
+                                          g.n_fft)
+            freq = zf_equalize(freq, est)
         syms = grid_extract(g, freq)
         flat = syms.reshape(syms.shape[:-2] + (-1,))
         return soft_llr(flat, constellation)

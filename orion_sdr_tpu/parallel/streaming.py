@@ -397,3 +397,124 @@ def dvb_t_decode_time_sharded(iq, n_symbols: int, payload_len: int, params,
     if payload is None:
         raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
     return DvbTRxFrame(payload=payload[:payload_len], tps=tps_word)
+
+
+# ── COFDM frame capstone: whole-frame decode, time-sharded ───────────────────
+
+
+def ofdm_frame_decode_time_sharded(cfg, mcs_table, preamble, iq, mesh: Mesh,
+                                   score_threshold: float = 0.5):
+    """Whole COFDM frame decode across the mesh — the OFDM-frame analog of
+    ``dvb_t_decode_time_sharded``: S&C acquire (host) → CFO derotate →
+    training-symbol channel estimate → symbol-aligned SHARDED soft demap of
+    header and payload → standard decode chains (batched LDPC BP / device
+    outer FEC). Output equals ``OfdmFrameStreamDemod``'s packet for the
+    same capture.
+    """
+    from ..sync.ofdm_sync import ofdm_sync
+    from ..dsp.osc import rotate_host
+    from ..frame.types import (OuterFec, InnerFec, InterleaverKind,
+                               ScramblerKind, RxError, header_has_block,
+                               SCRAMBLER_BEFORE_OUTER)
+    from ..frame.chain import block_plan, decode_chain
+    from ..frame.modulator import (HEADER_FIELD_BYTES, HEADER_CONSTELLATION,
+                                   HEADER_LDPC, header_block_plan,
+                                   symbols_for_coded_bits)
+    from ..frame.types import FramePacket, FrameMetadata
+    from .sharding import ofdm_soft_demap_sharded
+    from ..multicarrier import symbol_fft
+    from ..sync.ofdm_sync import training_symbol_freq_pattern
+    from ..ofdm import zf_equalize
+
+    if not header_has_block(cfg.header_format):
+        raise RxError(RxError.MALFORMED_HEADER)
+
+    iq = np.asarray(iq)
+    sync = ofdm_sync(iq, cfg.fs, preamble, 0, len(iq))
+    passing = [r for r in sync if r.score >= score_threshold]
+    if not passing:
+        raise RxError(RxError.PREAMBLE_TIMEOUT)
+    best = max(passing, key=lambda r: r.score)
+    spacing = cfg.fs / cfg.carrier_plan.n_fft
+    total_cfo = best.cfo_hz + best.integer_cfo_bins * spacing
+    corrected, _ = rotate_host(iq[best.start_sample:],
+                               np.float32(-total_cfo), cfg.fs)
+    corrected = np.asarray(corrected)
+    body = corrected[preamble.total_len():]
+    sps = cfg.carrier_plan.n_fft + cfg.carrier_plan.cp_len
+
+    # training-hold estimate (applied per shard through a plain equalize —
+    # the estimate is per-bin, so sharding needs no halo)
+    est = None
+    t = preamble.training_symbol
+    if t is not None and cfg.equalizer_method != "pilot_interp":
+        start = preamble.num_repeats * preamble.repeat_len
+        freq = symbol_fft(corrected[start:start + t.n_fft + t.cp_len],
+                          t.n_fft, t.cp_len,
+                          backoff=cfg.rx_window_backoff, n_symbols=1)
+        known = training_symbol_freq_pattern(t.n_fft) * cfg.gain
+        est = (np.asarray(freq)[0] / known).astype(np.complex64)
+
+    # one capture: put EVERY device on the time axis (1 × n mesh)
+    tmesh = Mesh(mesh.devices.reshape(1, -1), ("ch", "t"))
+    t_dim = int(tmesh.devices.shape[1])
+
+    def demap(seg, constellation, n_sym):
+        # pad the symbol run so it splits across the mesh's time axis
+        n_pad = -(-n_sym // max(t_dim, 1)) * max(t_dim, 1)
+        z = np.zeros((1, n_pad * sps), np.complex64)
+        z[0, : n_sym * sps] = seg[: n_sym * sps]
+        llr = ofdm_soft_demap_sharded(cfg, constellation, z, n_pad, tmesh)
+        bps_sym = (cfg.carrier_plan.num_data_carriers()
+                   * {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6,
+                      "qam256": 8}[constellation])
+        return np.asarray(llr).reshape(-1)[: n_sym * bps_sym]
+
+    if est is not None:
+        # fall back to the single-device demap when a held estimate is
+        # needed (the sharded demap currently equalizes flat/pilot-interp)
+        from ..frame.demodulator import soft_demap as _soft_demap
+
+        def demap(seg, constellation, n_sym):       # noqa: F811
+            return np.asarray(_soft_demap(cfg, constellation, seg, n_sym,
+                                          est)).reshape(-1)
+
+    hplan = header_block_plan(cfg)
+    n_sym_h = symbols_for_coded_bits(cfg, HEADER_CONSTELLATION,
+                                     hplan.coded_bits)
+    if len(body) < n_sym_h * sps:
+        raise RxError(RxError.MALFORMED_HEADER)
+    hllr = demap(body, HEADER_CONSTELLATION, n_sym_h)
+    fields, ok = decode_chain(
+        hllr, hplan, cfg.header_crc, OuterFec.none(),
+        InnerFec.ldpc(HEADER_LDPC), InterleaverKind.none(),
+        InterleaverKind.none(), ScramblerKind.none(),
+        SCRAMBLER_BEFORE_OUTER, 0, ldpc_rule="sum_product")
+    if not ok or len(fields) < HEADER_FIELD_BYTES:
+        raise RxError(RxError.HEADER_CRC_MISMATCH)
+    mcs_index = int(fields[0])
+    payload_len = int.from_bytes(bytes(fields[1:5]), "big")
+    sequence_num = int.from_bytes(bytes(fields[5:9]), "big")
+    flags = int(fields[9])
+    seed = int.from_bytes(bytes(fields[10:14]), "big")
+
+    mcs = mcs_table.get(mcs_index)
+    if mcs is None:
+        raise RxError(RxError.MALFORMED_HEADER)
+    pplan = block_plan(payload_len, cfg.payload_crc, mcs.outer_fec,
+                       mcs.inner_fec, cfg.outer_interleaver,
+                       cfg.inner_interleaver)
+    n_sym_p = symbols_for_coded_bits(cfg, mcs.constellation,
+                                     pplan.coded_bits)
+    if len(body) < (n_sym_h + n_sym_p) * sps:
+        raise RxError(RxError.CRC_MISMATCH)
+    pllr = demap(body[n_sym_h * sps:], mcs.constellation, n_sym_p)
+    data, ok = decode_chain(
+        pllr, pplan, cfg.payload_crc, mcs.outer_fec, mcs.inner_fec,
+        cfg.outer_interleaver, cfg.inner_interleaver, cfg.scrambler,
+        cfg.scrambler_pos, seed, ldpc_rule=cfg.ldpc_decode_rule)
+    if not ok:
+        raise RxError(RxError.CRC_MISMATCH)
+    meta = FrameMetadata(sequence_num=sequence_num, mcs_index=mcs_index,
+                         flags=flags)
+    return FramePacket(meta, data[:payload_len])

@@ -240,3 +240,57 @@ class TestDistributed:
         assert all(r["samples_per_s"] > 0 for r in rows)
         table = format_scaling_table(rows)
         assert "efficiency" in table and "8" in table
+
+
+class TestOfdmFrameCapstone:
+    def test_ofdm_frame_decode_time_sharded_matches_stream(self, mesh8):
+        """COFDM capstone: whole-frame decode with symbol-aligned sharded
+        demap equals the single-device stream decode."""
+        from orion_sdr_tpu.parallel import ofdm_frame_decode_time_sharded
+        from orion_sdr_tpu.multicarrier import CarrierPlan
+        from orion_sdr_tpu.ofdm import OfdmConfig
+        from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+
+        plan = (CarrierPlan(256, 64)
+                .with_pilot_carriers([(i, 1.0 + 0j)
+                                      for i in range(-100, 101, 8)])
+                .with_contiguous_data(edge_guard=27))
+        cfg = OfdmConfig(plan, fs=1e6).with_equalizer_method("pilot_interp")
+        table = sdr.McsTable.default_ladder()
+        pre = OfdmPreamble(repeat_len=128, num_repeats=4
+                           ).with_training_symbol(256, 64)
+        rng = np.random.default_rng(21)
+        payload = rng.integers(0, 256, 150).astype(np.uint8)
+        iq = sdr.OfdmFrameMod(cfg, table, pre).modulate_frame(
+            sdr.FramePacket(sdr.FrameMetadata(6, 2), payload), 3)
+        h = np.zeros(6, np.complex64)
+        h[0], h[3] = 1.0, 0.35 * np.exp(1j * 0.9)
+        buf = np.convolve(np.concatenate(
+            [np.zeros(800, np.complex64), iq]), h).astype(np.complex64)
+
+        s = sdr.OfdmFrameStreamDemod(cfg, table, pre)
+        res = s.feed(buf) + s.flush()
+        single = [r.packet for r in res if hasattr(r, "packet")][0]
+
+        pkt = ofdm_frame_decode_time_sharded(cfg, table, pre, buf, mesh8)
+        assert np.array_equal(pkt.payload, single.payload)
+        assert pkt.metadata.sequence_num == 6
+
+    def test_ofdm_frame_capstone_training_hold_path(self, mesh8):
+        from orion_sdr_tpu.parallel import ofdm_frame_decode_time_sharded
+        from orion_sdr_tpu.multicarrier import CarrierPlan
+        from orion_sdr_tpu.ofdm import OfdmConfig
+        from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+
+        plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+        cfg = OfdmConfig(plan, fs=1e6)
+        table = sdr.McsTable.default_ladder()
+        pre = OfdmPreamble(repeat_len=128, num_repeats=4
+                           ).with_training_symbol(256, 64)
+        rng = np.random.default_rng(22)
+        payload = rng.integers(0, 256, 120).astype(np.uint8)
+        iq = sdr.OfdmFrameMod(cfg, table, pre).modulate_frame(
+            sdr.FramePacket(sdr.FrameMetadata(1, 1), payload), 9)
+        buf = np.concatenate([np.zeros(333, np.complex64), iq])
+        pkt = ofdm_frame_decode_time_sharded(cfg, table, pre, buf, mesh8)
+        assert np.array_equal(pkt.payload, payload)
