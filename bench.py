@@ -312,18 +312,18 @@ def bench_cofdm():
         try:
             from orion_sdr_tpu.fec.bch_device import bch_decode_batch_device
 
-            def wall(data, reps=5):
-                bch_decode_batch_device(bch.n, bch.k, 8, data)  # warm
-                ts = []
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    bch_decode_batch_device(bch.n, bch.k, 8, data)
-                    ts.append(time.perf_counter() - t0)
-                return float(np.median(ts))
+            def make_bch(B):
+                data = jnp.asarray(bad[:B])      # device-resident: the
+                                                 # marginal excludes transfer
 
-            d = wall(bad) - wall(bad[:1024])     # batch marginal: relay
-            d = max(d, 1e-4)                     # overhead cancels
-            bch_info_rate = (4096 - 1024) * bch.k / d
+                @jax.jit
+                def f(d):
+                    out, okf = bch_decode_batch_device(bch.n, bch.k, 8, d)
+                    return jnp.sum(out) + jnp.sum(okf)
+                return f, (data,)
+
+            per_cw_bch = _size_marginal_s(make_bch, 1024, 4096)
+            bch_info_rate = bch.k / per_cw_bch
         except Exception:                        # noqa: BLE001
             bch_info_rate = None
     if bch_info_rate is None:
