@@ -120,6 +120,31 @@ def test_bp_pallas_reports_unsat_on_garbage():
     assert (np.asarray(mu) > 0).all()
 
 
+def test_bp_tables_structure():
+    """Operator-table invariants the kernel's exactness argument rests on:
+    one-hot rows only for mask-true edge slots (padded slots all-zero, no
+    dummy-bit column), H's column sums equal the true check degrees, and
+    the bit axis is pad(n)."""
+    from orion_sdr_tpu.fec.ldpc import ldpc_graph, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import _bp_tables
+    for name in ("N512R12", "N576R23"):
+        g = ldpc_graph(name)
+        SB, MC, H, ev, cv, Ep, Np, mp = _bp_tables(_graph_key(g))
+        E = g.m * g.max_deg
+        assert Np == -(-g.n // 128) * 128 and SB.shape == (Ep, Np)
+        flat_mask = g.check_mask.reshape(-1)
+        # each mask-true slot: exactly one 1 in SB and MC; padded: all-zero
+        assert np.array_equal(SB[:E].sum(axis=1), flat_mask.astype(float))
+        assert np.array_equal(MC[:E].sum(axis=1), flat_mask.astype(float))
+        assert not SB[E:].any() and not MC[E:].any()
+        # H column c = indicator of check c's bits; degree = mask row sum
+        deg = g.check_mask.sum(axis=1)
+        assert np.array_equal(H.sum(axis=0)[:g.m], deg.astype(float))
+        assert not H[:, g.m:].any() and not H[g.n:, :].any()
+        # bf16 exactness precondition: parity-count sums stay small integers
+        assert int(deg.max()) < 64
+
+
 def test_pallas_chunked_odd_span_falls_back():
     """Regression: the radix-2 kernel needs even spans; odd spans must take
     the jnp fallback instead of asserting."""
