@@ -29,7 +29,13 @@ one matmul (a/s through MC, total/hard through SB).
 
 Early exit: the fori/while loop carries an "any row unsatisfied" flag per
 tile, so a converged tile stops iterating (the host-side two-stage strategy
-in fec/ldpc.py composes on top for cross-tile skew).
+in fec/ldpc.py composes on top for cross-tile skew). A row whose best
+syndrome weight has not improved for ``_STALL_ITERS`` consecutive
+iterations stops holding its tile open (uncorrectable rows otherwise pin
+the whole tile at max_iter: measured convergence at the operating point is
+median 2 / p99 8 iterations, so 12 non-improving iterations means the row
+is stuck). Stalled rows keep updating while other rows run — only the
+tile's exit time changes, never a converged row's output.
 """
 
 from __future__ import annotations
@@ -44,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _B_TILE = 128
 _MAX_EDGES = 4096     # VMEM budget guard for SB/MC constants
+_STALL_ITERS = 12.0   # row stops holding the tile open after this many
+                      # consecutive non-improving iterations
 
 
 def _pad_to(x: int, mult: int = 128) -> int:
@@ -136,7 +144,12 @@ def _bp_kernel_factory(max_iter: int):
         counts0 = dot(hard0, H)
         mu0 = jnp.sum(mod2(jnp.round(counts0)), axis=1, keepdims=True)
         best_ref[:] = hard0
-        mu_ref[:] = jnp.broadcast_to(mu0, mu_ref.shape)
+        # mu plane: column 0 carries min_unsat (the caller reads [:, 0]);
+        # column 1 carries the per-row stall counter (internal only)
+        stall_col = jax.lax.broadcasted_iota(
+            jnp.int32, mu_ref.shape, 1) == 1
+        mu_ref[:] = jnp.where(stall_col, 0.0,
+                              jnp.broadcast_to(mu0, mu_ref.shape))
 
         def body(carry):
             i, _ = carry
@@ -163,13 +176,20 @@ def _bp_kernel_factory(max_iter: int):
             # matmul instead of a gather-to-edges plus edge→check reduction
             counts = dot(hard, H)
             unsat = jnp.sum(mod2(jnp.round(counts)), axis=1, keepdims=True)
-            mu = mu_ref[:][:, :1]
+            mu_plane = mu_ref[:]
+            mu = mu_plane[:, :1]
+            since = mu_plane[:, 1:2]
             better = unsat < mu
             best_ref[:] = jnp.where(better, hard, best_ref[:])
             new_mu = jnp.where(better, unsat, mu)
-            mu_ref[:] = jnp.broadcast_to(new_mu, mu_ref.shape)
+            new_since = jnp.where(better, 0.0, since + 1.0)
+            stall_col = jax.lax.broadcasted_iota(
+                jnp.int32, mu_plane.shape, 1) == 1
+            mu_ref[:] = jnp.where(stall_col, new_since,
+                                  jnp.broadcast_to(new_mu, mu_plane.shape))
             msg_ref[:] = dotT(total, SB) - ext
-            return i + 1, jnp.sum(new_mu) > 0.0
+            holding = (new_mu > 0.0) & (new_since < _STALL_ITERS)
+            return i + 1, jnp.sum(jnp.where(holding, 1.0, 0.0)) > 0.0
 
         def cond(carry):
             i, active = carry
