@@ -403,7 +403,10 @@ def bench_dvb_t():
             return (jnp.roll(a, 1, axis=0) + bump, jnp.roll(b, 1, axis=0))
         return body, (c0, c1)
 
-    per_vit = _marginal_s(make_vit)
+    # 48-rep marginal (~7 ms) so the ±1-2 ms relay jitter cannot swing the
+    # Viterbi term (it once inflated the composite 4×); still one compiled
+    # scan program, cheap to run
+    per_vit = _marginal_s(make_vit, n_long=49, trials=7)
     vit_info_rate = L * 1024 / per_vit               # trellis info bits/s
 
     # host stages: Forney lines + native RS (error-injected) + dispersal

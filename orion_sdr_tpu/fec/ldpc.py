@@ -180,13 +180,17 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     (message (..., K) uint8, unsat (...,) int32) — 0 unsatisfied checks means
     a valid codeword was reached.
 
-    Two-stage batch early exit: bp_decode's in-device exit only fires when
-    EVERY codeword converges, so one straggler pins the whole batch at
-    max_iter. Host strategy: a 12-iteration first pass (the typical
-    operating point converges in <10), then ONLY the still-unsatisfied rows
-    re-decode at full depth — padded to power-of-two row counts so the
-    second pass hits a handful of compiled shapes. ~4× at clean-channel
-    batches; single codewords and traced callers take the one-shot path.
+    Two-stage batch early exit (XLA path only): bp_decode's in-device exit
+    only fires when EVERY codeword converges, so one straggler pins the
+    whole batch at max_iter. Host strategy: a 12-iteration first pass (the
+    typical operating point converges in <10), then ONLY the
+    still-unsatisfied rows re-decode at full depth — padded to power-of-two
+    row counts so the second pass hits a handful of compiled shapes. ~4× at
+    clean-channel batches; single codewords and traced callers take the
+    one-shot path. On the TPU backend the Pallas kernel's per-tile early
+    exit + per-row stall detection make the one-shot call as cheap as the
+    first pass, so the two-stage would only add a ~100 ms relay boundary —
+    sum-product batches go one-shot there.
     """
     import jax.core
     g = ldpc_graph(name)
@@ -195,6 +199,11 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
         lead = np.shape(llr)[:-1]
         return (np.zeros(lead + (g.k,), np.uint8),
                 np.zeros(lead, np.int32))
+    if (rule == "sum_product" and np.ndim(llr) == 2
+            and jax.default_backend() == "tpu"):
+        from ..ops.ldpc_bp import bp_graph_fits
+        if bp_graph_fits(_graph_key(g)):
+            return bp_decode(g, llr, max_iter, rule, alpha)
     if (isinstance(llr, jax.core.Tracer) or max_iter <= _FIRST_PASS_ITERS
             or np.ndim(llr) < 2):
         return bp_decode(g, llr, max_iter, rule, alpha)
