@@ -166,7 +166,10 @@ def bench_psk31():
             return (jnp.roll(b ^ (nb[..., :n_bits] & 1), 1, axis=0),)
         return body, (bits,)
 
-    per = _marginal_s(make_body, n_long=9)
+    # 32-rep marginal (~12 ms at the measured rate): the old 8-rep span was
+    # the same order as the relay's wall jitter and swung the reported
+    # number 22-118 Gsps between otherwise-identical runs
+    per = _marginal_s(make_body, n_long=33, trials=7)
     samples = channels * n_bits * 256      # sps at 8 kHz
     _emit("psk31_roundtrip_throughput", samples / per / 1e6,
           "Msps/chip", 678.0)
