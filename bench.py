@@ -428,12 +428,41 @@ def bench_dvb_t():
     for i in range(nbb):
         pos = rng.choice(204, 4, replace=False)
         cw[i, pos] ^= rng.integers(1, 256, 4).astype(np.uint8)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        native.rs_decode_batch(204, 16, cw)
-        best = min(best, time.perf_counter() - t0)
-    rs_info_rate = nbb * 188 * 8 / best              # info bits/s
+    # a frame decode is ~315 RS blocks, so the chain's ≥64-block gate puts
+    # the BATCHED DEVICE decoder (fec/bch_device.py) on the operating path
+    # on TPU — measure that (device-resident input, marginal excludes
+    # transfer), fall back to the native host decoder elsewhere
+    rs_info_rate = None
+    if jax.default_backend() == "tpu":
+        try:
+            from orion_sdr_tpu.fec.bch_device import rs_decode_batch_device
+
+            def make_rs(B):
+                data = jnp.asarray(cw[:B])
+
+                @jax.jit
+                def f(d):
+                    def body(carry, _):
+                        dd, acc = carry
+                        out, okf = rs_decode_batch_device(204, 16, dd)
+                        acc = acc + jnp.sum(out) + jnp.sum(okf)
+                        return (dd ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
+                    (_, acc), _ = jax.lax.scan(
+                        body, (d, jnp.int32(0)), None, length=8)
+                    return acc
+                return f, (data,)
+
+            per_cw_rs = _size_marginal_s(make_rs, 512, 2048) / 8
+            rs_info_rate = 188 * 8 / per_cw_rs       # info bits/s
+        except Exception:                            # noqa: BLE001
+            rs_info_rate = None
+    if rs_info_rate is None:
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native.rs_decode_batch(204, 16, cw)
+            best = min(best, time.perf_counter() - t0)
+        rs_info_rate = nbb * 188 * 8 / best          # info bits/s
 
     # per-sample weights (1512 data cells × 2 bits / 2304 samples, r1/2)
     coded_per_sample = 1512 * vbits / sps
