@@ -194,7 +194,9 @@ def bench_ft8():
     k = 4
     rng = np.random.default_rng(2)
 
-    REPS = 4   # in-scan reps per call: multiplies the marginal over jitter
+    REPS = 12  # in-scan reps per call: multiplies the marginal over jitter
+               # (at 4 reps a relay slow phase mid-bench once read 165 Msps
+               # against a stable solo band of ~2700-2900)
 
     def make(B):
         re = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
