@@ -161,3 +161,58 @@ def test_sync_lock_sweep_ofdm():
         rates[scale] = locks / trials
         print(f"  noise {scale}: {locks}/{trials}")
     assert rates[0.02] == 1.0 and rates[0.05] == 1.0   # reference floor
+
+
+def test_throughput_floor_ldpc_bp():
+    """Pallas BP kernel per-codeword cost at the 6-flip operating point
+    (ops/ldpc_bp.py; chip-measured 0.47 µs/cw — assert a 4× guard band so
+    relay mood cannot flake the tier, while a real regression of the
+    stall-detector/speed-of-light iteration still trips it)."""
+    import jax
+    import jax.numpy as jnp
+    from orion_sdr_tpu.fec.ldpc import ldpc_graph, ldpc_encode, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+
+    g = ldpc_graph("N512R12")
+    key = _graph_key(g)
+    interpret = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(3)
+    REPS = 32
+
+    def make(nb):
+        msg = rng.integers(0, 2, (nb, g.k)).astype(np.uint8)
+        cwb = np.asarray(ldpc_encode("N512R12", msg))
+        llr_np = (1.0 - 2.0 * cwb).astype(np.float32) * 4.0
+        for i in range(nb):
+            pos = rng.choice(g.n, 6, replace=False)
+            llr_np[i, pos] = -llr_np[i, pos]
+        llr = jnp.asarray(llr_np)
+
+        @jax.jit
+        def f(l):
+            def body(carry, _):
+                ll, acc = carry
+                best, mu = bp_decode_pallas(key, ll, 50,
+                                            interpret=interpret)
+                acc = acc + jnp.sum(mu).astype(jnp.float32) + jnp.sum(best)
+                return (jnp.roll(ll, 1, axis=0) + 1e-9 * acc, acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (l, jnp.float32(0)), None,
+                                       length=REPS)
+            return acc
+        return f, (llr,)
+
+    def t_of(nb):
+        f, a = make(nb)
+        float(f(*a))
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_cw = (t_of(1024) - t_of(256)) / 768 / REPS
+    print(f"\n[LDPC BP] {per_cw*1e6:.3f} us/cw "
+          f"({g.n/per_cw/1e6:.0f} Mbps coded)")
+    if jax.default_backend() == "tpu":
+        assert per_cw < 2e-6, "BP kernel regressed past the 4x guard band"
