@@ -9,12 +9,14 @@ HBM sees one read of the LLRs and one write of the result.
 
 Layout per grid step: a tile of ``_B_TILE`` codewords on the sublane axis;
 edges (m·max_deg, padded to a lane multiple) on the lane axis. The Tanner
-graph structure enters as two constant one-hot matrices:
+graph structure enters as three constant matrices:
 
-* ``SB (Ep, Np)`` — edge→bit scatter; its transpose-contraction is the
-  bit→edge gather (one dot_general each way, MXU work).
-* ``MC (Ep, mp)`` — edge→check sum; transpose-contraction gathers per-check
-  values back to edges.
+* ``SB (Ep, Np)`` — one-hot edge→bit scatter; its transpose-contraction is
+  the bit→edge gather (one dot_general each way, MXU work).
+* ``MC (Ep, mp)`` — one-hot edge→check sum; transpose-contraction gathers
+  per-check values back to edges.
+* ``H (Np, mp)`` — dense parity matrix: the per-iteration syndrome is one
+  small bit-domain matmul instead of a gather-to-edges round trip.
 
 The check-node leave-one-out product runs in the log domain so it is pure
 lane-wise VPU work plus the two MC contractions: per check,
