@@ -216,3 +216,66 @@ def test_throughput_floor_ldpc_bp():
           f"({g.n/per_cw/1e6:.0f} Mbps coded)")
     if jax.default_backend() == "tpu":
         assert per_cw < 2e-6, "BP kernel regressed past the 4x guard band"
+
+
+def test_snr_sweep_ft4():
+    """FT4 decode-rate sweep (ref performance/snr/ft4.rs; floor −11 dB —
+    docs/performance.md:134)."""
+    from orion_sdr_tpu.modulate.ft8 import ft4_mod
+    from orion_sdr_tpu.codec.ft8 import ft4_encode
+    from orion_sdr_tpu.codec.ft8_stream import Ft8StreamDecoder
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft4_mod(ft4_encode(p), FS12, base_hz=1012.5))
+    print("\n[FT4] SNR sweep (2500 Hz ref BW):")
+    for snr in (-6.0, -9.0, -11.0, -13.0):
+        ok = 0
+        trials = 10
+        for seed in range(trials):
+            rng = np.random.default_rng(211 + seed)
+            noisy = iq + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+            res = Ft8StreamDecoder.new_ft4(FS12, 950.0, 1150.0).feed(noisy)
+            ok += bool(res and res[0].message.call_de == "KA1ABC")
+        print(f"  {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_snr_sweep_analog_am_ssb():
+    """AM/SSB recovered-audio SNR vs channel noise (ref performance/snr
+    analog files): prints the curve, asserts clean-channel recovery stays
+    above 20 dB for both. The metric is the reference's two-point tone
+    projection (tests/common/mod.rs:9-24) — its single off-tone probe
+    fluctuates under broadband noise, so the noisy points are indicative,
+    not monotone."""
+    from orion_sdr_tpu.modulate.analog import am_mod, ssb_mod
+    from orion_sdr_tpu.demodulate.analog import am_demod, ssb_demod
+    from helpers import tone_snr_db
+
+    fs, f_tone = 48_000.0, 1000.0
+    n = 1 << 15
+    t = np.arange(n) / fs
+    audio = (0.5 * np.sin(2 * np.pi * f_tone * t)).astype(np.float32)
+
+    def am_rx(iq):
+        out, _ = am_demod(iq, fs, audio_bw_hz=3000.0)
+        return np.asarray(out)
+
+    def ssb_rx(iq):
+        out, _ = ssb_demod(iq, fs, bfo_hz=1500.0, audio_bw_hz=3000.0)
+        return np.asarray(out)
+
+    am_iq = np.asarray(am_mod(audio, fs)[0])
+    ssb_iq = np.asarray(ssb_mod(audio, fs, 3000.0, 1500.0)[0])
+    for name, iq, rx, f_rx in (("AM", am_iq, am_rx, f_tone),
+                               ("SSB", ssb_iq, ssb_rx, f_tone)):
+        print(f"\n[{name}] channel-noise sweep (audio tone SNR dB):")
+        clean = None
+        for scale in (0.0, 0.05, 0.2, 0.5):
+            rng = np.random.default_rng(17)
+            noisy = iq + (_awgn(rng, len(iq), scale**2) if scale else 0.0)
+            audio_out = rx(noisy.astype(np.complex64))
+            snr = tone_snr_db(fs, f_rx, audio_out[len(audio_out) // 4:])
+            if scale == 0.0:
+                clean = snr
+            print(f"  noise {scale:.2f}: {snr:+.1f} dB")
+        assert clean is not None and clean > 20.0
