@@ -22,13 +22,20 @@ import jax
 import jax.numpy as jnp
 
 
-def _emit(metric, value, unit, baseline):
-    print(json.dumps({
+def _emit(metric, value, unit, baseline, bound=None):
+    """One JSON line per metric. ``bound='lower'`` marks a value whose
+    underlying marginal clamped at the relay jitter floor — the true rate
+    is AT LEAST this (VERDICT r2 item 4: encode bound semantics in the
+    record the driver stores)."""
+    rec = {
         "metric": metric,
         "value": round(float(value), 1),
         "unit": unit,
         "vs_baseline": round(float(value) / baseline, 2),
-    }), flush=True)
+    }
+    if bound:
+        rec["bound"] = bound
+    print(json.dumps(rec), flush=True)
 
 
 def _fetch(x):
@@ -77,9 +84,10 @@ def _size_marginal_s(make, size_small, size_big, trials=7):
     over size_big − size_small. The fixed relay/dispatch overhead cancels
     in the difference, and each compiled program contains ONE kernel
     invocation (scan-replication of big fused programs blows the AOT
-    compile budget). ``make(size)`` → (jitted_f, args). A marginal below
-    the relay jitter floor clamps to it — the derived rate is then a
-    lower bound, not a point estimate."""
+    compile budget). ``make(size)`` → (jitted_f, args). Returns
+    (seconds_per_unit, clamped): a marginal below the relay jitter floor
+    clamps to it, and ``clamped=True`` marks the derived rate as a LOWER
+    BOUND, not a point estimate."""
     fs, args_s = make(size_small)
     fb, args_b = make(size_big)
     _fetch(fs(*args_s))
@@ -93,7 +101,8 @@ def _size_marginal_s(make, size_small, size_big, trials=7):
         _fetch(fb(*args_b))
         db.append(time.perf_counter() - t0)
     d = float(np.median(db)) - float(np.median(ds))
-    return max(d, _JITTER_FLOOR_S) / (size_big - size_small)
+    clamped = d < _JITTER_FLOOR_S
+    return max(d, _JITTER_FLOOR_S) / (size_big - size_small), clamped
 
 
 # ── 1. FM broadcast chain ────────────────────────────────────────────────────
@@ -220,9 +229,10 @@ def bench_ft8():
             return acc
         return f, (re, im, llr)
 
-    per_window = _size_marginal_s(make, 2, 6) / REPS   # batch-marginal (<8)
+    per_w, clamped = _size_marginal_s(make, 2, 6)
+    per_window = per_w / REPS                        # batch-marginal (<8)
     _emit("ft8_batched_receive_throughput", n / per_window / 1e6,
-          "Msps/chip", 35.0)
+          "Msps/chip", 35.0, bound="lower" if clamped else None)
 
 
 # ── 4. COFDM frame decode chain ──────────────────────────────────────────────
@@ -268,7 +278,8 @@ def bench_cofdm():
             return acc
         return f, (re, im)
 
-    per_sym = _size_marginal_s(make_demap, 32, 256) / REPS
+    per_sym, dem_cl = _size_marginal_s(make_demap, 32, 256)
+    per_sym /= REPS
     demap_rate = batch * sps / per_sym               # samples/s
 
     g = ldpc_graph("N512R12")
@@ -298,7 +309,8 @@ def bench_cofdm():
             return acc
         return f, (llr,)
 
-    per_cw = _size_marginal_s(make_bp, 256, 1024) / REPS
+    per_cw, bp_cl = _size_marginal_s(make_bp, 256, 1024)
+    per_cw /= REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
     # outer BCH at the chain's operating point (post-LDPC input is mostly
@@ -335,8 +347,8 @@ def bench_cofdm():
                     return acc
                 return f, (data,)
 
-            per_cw_bch = _size_marginal_s(make_bch, 1024, 4096) / 8
-            bch_info_rate = bch.k / per_cw_bch
+            per_cw_bch, _ = _size_marginal_s(make_bch, 1024, 4096)
+            bch_info_rate = bch.k / (per_cw_bch / 8)
         except Exception:                        # noqa: BLE001
             bch_info_rate = None
     if bch_info_rate is None:
@@ -355,7 +367,8 @@ def bench_cofdm():
                 + coded_per_sample / bp_coded_rate
                 + bch_info_per_sample / bch_info_rate)
     _emit("cofdm_frame_decode_throughput", 1.0 / t_sample / 1e6,
-          "Msps/chip", 58.0)
+          "Msps/chip", 58.0,
+          bound="lower" if (dem_cl or bp_cl) else None)
 
 
 # ── 5. DVB-T decode chain ────────────────────────────────────────────────────
@@ -390,7 +403,7 @@ def bench_dvb_t():
             return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
         return f, (re, im)
 
-    per_frame_rx = _size_marginal_s(make_rx, 2, 6)
+    per_frame_rx, rx_cl = _size_marginal_s(make_rx, 2, 6, trials=17)
     rx_rate = n_symbols * sps / per_frame_rx         # samples/s
 
     # chunked Pallas Viterbi: 128 chunk lanes × 1216-step trellis
@@ -454,8 +467,8 @@ def bench_dvb_t():
                     return acc
                 return f, (data,)
 
-            per_cw_rs = _size_marginal_s(make_rs, 512, 2048) / 8
-            rs_info_rate = 188 * 8 / per_cw_rs       # info bits/s
+            per_cw_rs, _ = _size_marginal_s(make_rs, 512, 2048)
+            rs_info_rate = 188 * 8 / (per_cw_rs / 8)   # info bits/s
         except Exception:                            # noqa: BLE001
             rs_info_rate = None
     if rs_info_rate is None:
@@ -476,7 +489,7 @@ def bench_dvb_t():
                 + bytes_per_sample / forney_rate
                 + rs_info_per_sample / rs_info_rate)
     _emit("dvb_t_decode_chain_throughput", 1.0 / t_sample / 1e6,
-          "Msps/chip", 13.0)
+          "Msps/chip", 13.0, bound="lower" if rx_cl else None)
 
 
 def main():

@@ -46,7 +46,7 @@ from .modulate.digital import psk_qam_mod, digital_mod
 from .demodulate.digital import psk_qam_demod, digital_demod
 
 # ── FT8/FT4 (Ft8Mod/Ft8Demod/Ft8Codec + message packing) ─────────────────────
-from .modulate.ft8 import ft8_mod, ft4_mod
+from .modulate.ft8 import ft8_mod, ft4_mod, ft8_mod_batch, ft4_mod_batch
 from .demodulate.ft8 import ft8_demod, ft4_demod
 from .codec.ft8 import (
     ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,

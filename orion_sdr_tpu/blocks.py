@@ -38,11 +38,42 @@ __all__ = [
 
 
 def _c64(x):
+    """Output converter (device results → reference dtype)."""
     return np.ascontiguousarray(np.asarray(x), dtype=np.complex64)
 
 
 def _f32(x):
     return np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+
+
+def _check_1d(x, dtype, what: str) -> np.ndarray:
+    """Reference array contract (ref docs/api.md:192-201): process() inputs
+    must be 1-D C-contiguous numpy arrays of the exact dtype — anything
+    else raises ValueError, matching the reference wrappers' strictness
+    (python/tests/test_unit.py input-validation tier)."""
+    if not isinstance(x, np.ndarray):
+        raise ValueError(
+            f"{what}: expected numpy.ndarray, got {type(x).__name__}")
+    if x.dtype != dtype:
+        raise ValueError(f"{what}: expected dtype {np.dtype(dtype).name}, "
+                         f"got {x.dtype.name}")
+    if x.ndim != 1:
+        raise ValueError(f"{what}: expected 1-D, got {x.ndim}-D")
+    if not x.flags["C_CONTIGUOUS"]:
+        raise ValueError(f"{what}: expected C-contiguous layout")
+    return x
+
+
+def _in_c64(x):
+    return _check_1d(x, np.complex64, "IQ input")
+
+
+def _in_f32(x):
+    return _check_1d(x, np.float32, "audio/soft input")
+
+
+def _in_u8(x):
+    return _check_1d(x, np.uint8, "bits/tones input")
 
 
 # ── analog TX (ref src/python/modulate.rs) ───────────────────────────────────
@@ -62,7 +93,7 @@ class CwKeyedMod:
         self.gain = g
 
     def process(self, key_env) -> np.ndarray:
-        iq, self._state = _ma.cw_mod(_f32(key_env), self.fs, self.tone_hz,
+        iq, self._state = _ma.cw_mod(_in_f32(key_env), self.fs, self.tone_hz,
                                      self.rise_ms, self.fall_ms, self.gain,
                                      state=self._state)
         return _c64(iq)
@@ -87,7 +118,7 @@ class AmDsbMod:
 
     def process(self, audio) -> np.ndarray:
         iq, self._phase = _ma.am_mod(
-            _f32(audio), self.fs, self.rf_hz, self.carrier_level,
+            _in_f32(audio), self.fs, self.rf_hz, self.carrier_level,
             self.modulation_index, self.gain, self.clamp, self._phase)
         return _c64(iq)
 
@@ -102,7 +133,7 @@ class SsbPhasingMod:
 
     def process(self, audio) -> np.ndarray:
         fs, bw, aif, rf, usb = self.args
-        iq, self._state = _ma.ssb_mod(_f32(audio), fs, bw, aif, rf, usb,
+        iq, self._state = _ma.ssb_mod(_in_f32(audio), fs, bw, aif, rf, usb,
                                       state=self._state)
         return _c64(iq)
 
@@ -124,7 +155,7 @@ class FmPhaseAccumMod:
         self.gain = g
 
     def process(self, audio) -> np.ndarray:
-        iq, self._state = _ma.fm_mod(_f32(audio), self.fs, self.deviation_hz,
+        iq, self._state = _ma.fm_mod(_in_f32(audio), self.fs, self.deviation_hz,
                                      self.rf_hz, self.gain,
                                      state=self._state)
         return _c64(iq)
@@ -146,7 +177,7 @@ class PmDirectPhaseMod:
         self.kp = kp
 
     def process(self, audio) -> np.ndarray:
-        iq, self._phase = _ma.pm_mod(_f32(audio), self.fs, self.kp,
+        iq, self._phase = _ma.pm_mod(_in_f32(audio), self.fs, self.kp,
                                      self.rf_hz, self.gain,
                                      rf_phase0=self._phase)
         return _c64(iq)
@@ -169,7 +200,7 @@ class CwEnvelopeDemod:
         self.gain = g
 
     def process(self, iq) -> np.ndarray:
-        audio, self._y = _da.cw_demod(_c64(iq), self.fs, self.env_bw_hz,
+        audio, self._y = _da.cw_demod(_in_c64(iq), self.fs, self.env_bw_hz,
                                       self.gain, y0=self._y)
         return _f32(audio)
 
@@ -184,7 +215,7 @@ class AmEnvelopeDemod:
         self._state = None
 
     def process(self, iq) -> np.ndarray:
-        audio, self._state = _da.am_demod(_c64(iq), self.fs,
+        audio, self._state = _da.am_demod(_in_c64(iq), self.fs,
                                           self.audio_bw_hz,
                                           method=self.method,
                                           state=self._state)
@@ -199,7 +230,7 @@ class SsbProductDemod:
         self._state = None
 
     def process(self, iq) -> np.ndarray:
-        audio, self._state = _da.ssb_demod(_c64(iq), self.fs, self.bfo_hz,
+        audio, self._state = _da.ssb_demod(_in_c64(iq), self.fs, self.bfo_hz,
                                            self.audio_bw_hz,
                                            state=self._state)
         return _f32(audio)
@@ -213,7 +244,7 @@ class FmQuadratureDemod:
         self._state = None
 
     def process(self, iq) -> np.ndarray:
-        audio, self._state = _da.fm_demod(_c64(iq), self.fs, self.dev_hz,
+        audio, self._state = _da.fm_demod(_in_c64(iq), self.fs, self.dev_hz,
                                           self.audio_bw_hz,
                                           state=self._state)
         return _f32(audio)
@@ -227,7 +258,7 @@ class PmQuadratureDemod:
         self._state = None
 
     def process(self, iq) -> np.ndarray:
-        audio, self._state = _da.pm_demod(_c64(iq), self.fs, self.k,
+        audio, self._state = _da.pm_demod(_in_c64(iq), self.fs, self.k,
                                           self.audio_bw_hz,
                                           state=self._state)
         return _f32(audio)
@@ -247,7 +278,7 @@ class _DigitalMod:
         self.gain = g
 
     def process(self, bits) -> np.ndarray:
-        iq, self._phase = digital_mod(np.asarray(bits, np.uint8), self.order,
+        iq, self._phase = digital_mod(_in_u8(bits), self.order,
                                       self.fs, self.rf_hz, self.gain,
                                       self._phase)
         return _c64(iq)
@@ -265,7 +296,7 @@ class _DigitalDemod:
         self.gain = g
 
     def process(self, iq) -> np.ndarray:
-        bits, self._phase = digital_demod(_c64(iq), self.order, self.fs,
+        bits, self._phase = digital_demod(_in_c64(iq), self.order, self.fs,
                                           self.rf_hz, self.gain, self._phase)
         return np.asarray(bits, np.uint8)
 
@@ -321,7 +352,7 @@ class Ft8Mod:
         self.fs, self.base_hz, self.rf_hz, self.gain = fs, base_hz, rf_hz, gain
 
     def modulate(self, data_tones) -> np.ndarray:
-        return _c64(type(self)._mod(np.asarray(data_tones, np.uint8),
+        return _c64(type(self)._mod(_in_u8(data_tones),
                                     self.fs, self.base_hz, self.rf_hz,
                                     self.gain))
 
@@ -341,7 +372,7 @@ class Ft8Demod:
         self.fs, self.base_hz = fs, base_hz
 
     def demodulate(self, iq) -> np.ndarray:
-        return np.asarray(type(self)._demod(_c64(iq), self.fs, self.base_hz),
+        return np.asarray(type(self)._demod(_in_c64(iq), self.fs, self.base_hz),
                           np.uint8)
 
 
@@ -363,11 +394,11 @@ class Ft8Codec:
         return np.asarray(type(self)._enc(p), np.uint8)
 
     def decode_hard(self, tones) -> Optional[bytes]:
-        out = type(self)._dec_hard(np.asarray(tones, np.uint8))
+        out = type(self)._dec_hard(_in_u8(tones))
         return None if out is None else bytes(out)
 
     def decode_soft(self, llr) -> Optional[bytes]:
-        out = type(self)._dec_soft(_f32(llr))
+        out = type(self)._dec_soft(_in_f32(llr))
         return None if out is None else bytes(out)
 
 
@@ -394,7 +425,7 @@ class Bpsk31Mod:
                                         preamble_bits, postamble_bits))
 
     def modulate_bits(self, bits) -> np.ndarray:
-        iq, _ = _mp.bpsk31_mod_bits(np.asarray(bits, np.uint8), self.fs,
+        iq, _ = _mp.bpsk31_mod_bits(_in_u8(bits), self.fs,
                                     self.rf_hz, self.gain)
         return _c64(iq)
 
@@ -408,7 +439,7 @@ class Qpsk31Mod(Bpsk31Mod):
                                         preamble_bits, postamble_bits))
 
     def modulate_bits(self, bits) -> np.ndarray:
-        iq, _ = _mp.qpsk31_mod_bits(np.asarray(bits, np.uint8), self.fs,
+        iq, _ = _mp.qpsk31_mod_bits(_in_u8(bits), self.fs,
                                     self.rf_hz, self.gain)
         return _c64(iq)
 
@@ -425,7 +456,7 @@ class _Psk31DemodBase:
         self._phase_acc = 0.0
 
     def process(self, iq) -> np.ndarray:
-        z = np.concatenate([self._leftover, _c64(iq)])
+        z = np.concatenate([self._leftover, _in_c64(iq)])
         n_syms = len(z) // self.sps
         if n_syms == 0:
             self._leftover = z
@@ -481,7 +512,7 @@ class Bpsk31Decider:
     """ref psk31.rs:265-294: soft ≥ 0 → bit 1."""
 
     def process(self, soft) -> np.ndarray:
-        return (np.asarray(soft) >= 0.0).astype(np.uint8)
+        return (_in_f32(soft) >= 0.0).astype(np.uint8)
 
 
 # ── OFDM (ref src/python/ofdm.rs:479-640) ────────────────────────────────────
@@ -496,7 +527,7 @@ class OfdmMod:
 
     def process(self, bits) -> np.ndarray:
         from .ofdm import ofdm_mod
-        iq, self._phase = ofdm_mod(self.cfg, np.asarray(bits, np.uint8),
+        iq, self._phase = ofdm_mod(self.cfg, _in_u8(bits),
                                    phase0=self._phase)
         return _c64(iq)
 
@@ -524,14 +555,14 @@ class OfdmDemod:
             known_freq = (training_symbol_freq_pattern(
                 self.cfg.carrier_plan.n_fft) * self.cfg.gain)
         self._estimate = np.asarray(channel_estimate_training(
-            _c64(rx_training_freq), _c64(known_freq)))
+            _in_c64(rx_training_freq), _c64(known_freq)))
 
     def process(self, iq) -> np.ndarray:
         from .ofdm import (ofdm_demod, ofdm_decide, channel_estimate_pilots,
                            zf_equalize)
         from .multicarrier import CarrierGrid, symbol_fft, grid_extract
         from .dsp.osc import rotate_host
-        z = _c64(iq)
+        z = _in_c64(iq)
         if self.equalizer == "pilot_interp":
             if self.cfg.rf_hz != 0.0:
                 # same down-mix the training_symbol branch gets via

@@ -171,6 +171,12 @@ def _syndrome_weight(g: LdpcGraph, hard_padded):
 
 _FIRST_PASS_ITERS = 12
 
+# rules with a Pallas TPU kernel (ops/ldpc_bp.py) — the reference's full
+# decode-rule set (ldpc_codes.rs:98-105), so its FAST rules (min-sum ~1.7×,
+# scaled-min-sum ~2.6× sum-product, ref docs/performance.md:377-399) run on
+# the fast path here too
+_KERNEL_RULES = ("sum_product", "min_sum", "scaled_min_sum")
+
 
 def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
                 alpha: float = 0.75):
@@ -190,7 +196,8 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
     one-shot path. On the TPU backend the Pallas kernel's per-tile early
     exit + per-row stall detection make the one-shot call as cheap as the
     first pass, so the two-stage would only add a ~100 ms relay boundary —
-    sum-product batches go one-shot there.
+    kernel-rule batches (sum_product/min_sum/scaled_min_sum) go one-shot
+    there.
     """
     import jax.core
     g = ldpc_graph(name)
@@ -199,7 +206,7 @@ def ldpc_decode(name: str, llr, max_iter: int = 50, rule: str = "sum_product",
         lead = np.shape(llr)[:-1]
         return (np.zeros(lead + (g.k,), np.uint8),
                 np.zeros(lead, np.int32))
-    if (rule == "sum_product" and np.ndim(llr) == 2
+    if (rule in _KERNEL_RULES and np.ndim(llr) == 2
             and jax.default_backend() == "tpu"):
         from ..ops.ldpc_bp import bp_graph_fits
         if bp_graph_fits(_graph_key(g)):
@@ -279,17 +286,20 @@ def bp_decode(g: LdpcGraph, llr, max_iter: int = 50, rule: str = "sum_product",
     ldpc_codes.rs:357-366, lifted to the batch) — typical operating points
     converge in <10 iterations, so this is worth ~5× over a fixed 50.
 
-    On the TPU backend, 2-D sum-product batches dispatch to the Pallas
-    kernel (ops/ldpc_bp.py) that keeps the edge messages VMEM-resident
-    across all iterations; min-sum and traced/1-D callers use this XLA
-    path."""
+    On the TPU backend, 2-D batches of every rule dispatch to the Pallas
+    kernels (ops/ldpc_bp.py) that keep the edge messages VMEM-resident
+    across all iterations; traced/1-D callers use this XLA path. Note:
+    the kernels contract in bf16 (f32 accumulate), so TPU and CPU decode
+    trajectories may differ on near-threshold codewords — both converge to
+    the same codeword on decodable inputs."""
     llr = jnp.asarray(llr, dtype=jnp.float32)
-    if (rule == "sum_product" and llr.ndim == 2
+    if (rule in _KERNEL_RULES and llr.ndim == 2
             and jax.default_backend() == "tpu"):
         from ..ops.ldpc_bp import bp_decode_pallas, bp_graph_fits
         key = _graph_key(g)
         if bp_graph_fits(key):
-            best, mu = bp_decode_pallas(key, llr, max_iter, interpret=False)
+            best, mu = bp_decode_pallas(key, llr, max_iter, interpret=False,
+                                        rule=rule, alpha=alpha)
             return best[:, :g.k].astype(jnp.uint8), mu
     mask = jnp.asarray(g.check_mask)               # (m, D)
     D = g.max_deg

@@ -291,7 +291,7 @@ def outer_encode(outer: OuterFec, message_bytes) -> np.ndarray:
     n_blk = -(-len(message_bytes) // rs.k)
     padded = np.concatenate([message_bytes, np.zeros(
         n_blk * rs.k - len(message_bytes), np.uint8)])
-    coded = np.stack([rs.encode(row) for row in padded.reshape(n_blk, rs.k)])
+    coded = rs.encode(padded.reshape(n_blk, rs.k))   # batched LFSR
     return bytes_to_bits(coded.reshape(-1))
 
 

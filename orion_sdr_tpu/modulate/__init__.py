@@ -18,6 +18,7 @@ from .ft8 import (
     FT4_BAUD, FT4_TONE_SPACING_HZ, FT4_SAMPLES_PER_SYM, FT4_TOTAL_SYMS,
     FT4_DATA_SYMS, FT4_TONES, FT4_FRAME_LEN, FT4_COSTAS,
     ft8_mod, ft4_mod, cpfsk_mod, ft8_symbol_sequence, ft4_symbol_sequence,
+    ft8_mod_batch, ft4_mod_batch, cpfsk_mod_batch,
 )
 from .dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
 from .dvb_t_super_frame import (

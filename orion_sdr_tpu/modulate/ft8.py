@@ -107,6 +107,75 @@ def cpfsk_mod(symbols, sps: int, fs: float, base_hz: float, spacing_hz: float,
     return out
 
 
+@cjit
+def cpfsk_mod_batch(tones, sps: int, fs: float, base_hz: float,
+                    spacing_hz: float, gain: float = 1.0):
+    """Batched phase-continuous FSK with RUNTIME tone arrays.
+
+    ``cpfsk_mod`` bakes the tone sequence as a trace-time constant (one
+    compile per distinct message — right for a single beacon, wrong for
+    many-channel TX). This path takes ``tones`` (..., n_sym) as data:
+    per-symbol fractional cycle counts accumulate in a cumsum (mod 1, so
+    f32 stays exact at the standard rates where each tone spans an integer
+    number of cycles) and the per-sample phase is one broadcast. Matches
+    cpfsk_mod to ~1e-3 rad at the FT8/FT4 operating points.
+    """
+    t = jnp.asarray(tones, jnp.float32)
+    # cycles per symbol, folded mod 1 (phase mod 2π) before accumulating
+    cyc = (base_hz + t * spacing_hz) * (sps / fs)
+    cyc_frac = cyc - jnp.floor(cyc)
+    start = jnp.concatenate(
+        [jnp.zeros(t.shape[:-1] + (1,), jnp.float32),
+         jnp.cumsum(cyc_frac[..., :-1], axis=-1)], axis=-1)
+    start = start - jnp.floor(start)
+    phi = 2.0 * jnp.pi * (base_hz + t * spacing_hz) / fs    # rad/sample
+    n = jnp.arange(1, sps + 1, dtype=jnp.float32)
+    phase = (2.0 * jnp.pi * start[..., None]
+             + phi[..., None] * n[None, :])
+    out = (gain * jnp.exp(1j * phase))
+    return out.reshape(out.shape[:-2] + (-1,)).astype(jnp.complex64)
+
+
+def _ft8_template_and_positions():
+    syms = np.zeros(FT8_TOTAL_SYMS, np.uint8)
+    for s, e in FT8_SYNC_POS:
+        syms[s:e] = FT8_COSTAS
+    return syms, ft8_data_positions()
+
+
+def _ft4_template_and_positions():
+    syms = np.zeros(FT4_TOTAL_SYMS, np.uint8)
+    for blk, (s, e) in enumerate(FT4_SYNC_POS):
+        syms[s:e] = FT4_COSTAS[blk]
+    return syms, ft4_data_positions()
+
+
+def ft8_mod_batch(data_tones, fs: float = 12000.0, base_hz: float = 1000.0,
+                  gain: float = 1.0):
+    """Batched FT8 TX: (..., 58) runtime data tones → (..., 151680) IQ.
+    Same waveform as ft8_mod (ref Ft8Mod::modulate) without the per-message
+    recompile."""
+    template, pos = _ft8_template_and_positions()
+    t = jnp.asarray(data_tones)
+    syms = jnp.broadcast_to(jnp.asarray(template),
+                            t.shape[:-1] + (FT8_TOTAL_SYMS,))
+    syms = syms.at[..., pos].set(t.astype(jnp.uint8))
+    return cpfsk_mod_batch(syms, FT8_SAMPLES_PER_SYM, fs, base_hz,
+                           FT8_TONE_SPACING_HZ, gain)
+
+
+def ft4_mod_batch(data_tones, fs: float = 12000.0, base_hz: float = 1000.0,
+                  gain: float = 1.0):
+    """Batched FT4 TX: (..., 87) runtime data tones → (..., 60480) IQ."""
+    template, pos = _ft4_template_and_positions()
+    t = jnp.asarray(data_tones)
+    syms = jnp.broadcast_to(jnp.asarray(template),
+                            t.shape[:-1] + (FT4_TOTAL_SYMS,))
+    syms = syms.at[..., pos].set(t.astype(jnp.uint8))
+    return cpfsk_mod_batch(syms, FT4_SAMPLES_PER_SYM, fs, base_hz,
+                           FT4_TONE_SPACING_HZ, gain)
+
+
 def ft8_mod(data_tones, fs: float = 12000.0, base_hz: float = 1000.0,
             rf_hz: float = 0.0, gain: float = 1.0):
     """58 data tones → 151 680-sample IQ frame (ref Ft8Mod::modulate)."""

@@ -6,17 +6,20 @@ Design: path metrics live in VMEM for the whole trellis — one kernel
 invocation runs all T ACS steps AND the traceback, so the decision tensor
 never round-trips to HBM. Layout (v2): STATES ride the sublane axis (padded
 only to the 32-sublane int8 tile, not to 128 lanes) and the CODEWORD BATCH
-rides the lane axis — 128 codewords per kernel instance. The LLR planes are
-time-leading (T, B), so each trellis step reads its column with a dynamic
-*leading* index (allowed by Mosaic) instead of an O(T) iota mask — the v1
-layout's per-step masking made the kernel O(T²) overall and capped batch at
-32 sublanes. The predecessor gather is a (S, S) one-hot matmul per branch
-(MXU), the ACS select is pure VPU, and the traceback walks the trellis with
-one-hot state algebra (no per-lane dynamic gathers, which TPUs lack).
+rides the lane axis — 128 codewords per kernel instance. v3 (round 3)
+attacks the VPU-throughput bound the v2 measurements exposed (lane-widening
+to 256 was neutral per lane-bit, so the chain is not MXU- or latency-bound):
+ALL four radix-2 candidates, their branch metrics, and the pad bias collapse
+into one stacked (4·S_pad, S_pad)+(4·S_pad, 8) MXU op per composite step
+(see _stacked_tables), each step's four LLR values ride one aligned (8, B)
+sublane slab of an interleaved plane, the two decision bits pack into one
+int8 plane, and the traceback's four one-hot matmuls become two through
+[p0ᵀ|p1ᵀ]. The ACS select is pure VPU and the traceback walks the trellis
+with one-hot state algebra (no per-lane dynamic gathers, which TPUs lack).
 
-VMEM budget: the int8 decision plane is (T, S_pad, 128) = T·S_pad·128 B
-(K=7: 8 KB/step), so ~1.2k-step trellises fit comfortably; the wrapper falls
-back to the jnp scan beyond the budget.
+VMEM budget: the packed int8 decision plane is (T/2, S_pad, 128) =
+T·S_pad·64 B (K=7: 4 KB/step), so ~1.9k-step trellises fit; the wrapper
+falls back to the jnp scan beyond the budget.
 """
 
 from __future__ import annotations
@@ -38,8 +41,9 @@ _VMEM_BUDGET = 13 << 20   # decision plane + LLR/bit planes must fit VMEM
 
 
 def _max_vmem_steps(s_pad: int) -> int:
-    # per trellis step: s_pad·128 B decisions (int8) + 3 f32 (T,128) planes
-    return _VMEM_BUDGET // (_B_LANES * (s_pad + 12))
+    # per trellis step per lane: s_pad/2 B packed decisions (one int8 per
+    # composite step) + 16 B interleaved LLR plane + 4 B bits out
+    return _VMEM_BUDGET // (_B_LANES * (s_pad // 2 + 20))
 
 
 @lru_cache(maxsize=None)
@@ -54,7 +58,11 @@ def _kernel_tables(code: str):
 
     with Q_{z1z2} = P_{z2}·P_{z1} and sign columns gathered through the
     intermediate state. The two-level max (over z1 at fixed z2, then z2)
-    reproduces radix-1's per-step `c1 > c0` tie-breaks exactly.
+    reproduces radix-1's per-step `c1 > c0` tie-breaks — exactly for
+    integer-ish LLRs (every sum exact in f32); on arbitrary float inputs
+    FP rounding of the shared step-t+1 term can flip a near-tie, and any
+    divergence is still a valid maximum-likelihood path (regression tests
+    pin bit-exactness on the shipped codes).
 
     States pad to ``s_pad = max(S, 32)`` sublanes (int8 tile floor)."""
     K, S, top, _, _, prev, sign0, sign1 = _tables(code)
@@ -89,77 +97,110 @@ def _kernel_tables(code: str):
     return K, S, s_pad, p0, p1, q, a1, b1, a2, b2, pad_bias, msb
 
 
-def _make_kernel(zero_start: bool):
-    """Radix-2 ACS + traceback kernel body. ``zero_start``: pm pinned at
-    state 0 and traceback starts at state 0 (zero-tail termination).
-    Otherwise initial metrics come in per lane and the traceback starts from
-    each lane's argmax state (chunked fixed-lag decode, no termination at
-    chunk boundaries). T (trellis steps) must be even."""
+@lru_cache(maxsize=None)
+def _stacked_tables(code: str):
+    """Stacked operators for the v3 kernel (one MXU op per composite ACS
+    step). The four radix-2 candidates' Q matrices stack on sublanes in
+    (z1, z2) order [(0,0),(1,0),(0,1),(1,1)] → ``qq_pm (4·S_pad, S_pad)``;
+    their branch-sign columns, the bias, and three zero pad columns stack
+    into ``qq_l (4·S_pad, 8)`` matching the per-step LLR plane rows
+    [l0(2t), l1(2t), l0(2t+1), l1(2t+1), 1, 0, 0, 0] — so the whole
+    candidate tensor is qq_pm@pm + qq_l@lx, replacing four matmuls plus
+    ~24 VPU broadcast ops (the kernel was VPU-throughput-bound: measured
+    lane-widening neutrality ruled out an MXU bound). ``pt (S_pad,
+    2·S_pad) = [p0ᵀ | p1ᵀ]`` halves the traceback matmuls the same way."""
+    K, S, s_pad, p0, p1, q, a1, b1, a2, b2, bias, msb = _kernel_tables(code)
+    order = [(0, 0), (1, 0), (0, 1), (1, 1)]
+    qq_pm = np.concatenate([q[zz] for zz in order], axis=0)
+    qq_l = np.concatenate([
+        np.concatenate([a1[(z1, z2)], b1[(z1, z2)], a2[z2], b2[z2], bias,
+                        np.zeros((s_pad, 3), np.float32)], axis=1)
+        for (z1, z2) in order], axis=0)
+    pt = np.concatenate([p0.T, p1.T], axis=1).astype(np.float32)
+    return K, S, s_pad, qq_pm, qq_l, pt, bias, msb
+
+
+def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
+                 renorm_every: int = 1):
+    """Radix-2 ACS + traceback kernel body (v3: stacked-operator form —
+    see _stacked_tables). ``zero_start``: pm pinned at state 0 and
+    traceback starts at state 0 (zero-tail termination). Otherwise initial
+    metrics come in per lane and the traceback starts from each lane's
+    argmax state (chunked fixed-lag decode, no termination at chunk
+    boundaries). T (trellis steps) must be even."""
 
     def kernel(*refs):
         if zero_start:
-            (l0_ref, l1_ref, p0_ref, p1_ref,
-             q00_ref, q10_ref, q01_ref, q11_ref,
-             a100_ref, a110_ref, a101_ref, a111_ref,
-             b100_ref, b110_ref, b101_ref, b111_ref,
-             a20_ref, a21_ref, b20_ref, b21_ref,
-             bias_ref, msb_ref,
-             bits_ref, dec2_ref, dec1_ref, pm_ref, oh_ref) = refs
+            (lx_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
+             bits_ref, dec_ref, pm_ref, oh_ref) = refs
         else:
-            (l0_ref, l1_ref, pm0_ref, p0_ref, p1_ref,
-             q00_ref, q10_ref, q01_ref, q11_ref,
-             a100_ref, a110_ref, a101_ref, a111_ref,
-             b100_ref, b110_ref, b101_ref, b111_ref,
-             a20_ref, a21_ref, b20_ref, b21_ref,
-             bias_ref, msb_ref,
-             bits_ref, dec2_ref, dec1_ref, pm_ref, oh_ref) = refs
-        T = l0_ref.shape[0]
-        T2 = T // 2
-        p0 = p0_ref[:]
-        p1 = p1_ref[:]
+            (lx_ref, pm0_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
+             bits_ref, dec_ref, pm_ref, oh_ref) = refs
+        T2 = lx_ref.shape[0] // 8
         bias = bias_ref[:]                          # (S_pad, 1)
         s_pad = pm_ref.shape[0]
-        state = jax.lax.broadcasted_iota(jnp.int32, (s_pad, _B_LANES), 0)
+        state = jax.lax.broadcasted_iota(jnp.int32, (s_pad, lanes), 0)
 
         if zero_start:
             pm_ref[:] = jnp.where(state == 0, 0.0, _NEG)
         else:
             pm_ref[:] = pm0_ref[:] + bias
 
-        def fwd(t, _):
-            pm = pm_ref[:]
-            la1 = l0_ref[pl.ds(2 * t, 1), :]        # (1, B)
-            lb1 = l1_ref[pl.ds(2 * t, 1), :]
-            la2 = l0_ref[pl.ds(2 * t + 1, 1), :]
-            lb2 = l1_ref[pl.ds(2 * t + 1, 1), :]
-            e20 = a20_ref[:] * la2 + b20_ref[:] * lb2 + bias
-            e21 = a21_ref[:] * la2 + b21_ref[:] * lb2 + bias
-            c00 = jnp.dot(q00_ref[:], pm, preferred_element_type=jnp.float32) \
-                + a100_ref[:] * la1 + b100_ref[:] * lb1 + e20
-            c10 = jnp.dot(q10_ref[:], pm, preferred_element_type=jnp.float32) \
-                + a110_ref[:] * la1 + b110_ref[:] * lb1 + e20
-            c01 = jnp.dot(q01_ref[:], pm, preferred_element_type=jnp.float32) \
-                + a101_ref[:] * la1 + b101_ref[:] * lb1 + e21
-            c11 = jnp.dot(q11_ref[:], pm, preferred_element_type=jnp.float32) \
-                + a111_ref[:] * la1 + b111_ref[:] * lb1 + e21
+        qq_pm = qqpm_ref[:]                         # (4·S_pad, S_pad)
+        qq_l = qql_ref[:]                           # (4·S_pad, 8)
+        pt = pt_ref[:]                              # (S_pad, 2·S_pad)
+
+        def step(t, pm, renorm):
+            lx = lx_ref[pl.ds(8 * t, 8)]            # (8, B) aligned read
+            # all four radix-2 candidates (incl. branch metrics + bias) in
+            # one stacked MXU op — the former per-candidate broadcast
+            # arithmetic was the VPU bottleneck
+            c_all = jnp.dot(qq_pm, pm, preferred_element_type=jnp.float32) \
+                + jnp.dot(qq_l, lx, preferred_element_type=jnp.float32)
+            c00 = c_all[:s_pad]
+            c10 = c_all[s_pad:2 * s_pad]
+            c01 = c_all[2 * s_pad:3 * s_pad]
+            c11 = c_all[3 * s_pad:]
             # two-level max: z1 at fixed z2 first, then z2 — reproduces the
-            # radix-1 per-step (c1 > c0) tie-breaks exactly. Selects are
-            # float arithmetic (Mosaic can't truncate i8→i1 for bool where).
+            # radix-1 per-step (c1 > c0) tie-breaks (exactly for integer-ish
+            # LLRs; shared-term FP rounding can flip near-ties on arbitrary
+            # float inputs — any divergence is still a valid ML path).
+            # Selects are float arithmetic (Mosaic can't truncate i8→i1 for
+            # bool where).
             d1_0 = (c10 > c00).astype(jnp.float32)
             d1_1 = (c11 > c01).astype(jnp.float32)
             m0 = jnp.maximum(c00, c10)
             m1 = jnp.maximum(c01, c11)
             dec2 = (m1 > m0).astype(jnp.float32)
             z1_sel = d1_0 + dec2 * (d1_1 - d1_0)
-            dec2_ref[t] = dec2.astype(jnp.int8)
-            dec1_ref[t] = z1_sel.astype(jnp.int8)
+            # pack (z2, z1) into one int8 plane: halves the dominant VMEM
+            # term and the per-step decision stores
+            dec_ref[t] = (2.0 * dec2 + z1_sel).astype(jnp.int8)
             new_pm = jnp.maximum(m0, m1)
-            # renormalize every composite step: unbounded metric drift breaks
-            # the MXU's f32 exactness past a few hundred steps (measured)
-            pm_ref[:] = new_pm - jnp.max(new_pm, axis=0, keepdims=True)
-            return 0
+            if renorm:
+                # renormalize: unbounded metric drift breaks the MXU's f32
+                # exactness past a few hundred steps (measured). With
+                # integer-ish LLRs the subtraction is exact, so cadence > 1
+                # changes nothing on the bit-exactness domain.
+                new_pm = new_pm - jnp.max(new_pm, axis=0, keepdims=True)
+            return new_pm
 
-        jax.lax.fori_loop(0, T2, fwd, 0)
+        if renorm_every > 1 and T2 % renorm_every == 0:
+            def fwd(g, _):
+                pm = pm_ref[:]
+                for u in range(renorm_every):       # static unroll
+                    pm = step(g * renorm_every + u, pm,
+                              renorm=(u == renorm_every - 1))
+                pm_ref[:] = pm
+                return 0
+
+            jax.lax.fori_loop(0, T2 // renorm_every, fwd, 0)
+        else:
+            def fwd(t, _):
+                pm_ref[:] = step(t, pm_ref[:], renorm=True)
+                return 0
+
+            jax.lax.fori_loop(0, T2, fwd, 0)
 
         if zero_start:
             oh_ref[:] = jnp.where(state == 0, 1.0, 0.0)
@@ -179,19 +220,21 @@ def _make_kernel(zero_start: bool):
             oh = oh_ref[:]
             bits_ref[pl.ds(2 * t + 1, 1), :] = jnp.sum(oh * msb, axis=0,
                                                        keepdims=True)
-            z2 = jnp.sum(oh * dec2_ref[t].astype(jnp.float32), axis=0,
-                         keepdims=True)             # (1, B)
-            z1 = jnp.sum(oh * dec1_ref[t].astype(jnp.float32), axis=0,
-                         keepdims=True)
-            ms_oh = jnp.dot(p0.T, oh * (1.0 - z2),
-                            preferred_element_type=jnp.float32) \
-                + jnp.dot(p1.T, oh * z2, preferred_element_type=jnp.float32)
+            d = dec_ref[t].astype(jnp.float32)      # packed 2·z2 + z1
+            z2v = jnp.floor(d * 0.5)
+            z1v = d - 2.0 * z2v
+            z2 = jnp.sum(oh * z2v, axis=0, keepdims=True)   # (1, B)
+            z1 = jnp.sum(oh * z1v, axis=0, keepdims=True)
+            # one-hot step through prev(·, z): [p0ᵀ|p1ᵀ] @ [oh·(1−z); oh·z]
+            ms_oh = jnp.dot(
+                pt, jnp.concatenate([oh * (1.0 - z2), oh * z2], axis=0),
+                preferred_element_type=jnp.float32)
             bits_ref[pl.ds(2 * t, 1), :] = jnp.sum(ms_oh * msb, axis=0,
                                                    keepdims=True)
-            oh_ref[:] = jnp.dot(p0.T, ms_oh * (1.0 - z1),
-                                preferred_element_type=jnp.float32) \
-                + jnp.dot(p1.T, ms_oh * z1,
-                          preferred_element_type=jnp.float32)
+            oh_ref[:] = jnp.dot(
+                pt, jnp.concatenate([ms_oh * (1.0 - z1), ms_oh * z1],
+                                    axis=0),
+                preferred_element_type=jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, T2, bwd, 0)
@@ -199,59 +242,64 @@ def _make_kernel(zero_start: bool):
     return kernel
 
 
-_kernel_zero_start = _make_kernel(zero_start=True)
-_kernel_chunked = _make_kernel(zero_start=False)
+@lru_cache(maxsize=None)
+def _kernel_for(zero_start: bool, lanes: int, renorm_every: int):
+    return _make_kernel(zero_start, lanes, renorm_every)
 
 
-def _run_kernel(l0, l1, pm0, code: str, interpret: bool):
+def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
+                lanes: int = _B_LANES, renorm_every: int = 1):
     """Shared pallas_call driver. ``l0``/``l1``: (L, T) LLR planes for L
     codeword/chunk lanes (T even); ``pm0``: (L, S) initial metrics or None
     for the zero-start (terminated) trellis. Returns (L, T) bit planes."""
-    _, S, s_pad, p0, p1, q, a1, b1, a2, b2, bias, msb = _kernel_tables(code)
+    _, S, s_pad, qq_pm, qq_l, pt, bias, msb = _stacked_tables(code)
     l0 = jnp.asarray(l0, jnp.float32)
     l1 = jnp.asarray(l1, jnp.float32)
     L, T = l0.shape
     assert T % 2 == 0, "radix-2 kernel needs an even trellis length"
-    l_pad = -(-L // _B_LANES) * _B_LANES
+    l_pad = -(-L // lanes) * lanes
     if l_pad != L:
         pad = jnp.zeros((l_pad - L, T), jnp.float32)
         l0 = jnp.concatenate([l0, pad])
         l1 = jnp.concatenate([l1, pad])
-    # time-leading planes: each trellis step is a dynamic leading-index read
+    # interleaved per-composite-step LLR plane (see _stacked_tables): step t
+    # reads rows [8t, 8t+8) = [l0(2t), l1(2t), l0(2t+1), l1(2t+1), 1, 0·3]
+    # — one aligned (8, B) read instead of four dynamic row reads
+    T2 = T // 2
     l0t = l0.T
     l1t = l1.T
-    args = [l0t, l1t]
+    ones = jnp.ones((T2, 1, l_pad), jnp.float32)
+    zeros = jnp.zeros((T2, 3, l_pad), jnp.float32)
+    lx = jnp.concatenate([
+        l0t[0::2][:, None], l1t[0::2][:, None],
+        l0t[1::2][:, None], l1t[1::2][:, None], ones, zeros,
+        ], axis=1).reshape(T2 * 8, l_pad)
+    args = [lx]
     in_specs = [
-        pl.BlockSpec((T, _B_LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, _B_LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T2 * 8, lanes), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
     ]
     if pm0 is not None:
         pm0 = jnp.asarray(pm0, jnp.float32)
         pm0 = jnp.pad(pm0, ((0, l_pad - L), (0, s_pad - pm0.shape[1])))
         args.append(pm0.T)                           # (S_pad, L_pad)
-        in_specs.append(pl.BlockSpec((s_pad, _B_LANES), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((s_pad, lanes), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
-    tables = [p0, p1,
-              q[(0, 0)], q[(1, 0)], q[(0, 1)], q[(1, 1)],
-              a1[(0, 0)], a1[(1, 0)], a1[(0, 1)], a1[(1, 1)],
-              b1[(0, 0)], b1[(1, 0)], b1[(0, 1)], b1[(1, 1)],
-              a2[0], a2[1], b2[0], b2[1],
-              bias, msb]
+    tables = [qq_pm, qq_l, pt, bias, msb]
     args += [jnp.asarray(t) for t in tables]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
 
     bits = pl.pallas_call(
-        _kernel_zero_start if pm0 is None else _kernel_chunked,
-        grid=(l_pad // _B_LANES,),
+        _kernel_for(pm0 is None, lanes, renorm_every),
+        grid=(l_pad // lanes,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, _B_LANES), lambda i: (0, i),
+        out_specs=pl.BlockSpec((T, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, l_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T // 2, s_pad, _B_LANES), jnp.int8),  # z2 decisions
-            pltpu.VMEM((T // 2, s_pad, _B_LANES), jnp.int8),  # z1 decisions
-            pltpu.VMEM((s_pad, _B_LANES), jnp.float32),   # pm
-            pltpu.VMEM((s_pad, _B_LANES), jnp.float32),   # traceback one-hot
+            pltpu.VMEM((T // 2, s_pad, lanes), jnp.int8),  # packed 2·z2+z1
+            pltpu.VMEM((s_pad, lanes), jnp.float32),   # pm
+            pltpu.VMEM((s_pad, lanes), jnp.float32),   # traceback one-hot
         ],
         interpret=interpret,
     )(*args)

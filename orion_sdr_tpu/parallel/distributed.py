@@ -134,7 +134,9 @@ def measure_scaling(make_fn: Callable[[Mesh], Callable],
         fn = make_fn(mesh)
         args = make_input(n)
         n_samples = int(np.asarray(args[0]).size)
-        fn(*args)                                   # compile + warm
+        # synchronized warm-up: on an async backend an unsynced first rep
+        # can overlap the warm-up dispatch tail and inflate its time
+        jax.block_until_ready(fn(*args))
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -113,7 +113,7 @@ def fm_demod_sharded(iq, taps, mesh: Mesh, fs: float, deviation_hz: float):
 
 
 def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
-                            mesh: Mesh):
+                            mesh: Mesh, estimate=None):
     """Symbol-aligned time + channel sharding of the OFDM soft demap.
 
     OFDM receive is embarrassingly parallel once splits land on symbol
@@ -121,6 +121,12 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
     owns whole symbols" — no halo at all, unlike the FIR path): shard
     (channels, time) over the mesh, each device FFT-demaps its own whole
     symbols, outputs concatenate. ``iq``: (channels, n_symbols·sps).
+
+    ``estimate``: optional held training-symbol channel estimate (n_fft,)
+    complex — per-bin and shard-invariant, so it broadcasts (replicated)
+    into every shard's ZF equalize; pilot_interp re-estimates per symbol
+    locally instead. Matches frame.demodulator.soft_demap's equalizer
+    semantics on every path.
     """
     from ..multicarrier import CarrierGrid, symbol_fft, grid_extract
     from ..constellation import soft_llr
@@ -137,27 +143,39 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
     assert n_symbols % t_dim == 0, "symbols must split evenly across t"
     local_syms = n_symbols // t_dim
 
-    def local(z):
+    def local(z, est_re, est_im):
         freq = symbol_fft(z, g.n_fft, g.cp_len,
                           backoff=cfg.rx_window_backoff,
                           n_symbols=local_syms)
         if cfg.equalizer_method == "pilot_interp" and g.pilot_bins.size:
             # per-symbol re-estimation is symbol-local: shards need no halo
+            # (takes precedence over a held estimate, matching soft_demap)
             known = g.pilot_values * np.complex64(cfg.gain)
             est = channel_estimate_pilots(freq, g.pilot_bins, known,
                                           g.n_fft)
             freq = zf_equalize(freq, est)
+        elif estimate is not None:
+            # held per-bin estimate: identical on every shard, no halo
+            freq = zf_equalize(freq, est_re + 1j * est_im)
         syms = grid_extract(g, freq)
         flat = syms.reshape(syms.shape[:-2] + (-1,))
         return soft_llr(flat, constellation)
 
     shard_fn = jax.shard_map(local, mesh=mesh,
-                             in_specs=P("ch", "t"), out_specs=P("ch", "t"))
+                             in_specs=(P("ch", "t"), P(), P()),
+                             out_specs=P("ch", "t"), check_vma=False)
     sh = NamedSharding(mesh, P("ch", "t"))
     # real/imag split at the boundary (axon: no complex transfers)
     re = jax.device_put(iq.real.astype(np.float32), sh)
     im = jax.device_put(iq.imag.astype(np.float32), sh)
-    out = jax.jit(lambda r, i: shard_fn(r + 1j * i))(re, im)
+    if estimate is not None:
+        est = np.asarray(estimate)
+        er = np.ascontiguousarray(est.real, np.float32)
+        ei = np.ascontiguousarray(est.imag, np.float32)
+    else:
+        er = ei = np.zeros(g.n_fft, np.float32)
+    out = jax.jit(lambda r, i, a, b: shard_fn(r + 1j * i, a, b))(
+        re, im, jnp.asarray(er), jnp.asarray(ei))
     return np.asarray(out)
 
 

@@ -460,24 +460,18 @@ def ofdm_frame_decode_time_sharded(cfg, mcs_table, preamble, iq, mesh: Mesh,
     t_dim = int(tmesh.devices.shape[1])
 
     def demap(seg, constellation, n_sym):
-        # pad the symbol run so it splits across the mesh's time axis
+        # pad the symbol run so it splits across the mesh's time axis;
+        # the held training estimate (when present) broadcasts into every
+        # shard's ZF equalize — per-bin, shard-invariant, no fallback
         n_pad = -(-n_sym // max(t_dim, 1)) * max(t_dim, 1)
         z = np.zeros((1, n_pad * sps), np.complex64)
         z[0, : n_sym * sps] = seg[: n_sym * sps]
-        llr = ofdm_soft_demap_sharded(cfg, constellation, z, n_pad, tmesh)
+        llr = ofdm_soft_demap_sharded(cfg, constellation, z, n_pad, tmesh,
+                                      estimate=est)
         bps_sym = (cfg.carrier_plan.num_data_carriers()
                    * {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6,
                       "qam256": 8}[constellation])
         return np.asarray(llr).reshape(-1)[: n_sym * bps_sym]
-
-    if est is not None:
-        # fall back to the single-device demap when a held estimate is
-        # needed (the sharded demap currently equalizes flat/pilot-interp)
-        from ..frame.demodulator import soft_demap as _soft_demap
-
-        def demap(seg, constellation, n_sym):       # noqa: F811
-            return np.asarray(_soft_demap(cfg, constellation, seg, n_sym,
-                                          est)).reshape(-1)
 
     hplan = header_block_plan(cfg)
     n_sym_h = symbols_for_coded_bits(cfg, HEADER_CONSTELLATION,

@@ -65,11 +65,17 @@ def power_spectrum(samples, fs: float):
     """Hann-windowed power spectrum in dB; FFT size = next pow2 clamped [64,4096].
 
     Returns (power_db[bins], bin_hz) with bins = n/2+1 (util.rs:96-133).
+
+    Complex input policy: the reference API is real-only; complex samples
+    are analyzed as-is (windowed complex FFT, positive-frequency bins
+    reported) — an explicit extension, NOT a silent cast to the real part.
     """
-    samples = _np(samples).astype(np.float64)
+    samples = _np(samples)
+    cplx = np.iscomplexobj(samples)
+    samples = samples.astype(np.complex128 if cplx else np.float64)
     n = 1 << max(int(np.ceil(np.log2(max(len(samples), 1)))), 0)
     n = int(np.clip(n, 64, 4096))
-    buf = np.zeros(n, dtype=np.float64)
+    buf = np.zeros(n, dtype=samples.dtype)
     m = min(len(samples), n)
     buf[:m] = samples[:m]
     w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)

@@ -206,3 +206,60 @@ class TestBlockStateCarry:
         iq = sdr.OfdmMod(cfg).process(bits)
         out = sdr.OfdmDemod(cfg, equalizer="pilot_interp").process(iq)
         assert np.array_equal(out[:len(bits)], bits)
+
+
+class TestInputValidation:
+    """The reference array contract (ref docs/api.md:192-201, mirrored from
+    python/tests/test_unit.py): wrong dtype / ndim / layout raise ValueError
+    instead of being silently coerced (round-3 VERDICT item)."""
+
+    def test_demod_wrong_dtype(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.CwEnvelopeDemod(FS, 700.0, 300.0).process(
+                np.zeros(256, np.complex128))
+
+    def test_mod_wrong_dtype(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.AmDsbMod(FS, 0.0, 1.0, 0.8).process(np.zeros(256, np.float64))
+
+    def test_demod_2d_input(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.FmQuadratureDemod(FS, 2500.0, 5000.0).process(
+                np.zeros((2, 128), np.complex64))
+
+    def test_non_contiguous(self):
+        import pytest
+        iq = np.zeros(512, np.complex64)[::2]
+        with pytest.raises(ValueError):
+            sdr.FmQuadratureDemod(FS, 2500.0, 5000.0).process(iq)
+
+    def test_list_input_rejected(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.BpskMod(FS).process([0, 1, 0, 1])
+
+    def test_tones_dtype_enforced(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.Ft8Mod().modulate(np.zeros(79, np.int64))
+
+    def test_llr_dtype_enforced(self):
+        import pytest
+        with pytest.raises(ValueError):
+            sdr.Ft8Codec().decode_soft(np.zeros(174, np.float64))
+
+    def test_correct_dtypes_still_pass(self):
+        iq = sdr.FmPhaseAccumMod(FS, 5000.0).process(
+            np.zeros(1024, np.float32))
+        out = sdr.FmQuadratureDemod(FS, 5000.0, 3000.0).process(iq)
+        assert out.dtype == np.float32
+
+    def test_sliced_view_accepted(self):
+        # unit-stride 1-D slices stay C-contiguous and must keep working
+        iq = sdr.FmPhaseAccumMod(FS, 5000.0).process(
+            np.zeros(1024, np.float32))
+        out = sdr.FmQuadratureDemod(FS, 5000.0, 3000.0).process(iq[:512])
+        assert out.dtype == np.float32

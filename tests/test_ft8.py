@@ -283,3 +283,36 @@ def test_ft4_decode_windows_batched():
                              hash_table=ht)
     assert [o.message.call_de if o else None for o in out] == \
         list(calls) + [None]
+
+
+def test_ft8_mod_batch_matches_scalar():
+    """Batched runtime-tones TX == the trace-time-constant path (round-3
+    TX tier: no per-message recompile)."""
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod, ft8_mod_batch
+    rng = np.random.default_rng(0)
+    tones = rng.integers(0, 8, (3, 58)).astype(np.uint8)
+    batch = np.asarray(ft8_mod_batch(tones))
+    for i in range(3):
+        ref = np.asarray(ft8_mod(tones[i]))
+        assert batch.shape[-1] == ref.shape[-1]
+        np.testing.assert_allclose(batch[i], ref, atol=2e-3)
+
+
+def test_ft4_mod_batch_matches_scalar():
+    from orion_sdr_tpu.modulate.ft8 import ft4_mod, ft4_mod_batch
+    rng = np.random.default_rng(1)
+    tones = rng.integers(0, 4, (2, 87)).astype(np.uint8)
+    batch = np.asarray(ft4_mod_batch(tones))
+    for i in range(2):
+        ref = np.asarray(ft4_mod(tones[i]))
+        np.testing.assert_allclose(batch[i], ref, atol=2e-3)
+
+
+def test_ft8_mod_batch_roundtrips_through_demod():
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod_batch
+    from orion_sdr_tpu.demodulate.ft8 import ft8_demod
+    rng = np.random.default_rng(2)
+    tones = rng.integers(0, 8, 58).astype(np.uint8)
+    iq = np.asarray(ft8_mod_batch(tones[None]))[0]
+    got = np.asarray(ft8_demod(iq))
+    assert np.array_equal(got, tones)

@@ -154,3 +154,98 @@ def test_pallas_chunked_odd_span_falls_back():
     pm0 = np.zeros((2, 64), np.float32)
     bits = np.asarray(viterbi_chunks_pallas(c0, c1, pm0, "dvb_k7"))
     assert bits.shape == (2, 1215)
+
+
+def test_bp_pallas_min_sum_matches_xla():
+    """Min-sum kernel (slab layout) vs the XLA min-sum path: identical
+    min_unsat and decoded message on error-injected decodable codewords."""
+    from orion_sdr_tpu.fec.ldpc import bp_decode, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    for name, flips in (("N512R12", 8), ("N512R34", 4), ("N576R23", 6)):
+        g, msg, llr = _bp_case(name, flips, 3, 7)
+        bits, unsat = bp_decode(g, llr, 30, "min_sum")
+        best, mu = bp_decode_pallas(_graph_key(g), llr, 30, interpret=True,
+                                    rule="min_sum")
+        assert np.array_equal(np.asarray(mu), np.asarray(unsat)), name
+        assert int(np.asarray(mu).sum()) == 0, name
+        assert np.array_equal(np.asarray(best)[:, :g.k].astype(np.uint8),
+                              msg), name
+
+
+def test_bp_pallas_scaled_min_sum_matches_xla():
+    from orion_sdr_tpu.fec.ldpc import bp_decode, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    g, msg, llr = _bp_case("N512R12", 10, 4, 11)
+    bits, unsat = bp_decode(g, llr, 30, "scaled_min_sum", 0.75)
+    best, mu = bp_decode_pallas(_graph_key(g), llr, 30, interpret=True,
+                                rule="scaled_min_sum", alpha=0.75)
+    assert np.array_equal(np.asarray(mu), np.asarray(unsat))
+    assert int(np.asarray(mu).sum()) == 0
+    assert np.array_equal(np.asarray(best)[:, :g.k].astype(np.uint8), msg)
+
+
+def test_bp_pallas_min_sum_ft8_graph():
+    """The slab kernel on the FT8 (174,91) graph (deg-7 slabs, small mp)."""
+    from orion_sdr_tpu.codec.ft8_ldpc import ft8_ldpc_graph
+    from orion_sdr_tpu.fec.ldpc import _graph_key, bp_decode
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    from orion_sdr_tpu.codec import ft8_ldpc
+    g = ft8_ldpc_graph()
+    rng = np.random.default_rng(3)
+    m = rng.integers(0, 2, (2, 91)).astype(np.uint8)
+    cw = np.stack([np.asarray(ft8_ldpc.ldpc_encode(r)) for r in m])
+    llr = np.where(cw == 0, 4.0, -4.0).astype(np.float32)
+    llr[0, rng.choice(174, 5, replace=False)] *= -1
+    bits, unsat = bp_decode(g, llr, 25, "min_sum")
+    best, mu = bp_decode_pallas(_graph_key(g), llr, 25, interpret=True,
+                                rule="min_sum")
+    assert np.array_equal(np.asarray(mu), np.asarray(unsat))
+    assert int(np.asarray(mu).sum()) == 0
+    assert np.array_equal(np.asarray(best)[:, :91].astype(np.uint8), m)
+
+
+def test_bp_pallas_min_sum_unsat_on_garbage():
+    from orion_sdr_tpu.fec.ldpc import ldpc_graph, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    g = ldpc_graph("N512R12")
+    rng = np.random.default_rng(5)
+    llr = rng.standard_normal((2, g.n)).astype(np.float32)
+    _, mu = bp_decode_pallas(_graph_key(g), llr, 15, interpret=True,
+                             rule="min_sum")
+    assert (np.asarray(mu) > 0).all()
+
+
+def test_ms_tables_structure():
+    """Slab-table invariants: row j·mp+c one-hot at check c's j-th bit for
+    mask-true slots, zero otherwise; slab validity mirrors the mask; H
+    matches the sum-product H."""
+    from orion_sdr_tpu.fec.ldpc import ldpc_graph, _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import _ms_tables, _bp_tables
+    for name in ("N512R12", "N512R34"):
+        g = ldpc_graph(name)
+        SBD, H, ev, cv, D, Np, mp = _ms_tables(_graph_key(g))
+        assert D == g.max_deg and SBD.shape == (D * mp, Np)
+        for c in (0, g.m // 2, g.m - 1):
+            for j in range(D):
+                row = SBD[j * mp + c]
+                if g.check_mask[c, j]:
+                    assert row.sum() == 1.0 and row[g.check_bits[c, j]] == 1.0
+                    assert ev[0, j * mp + c] == 1.0
+                else:
+                    assert not row.any() and ev[0, j * mp + c] == 0.0
+        H2 = _bp_tables(_graph_key(g))[2]
+        assert np.array_equal(H, H2)
+
+
+def test_bp_pallas_stall_iters_param():
+    """ADVICE r2: stall_iters is caller-tunable; max_iter disables stalling
+    without changing decodable-case results."""
+    from orion_sdr_tpu.fec.ldpc import _graph_key
+    from orion_sdr_tpu.ops.ldpc_bp import bp_decode_pallas
+    g, msg, llr = _bp_case("N512R12", 6, 2, 13)
+    for rule in ("sum_product", "min_sum"):
+        best, mu = bp_decode_pallas(_graph_key(g), llr, 30, interpret=True,
+                                    rule=rule, stall_iters=30)
+        assert int(np.asarray(mu).sum()) == 0
+        assert np.array_equal(np.asarray(best)[:, :g.k].astype(np.uint8),
+                              msg)
