@@ -284,7 +284,7 @@ def bench_cofdm():
 
     g = ldpc_graph("N512R12")
 
-    def make_bp(nb):
+    def make_bp_rule(nb, rule):
         # decodable error-injected codewords (the reference's Rx
         # methodology): the kernel's in-device early exit fires as it
         # does at the operating point
@@ -301,7 +301,7 @@ def bench_cofdm():
         def f(l):
             def body(carry, _):
                 ll, acc = carry
-                bits, unsat = ldpc_decode("N512R12", ll, 50)
+                bits, unsat = ldpc_decode("N512R12", ll, 50, rule)
                 acc = acc + jnp.sum(unsat) + jnp.sum(bits)
                 return (jnp.roll(ll, 1, axis=0) + 1e-9 * acc, acc), 0.0
             (_, acc), _ = jax.lax.scan(body, (l, jnp.float32(0)), None,
@@ -309,9 +309,21 @@ def bench_cofdm():
             return acc
         return f, (llr,)
 
+    def make_bp(nb):
+        return make_bp_rule(nb, "sum_product")
+
     per_cw, bp_cl = _size_marginal_s(make_bp, 256, 1024)
     per_cw /= REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
+
+    # the reference's FAST decode rule (scaled-min-sum α=0.75: ~2× its
+    # sum-product at ≤0.3 dB cost, ref docs/performance.md:394-399) — the
+    # recommended high-throughput operating point, emitted as a second
+    # metric below
+    per_cw_sms, sms_cl = _size_marginal_s(
+        lambda nb: make_bp_rule(nb, "scaled_min_sum"), 256, 1024)
+    per_cw_sms /= REPS
+    bp_coded_rate_sms = g.n / per_cw_sms
 
     # outer BCH at the chain's operating point (post-LDPC input is mostly
     # clean; model 1-in-8 blocks with 2 bit errors). On TPU the chain
@@ -369,6 +381,12 @@ def bench_cofdm():
     _emit("cofdm_frame_decode_throughput", 1.0 / t_sample / 1e6,
           "Msps/chip", 58.0,
           bound="lower" if (dem_cl or bp_cl) else None)
+    t_sample_sms = (1.0 / demap_rate
+                    + coded_per_sample / bp_coded_rate_sms
+                    + bch_info_per_sample / bch_info_rate)
+    _emit("cofdm_frame_decode_throughput_sms", 1.0 / t_sample_sms / 1e6,
+          "Msps/chip", 58.0,
+          bound="lower" if (dem_cl or sms_cl) else None)
 
 
 # ── 5. DVB-T decode chain ────────────────────────────────────────────────────
@@ -406,8 +424,10 @@ def bench_dvb_t():
     per_frame_rx, rx_cl = _size_marginal_s(make_rx, 2, 6, trials=17)
     rx_rate = n_symbols * sps / per_frame_rx         # samples/s
 
-    # chunked Pallas Viterbi: 128 chunk lanes × 1216-step trellis
-    L, span, S = 128, 1216, 64
+    # chunked Pallas Viterbi: 256 chunk lanes × 1216-step trellis (a frame
+    # decode is ~460 chunk lanes, so the wide-lane kernel is the operating
+    # point; 256 lanes measured 1.57× the 128-lane per-lane-bit rate)
+    L, span, S = 256, 1216, 64
     c0 = jnp.asarray(rng.standard_normal((L, span)).astype(np.float32))
     c1 = jnp.asarray(rng.standard_normal((L, span)).astype(np.float32))
     pm0 = jnp.asarray(np.zeros((L, S), np.float32))

@@ -35,4 +35,7 @@ def __getattr__(name):
     if name == "ft8_decode_windows":
         from .ft8_stream import ft8_decode_windows
         return ft8_decode_windows
+    if name in ("ft8_decode_multi_frame", "ft4_decode_multi_frame"):
+        from . import ft8_stream
+        return getattr(ft8_stream, name)
     raise AttributeError(name)

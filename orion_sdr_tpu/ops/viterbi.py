@@ -37,13 +37,29 @@ from ..fec.conv import (_tables, depuncture_llrs, tail_bits,
 
 _B_LANES = 128   # codewords per kernel instance (lane axis)
 _NEG = -1.0e30
-_VMEM_BUDGET = 13 << 20   # decision plane + LLR/bit planes must fit VMEM
+_VMEM_BUDGET = 14 << 20   # decision plane + LLR/bit planes must fit VMEM
+                          # (span-1216 × 256-lane instance = 13.9 MB,
+                          # compile-verified on chip)
 
 
-def _max_vmem_steps(s_pad: int) -> int:
+def _max_vmem_steps(s_pad: int, lanes: int = _B_LANES) -> int:
     # per trellis step per lane: s_pad/2 B packed decisions (one int8 per
-    # composite step) + 16 B interleaved LLR plane + 4 B bits out
-    return _VMEM_BUDGET // (_B_LANES * (s_pad // 2 + 20))
+    # composite step) + 8 B bf16 interleaved LLR plane + 4 B bits out
+    return _VMEM_BUDGET // (lanes * (s_pad // 2 + 12))
+
+
+def _pick_lanes(n_steps: int, s_pad: int, n_lanes: int) -> int | None:
+    """Widest lane count whose whole trellis fits VMEM. 256 lanes measured
+    1.57× the per-lane-bit throughput of 128 (the sequential phases'
+    ~250 ns fixed cost amortizes over twice the work — the kernel is
+    phase-overhead-bound, not VPU/MXU-bound); only worth it when there are
+    more than 128 problems to fill the lanes."""
+    for lanes in (256, 128):
+        if lanes > 128 and n_lanes <= 128:
+            continue
+        if n_steps <= _max_vmem_steps(s_pad, lanes):
+            return lanes
+    return None
 
 
 @lru_cache(maxsize=None)
@@ -116,12 +132,21 @@ def _stacked_tables(code: str):
         np.concatenate([a1[(z1, z2)], b1[(z1, z2)], a2[z2], b2[z2], bias,
                         np.zeros((s_pad, 3), np.float32)], axis=1)
         for (z1, z2) in order], axis=0)
-    pt = np.concatenate([p0.T, p1.T], axis=1).astype(np.float32)
+    # traceback operator, SUBLANE-stacked (v3.1): one K=S_pad matmul yields
+    # both prev(·,0) and prev(·,1) one-hots plus the decoded bit (msb row);
+    # the z-select is then scalar arithmetic instead of a K=2·S_pad matmul
+    # over a concatenated operand
+    pt = np.concatenate(
+        [p0.T, p1.T, msb.T,
+         np.zeros((7, s_pad), np.float32)], axis=0).astype(np.float32)
     return K, S, s_pad, qq_pm, qq_l, pt, bias, msb
 
 
+_SKIP_TRACEBACK = False   # probe-only: time the forward pass alone
+
+
 def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
-                 renorm_every: int = 1):
+                 renorm_every: int = 1, lx_bf16: bool = False):
     """Radix-2 ACS + traceback kernel body (v3: stacked-operator form —
     see _stacked_tables). ``zero_start``: pm pinned at state 0 and
     traceback starts at state 0 (zero-tail termination). Otherwise initial
@@ -148,10 +173,12 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
 
         qq_pm = qqpm_ref[:]                         # (4·S_pad, S_pad)
         qq_l = qql_ref[:]                           # (4·S_pad, 8)
-        pt = pt_ref[:]                              # (S_pad, 2·S_pad)
+        pt = pt_ref[:]                              # (2·S_pad+8, S_pad)
 
         def step(t, pm, renorm):
             lx = lx_ref[pl.ds(8 * t, 8)]            # (8, B) aligned read
+            if lx_bf16:
+                lx = lx.astype(jnp.float32)
             # all four radix-2 candidates (incl. branch metrics + bias) in
             # one stacked MXU op — the former per-candidate broadcast
             # arithmetic was the VPU bottleneck
@@ -213,42 +240,44 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
             mn = jnp.min(idx_val, axis=0, keepdims=True)
             oh_ref[:] = (idx_val == mn).astype(jnp.float32)
 
-        msb = msb_ref[:]
-
         def bwd(i, _):
             t = T2 - 1 - i
             oh = oh_ref[:]
-            bits_ref[pl.ds(2 * t + 1, 1), :] = jnp.sum(oh * msb, axis=0,
-                                                       keepdims=True)
             d = dec_ref[t].astype(jnp.float32)      # packed 2·z2 + z1
             z2v = jnp.floor(d * 0.5)
             z1v = d - 2.0 * z2v
+            # one K=S_pad matmul gives prev(·,0)/prev(·,1) candidates AND
+            # the decoded bit (msb row of the stacked pt operator)
+            both = jnp.dot(pt, oh, preferred_element_type=jnp.float32)
+            bits_ref[pl.ds(2 * t + 1, 1), :] = both[2 * s_pad:2 * s_pad + 1]
+            # both decisions are stored per composite-step FINAL state, so
+            # both gathers contract against oh — not the intermediate state
             z2 = jnp.sum(oh * z2v, axis=0, keepdims=True)   # (1, B)
             z1 = jnp.sum(oh * z1v, axis=0, keepdims=True)
-            # one-hot step through prev(·, z): [p0ᵀ|p1ᵀ] @ [oh·(1−z); oh·z]
-            ms_oh = jnp.dot(
-                pt, jnp.concatenate([oh * (1.0 - z2), oh * z2], axis=0),
-                preferred_element_type=jnp.float32)
-            bits_ref[pl.ds(2 * t, 1), :] = jnp.sum(ms_oh * msb, axis=0,
-                                                   keepdims=True)
-            oh_ref[:] = jnp.dot(
-                pt, jnp.concatenate([ms_oh * (1.0 - z1), ms_oh * z1],
-                                    axis=0),
-                preferred_element_type=jnp.float32)
+            ms_oh = both[:s_pad] * (1.0 - z2) \
+                + both[s_pad:2 * s_pad] * z2
+            both2 = jnp.dot(pt, ms_oh, preferred_element_type=jnp.float32)
+            bits_ref[pl.ds(2 * t, 1), :] = both2[2 * s_pad:2 * s_pad + 1]
+            oh_ref[:] = both2[:s_pad] * (1.0 - z1) \
+                + both2[s_pad:2 * s_pad] * z1
             return 0
 
-        jax.lax.fori_loop(0, T2, bwd, 0)
+        if not _SKIP_TRACEBACK:
+            jax.lax.fori_loop(0, T2, bwd, 0)
 
     return kernel
 
 
 @lru_cache(maxsize=None)
-def _kernel_for(zero_start: bool, lanes: int, renorm_every: int):
-    return _make_kernel(zero_start, lanes, renorm_every)
+def _kernel_for(zero_start: bool, lanes: int, renorm_every: int,
+                lx_bf16: bool, skip_tb: bool):
+    # skip_tb participates in the cache key so probe variants don't collide
+    return _make_kernel(zero_start, lanes, renorm_every, lx_bf16)
 
 
 def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
-                lanes: int = _B_LANES, renorm_every: int = 1):
+                lanes: int = _B_LANES, renorm_every: int = 1,
+                lx_bf16: bool = False):
     """Shared pallas_call driver. ``l0``/``l1``: (L, T) LLR planes for L
     codeword/chunk lanes (T even); ``pm0``: (L, S) initial metrics or None
     for the zero-start (terminated) trellis. Returns (L, T) bit planes."""
@@ -274,6 +303,10 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
         l0t[0::2][:, None], l1t[0::2][:, None],
         l0t[1::2][:, None], l1t[1::2][:, None], ones, zeros,
         ], axis=1).reshape(T2 * 8, l_pad)
+    if lx_bf16:
+        # halves the LLR plane's VMEM (integer-ish LLRs stay exact; demap
+        # LLRs round ~0.4%, inside Viterbi's quantization tolerance)
+        lx = lx.astype(jnp.bfloat16)
     args = [lx]
     in_specs = [
         pl.BlockSpec((T2 * 8, lanes), lambda i: (0, i),
@@ -290,7 +323,8 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
 
     bits = pl.pallas_call(
-        _kernel_for(pm0 is None, lanes, renorm_every),
+        _kernel_for(pm0 is None, lanes, renorm_every, lx_bf16,
+                    _SKIP_TRACEBACK),
         grid=(l_pad // lanes,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, lanes), lambda i: (0, i),
@@ -353,7 +387,12 @@ def viterbi_chunks_pallas(c0, c1, pm0, code: str, interpret=None):
         interpret = jax.default_backend() != "tpu"
     if np.shape(c0)[-1] % 2:
         return _chunks_jnp(c0, c1, pm0, code)
-    return _run_kernel(c0, c1, pm0, code, interpret)
+    s_pad = _kernel_tables(code)[2]
+    lanes = _pick_lanes(np.shape(c0)[-1], s_pad, np.shape(c0)[0])
+    if lanes is None:
+        return _chunks_jnp(c0, c1, pm0, code)
+    return _run_kernel(c0, c1, pm0, code, interpret, lanes=lanes,
+                       lx_bf16=True)
 
 
 def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
@@ -372,13 +411,14 @@ def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
     assert l.ndim == 2, "pallas path takes (B, n_coded)"
     n_steps = info_bits + tail_bits(code)
     s_pad = _kernel_tables(code)[2]
-    if n_steps > _max_vmem_steps(s_pad) or n_steps % 2:
+    lanes = _pick_lanes(n_steps, s_pad, l.shape[0])
+    if lanes is None or n_steps % 2:
         # over the VMEM budget, or odd trellis (radix-2 kernel needs even)
         out = _viterbi_jnp(l, info_bits, rate, code)
         return out[0] if squeeze else out
 
     full = depuncture_llrs(l, info_bits, rate, code)
     bits = _run_kernel(full[..., 0::2], full[..., 1::2], None, code,
-                       interpret)
+                       interpret, lanes=lanes, lx_bf16=True)
     out = bits[:, :info_bits].astype(jnp.uint8)
     return out[0] if squeeze else out

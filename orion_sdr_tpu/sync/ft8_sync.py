@@ -202,3 +202,60 @@ def ft4_sync(iq, fs: float, base_hz: float, max_hz: float,
                  total_syms=FT4_TOTAL_SYMS, n_tones=FT4_TONES,
                  costas=FT4_COSTAS, sync_pos=sync_pos,
                  data_pos=ft4_data_positions(), bits_per_sym=2)
+
+
+@cjit
+def _multi_sync_grid_device(frames, fs: float, base_hz: float, mode: str,
+                            num_bins: int, k: int):
+    """Waterfalls for N repeated transmissions + the SUMMED Costas score
+    grid's top-k, one fused device program. Summing the per-frame score
+    grids before candidate selection buys ~√N of sync sensitivity — the
+    multi-frame averaging front half (WSJT-X's a-priori averaging idea,
+    beyond the single-frame reference)."""
+    import jax
+    import jax.numpy as jnp
+    m = _MODE[mode]
+    costas, sync_pos, _, _ = _mode_tables(mode)
+    wf = compute_waterfall(frames, fs, base_hz, m["spacing"], m["sps"],
+                           m["total_syms"], num_bins, 0)        # (N, S, B)
+    score = candidate_score_grid(wf, costas, sync_pos, m["n_tones"], 0, 0)
+    ssum = jnp.sum(score, axis=0)
+    vals, idx = jax.lax.top_k(ssum.reshape(-1), k)
+    return wf, vals, idx
+
+
+def ft_sync_multi(frames, fs: float, base_hz: float, max_hz: float,
+                  max_cand: int, mode: str
+                  ) -> List[FtSyncResult]:
+    """Multi-frame sync: N frame-aligned captures of the SAME repeated
+    transmission → candidates from the summed score grid, each carrying
+    the SUM of the per-frame LLRs (joint log-likelihood of N independent
+    observations, ~10·log10(N) dB of combining gain before the LDPC).
+    """
+    m = _MODE[mode]
+    _, _, data_pos, gray = _mode_tables(mode)
+    frames = np.asarray(frames)
+    assert frames.ndim == 2, "frames: (n_frames, frame_len)"
+    freq_range = max(max_hz - base_hz, 0.0)
+    num_bins = int(np.ceil(freq_range / m["spacing"])) + m["n_tones"] + 1
+    f_count = num_bins - m["n_tones"] + 1
+    if f_count <= 0 or len(frames) == 0:
+        return []
+    k = min(max(int(max_cand), 1), f_count)
+    wf, vals, idx = _multi_sync_grid_device(frames, float(fs),
+                                            float(base_hz), mode,
+                                            num_bins, k)
+    wf, vals, idx = np.asarray(wf), np.asarray(vals), np.asarray(idx)
+    cands = [Candidate(time_sym=int(i // f_count), freq_bin=int(i % f_count),
+                       score=float(v)) for v, i in zip(vals, idx)]
+    out = []
+    for c in cands:
+        llr_sum = None
+        for b in range(len(frames)):
+            llr = _extract_llrs(wf[b], [c], data_pos, gray=gray,
+                                bits_per_sym=m["bits_per_sym"])[0]
+            llr_sum = llr if llr_sum is None else llr_sum + llr
+        out.append(FtSyncResult(time_sym=c.time_sym, freq_bin=c.freq_bin,
+                                score=c.score,
+                                llr=_normalise_llr(llr_sum)))
+    return out

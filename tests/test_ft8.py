@@ -316,3 +316,47 @@ def test_ft8_mod_batch_roundtrips_through_demod():
     iq = np.asarray(ft8_mod_batch(tones[None]))[0]
     got = np.asarray(ft8_demod(iq))
     assert np.array_equal(got, tones)
+
+
+def test_ft8_multi_frame_decode_combines_repeats():
+    """Multi-frame averaging (beyond-reference): a message too noisy for
+    any single frame decodes from the summed-LLR combination of repeats."""
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.codec.ft8_stream import (Ft8StreamDecoder,
+                                                ft8_decode_multi_frame)
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+    fs = 12000.0
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), fs, base_hz=1012.5))
+    rng = np.random.default_rng(101)
+    power = fs / (2500.0 * 10.0 ** (-21.0 / 10.0))   # −21 dB in 2500 Hz BW
+    frames = np.stack([
+        iq + ((rng.standard_normal(len(iq))
+               + 1j * rng.standard_normal(len(iq)))
+              * np.sqrt(power / 2)).astype(np.complex64)
+        for _ in range(4)])
+    # single-frame path fails well below the reference's −15 dB floor
+    single = Ft8StreamDecoder.new_ft8(fs, 950.0, 1150.0).feed(frames[0])
+    assert not (single and single[0].message.call_de == "KA1ABC")
+    got = ft8_decode_multi_frame(frames, fs, 950.0, 1150.0)
+    assert got is not None and got.message.call_de == "KA1ABC"
+
+
+def test_ft4_multi_frame_decode_smoke():
+    from orion_sdr_tpu.modulate.ft8 import ft4_mod
+    from orion_sdr_tpu.codec.ft8 import ft4_encode
+    from orion_sdr_tpu.codec.ft8_stream import ft4_decode_multi_frame
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+    fs = 12000.0
+    p = pack77(Standard("CQ", "W9XYZ", "EN50"), CallsignHashTable())
+    iq = np.asarray(ft4_mod(ft4_encode(p), fs, base_hz=1012.5))
+    rng = np.random.default_rng(7)
+    power = fs / (2500.0 * 10.0 ** (-14.0 / 10.0))
+    frames = np.stack([
+        iq + ((rng.standard_normal(len(iq))
+               + 1j * rng.standard_normal(len(iq)))
+              * np.sqrt(power / 2)).astype(np.complex64)
+        for _ in range(4)])
+    got = ft4_decode_multi_frame(frames, fs, 950.0, 1150.0)
+    assert got is not None and got.message.call_de == "W9XYZ"

@@ -333,3 +333,28 @@ def test_throughput_floor_viterbi_pallas():
     mbps = L * 1024 / per / 1e6
     print(f"\n[Viterbi] {mbps:.0f} info-Mbps (48-rep marginal)")
     assert mbps > 150.0, "Pallas Viterbi regressed past the guard band"
+
+
+def test_snr_sweep_ft8_multi_frame():
+    """Multi-frame averaging sweep (beyond-reference tier): summed LLRs
+    over 2/4 repeated transmissions — WSJT-X's −21 dB territory."""
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.codec.ft8_stream import ft8_decode_multi_frame
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS12, base_hz=1012.5))
+    print("\n[FT8 multi-frame] SNR sweep (2500 Hz ref BW):")
+    for nf in (2, 4):
+        for snr in (-19.0, -20.0, -21.0, -22.0, -23.0):
+            ok = 0
+            trials = 10
+            for seed in range(trials):
+                rng = np.random.default_rng(97 + seed)
+                frames = np.stack([
+                    iq + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+                    for _ in range(nf)])
+                r = ft8_decode_multi_frame(frames, FS12, 950.0, 1150.0)
+                ok += bool(r and r.message.call_de == "KA1ABC")
+            print(f"  nf={nf} {snr:+.0f} dB: {ok}/{trials}")

@@ -25,7 +25,11 @@ L, span, S = 256, 1216, 64
 c0 = (rng.integers(-4, 5, (L, span))).astype(np.float32)
 c1 = (rng.integers(-4, 5, (L, span))).astype(np.float32)
 pm0 = np.zeros((L, S), np.float32)
-ref = np.asarray(_chunks_jnp(c0, c1, pm0, "dvb_k7"))
+# reference = the default kernel config (chip-validated bit-exact vs jnp in
+# tools/tpu_viterbi_check.py); the jnp path's 256-lane XLA compile takes >10
+# min through the relay, so variants compare against the kernel instead
+ref = np.asarray(_run_kernel(jnp.asarray(c0), jnp.asarray(c1),
+                             jnp.asarray(pm0), "dvb_k7", False))
 
 
 def probe(lanes, renorm_every, reps=48):

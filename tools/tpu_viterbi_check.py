@@ -22,7 +22,7 @@ def fetch(x):
 
 print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
-L, span, S = 128, 1216, 64
+L, span, S = 256, 1216, 64
 
 # integer-ish LLRs (the bit-exactness domain)
 c0 = (rng.integers(-4, 5, (L, span))).astype(np.float32)
@@ -32,11 +32,19 @@ pm0 = np.zeros((L, S), np.float32)
 bits_k = np.asarray(viterbi_chunks_pallas(jnp.asarray(c0), jnp.asarray(c1),
                                           jnp.asarray(pm0), "dvb_k7",
                                           interpret=False))
-bits_j = np.asarray(_chunks_jnp(c0, c1, pm0, "dvb_k7"))
-eq = np.array_equal(bits_k, bits_j)
-print("bit-exact vs jnp (integer LLRs):", eq,
-      "mismatch rows:" if not eq else "",
-      int((bits_k != bits_j).any(axis=1).sum()) if not eq else "", flush=True)
+# jnp reference at 128 lanes (the 256-lane XLA compile takes >10 min through
+# the relay); the 256-lane kernel instance must agree with both
+bits_j = np.asarray(_chunks_jnp(c0[:128], c1[:128], pm0[:128], "dvb_k7"))
+eq = np.array_equal(bits_k[:128], bits_j)
+print("rows 0-127 bit-exact vs jnp (integer LLRs):", eq, flush=True)
+from orion_sdr_tpu.ops.viterbi import _run_kernel
+b128 = np.concatenate([
+    np.asarray(_run_kernel(jnp.asarray(c0[i:i+128]), jnp.asarray(c1[i:i+128]),
+                           jnp.asarray(pm0[i:i+128]), "dvb_k7", False,
+                           lanes=128, lx_bf16=True))
+    for i in (0, 128)])
+print("256-lane == 2x128-lane kernel:", np.array_equal(bits_k, b128),
+      flush=True)
 
 # hardened 48-rep marginal
 c0j, c1j = jnp.asarray(rng.standard_normal((L, span)).astype(np.float32)), \
