@@ -154,8 +154,19 @@ class ReedSolomon:
         return self.n_parity // 2
 
     def encode(self, message) -> np.ndarray:
-        """Batched systematic encode: (..., k) bytes → (..., n)."""
-        msg = np.atleast_2d(np.asarray(message, np.uint8))
+        """Batched systematic encode: (..., k) bytes → (..., n).
+
+        2-D batches dispatch to the native table-LFSR encoder
+        (native/orion_native.cpp::rs_encode_batch, bit-exact, ~5 Gbps/core
+        vs this numpy LFSR's ~0.1); the numpy path remains the reference
+        and the no-toolchain fallback."""
+        msg_nd = np.asarray(message, np.uint8)
+        if msg_nd.ndim == 2 and msg_nd.shape[0] >= 4:
+            from .. import native
+            out = native.rs_encode_batch(self.n, self.n_parity, msg_nd)                 if native.AVAILABLE else None
+            if out is not None:
+                return out
+        msg = np.atleast_2d(msg_nd)
         B = msg.shape[0] if msg.ndim == 2 else 1
         reg = np.zeros(msg.shape[:-1] + (self.n_parity,), np.uint8)
         gen_hi = self.gen[:-1][::-1]  # gen coefficients for the shift update
@@ -297,8 +308,18 @@ class Bch:
         return len(self.gen) - 1
 
     def encode(self, message) -> np.ndarray:
-        """Batched systematic encode: (..., k) bits → (..., n) bits."""
-        msg = np.asarray(message, np.uint8) & 1
+        """Batched systematic encode: (..., k) bits → (..., n) bits.
+
+        2-D batches dispatch to the native uint64-register LFSR
+        (native/orion_native.cpp::bch_encode_batch, bit-exact); numpy is
+        the reference and fallback."""
+        msg_nd = np.asarray(message, np.uint8) & 1
+        if msg_nd.ndim == 2 and msg_nd.shape[0] >= 4:
+            from .. import native
+            out = native.bch_encode_batch(self.n, self.k, self.t, msg_nd)                 if native.AVAILABLE else None
+            if out is not None:
+                return out
+        msg = msg_nd
         pb = self.parity_bits
         reg = np.zeros(msg.shape[:-1] + (pb,), np.uint8)
         gtail = self.gen[1:]  # gen[1..] per the reference LFSR

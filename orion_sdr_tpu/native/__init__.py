@@ -54,6 +54,12 @@ def _load():
     lib.bch_decode_batch.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                      u8p, ctypes.c_int, u8p, u8p]
     lib.bch_decode_batch.restype = None
+    lib.rs_encode_batch.argtypes = [ctypes.c_int, ctypes.c_int, u8p,
+                                    ctypes.c_int, u8p]
+    lib.rs_encode_batch.restype = None
+    lib.bch_encode_batch.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     u8p, ctypes.c_int, u8p]
+    lib.bch_encode_batch.restype = None
     _lib = lib
     return lib
 
@@ -98,3 +104,32 @@ def bch_decode_batch(n: int, k: int, t: int, received_bits: np.ndarray):
     ok = np.empty(B, np.uint8)
     lib.bch_decode_batch(n, k, t, _ptr(r), B, _ptr(out), _ptr(ok))
     return out, ok.astype(bool)
+
+
+def rs_encode_batch(n: int, n_parity: int, messages: np.ndarray):
+    """(B, k) byte messages → (B, n) systematic codewords (FCR=0 generator,
+    bit-exact vs fec/galois.py::ReedSolomon.encode). None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(messages, np.uint8)
+    assert m.ndim == 2 and m.shape[1] == n - n_parity
+    B = m.shape[0]
+    out = np.empty((B, n), np.uint8)
+    lib.rs_encode_batch(n, n_parity, _ptr(m), B, _ptr(out))
+    return out
+
+
+def bch_encode_batch(n: int, k: int, t: int, message_bits: np.ndarray):
+    """(B, k) bit messages → (B, n) systematic BCH codewords (bit-exact vs
+    fec/galois.py::Bch.encode)."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray(message_bits, np.uint8)
+    assert m.ndim == 2 and m.shape[1] == k
+    B = m.shape[0]
+    out = np.empty((B, n), np.uint8)
+    lib.bch_encode_batch(n, k, t, _ptr(m), B, _ptr(out))
+    return out

@@ -413,4 +413,234 @@ void bch_decode_batch(int n, int k, int t, const uint8_t* in, int batch,
     });
 }
 
+// ── batch encoders (round 3: the TX side must clear the Rust baseline;
+// the numpy LFSRs measured 0.1-0.5x it) ──────────────────────────────────
+
+// systematic RS encode, FCR=0 generator (matches fec/galois.py::_rs_generator
+// + ReedSolomon.encode's LFSR bit-exactly)
+void rs_encode_batch(int n, int n_parity, const uint8_t* in, int batch,
+                     uint8_t* out) {
+    int k = n - n_parity;
+    // generator Π(x + α^i), i = 0..n_parity-1, built low-degree-first
+    std::vector<uint8_t> g(n_parity + 1, 0);
+    g[0] = 1;
+    int deg = 0;
+    for (int i = 0; i < n_parity; ++i) {
+        std::vector<uint8_t> ng(n_parity + 1, 0);
+        uint8_t ai = apow(i);
+        for (int j = 0; j <= deg; ++j) {
+            ng[j + 1] = (uint8_t)(ng[j + 1] ^ g[j]);
+            ng[j] = (uint8_t)(ng[j] ^ gmul(ai, g[j]));
+        }
+        g.swap(ng);
+        ++deg;
+    }
+    std::vector<uint8_t> genhi(n_parity);        // high-degree-first taps
+    for (int j = 0; j < n_parity; ++j) genhi[j] = g[n_parity - 1 - j];
+    if (n_parity <= 16) {
+        // CRC-style table LFSR: the whole parity register lives in two
+        // uint64s (byte p holds reg[n_parity-1-p]) and one step is
+        // R = (R << 8) ^ T[fb], with T[fb] byte p = fb·g[p] — a 4 KB
+        // L1-resident table replacing n_parity dependent MUL-row loads.
+        // Two codewords interleave to pipeline the fb→T load chain.
+        uint64_t T_hi[256], T_lo[256];
+        for (int v = 0; v < 256; ++v) {
+            uint64_t hi = 0, lo = 0;
+            const uint8_t* mv = MROW((uint8_t)v);
+            for (int pos = 0; pos < n_parity; ++pos) {
+                uint64_t byte = mv[g[pos]];
+                if (pos < 8) lo |= byte << (8 * pos);
+                else hi |= byte << (8 * (pos - 8));
+            }
+            T_hi[v] = hi;
+            T_lo[v] = lo;
+        }
+        int topshift = 8 * ((n_parity - 1) & 7);
+        bool wide = n_parity > 8;                 // top byte lives in hi
+        parallel_rows(batch, [&](int lo_b, int hi_b) {
+            int b = lo_b;
+            for (; b + 2 <= hi_b; b += 2) {
+                const uint8_t* m0 = in + (size_t)b * k;
+                const uint8_t* m1 = in + (size_t)(b + 1) * k;
+                uint8_t* o0 = out + (size_t)b * n;
+                uint8_t* o1 = out + (size_t)(b + 1) * n;
+                std::memcpy(o0, m0, k);
+                std::memcpy(o1, m1, k);
+                uint64_t h0 = 0, l0 = 0, h1 = 0, l1 = 0;
+                for (int i = 0; i < k; ++i) {
+                    uint8_t f0 = (uint8_t)(m0[i]
+                        ^ (uint8_t)((wide ? h0 : l0) >> topshift));
+                    uint8_t f1 = (uint8_t)(m1[i]
+                        ^ (uint8_t)((wide ? h1 : l1) >> topshift));
+                    h0 = ((h0 << 8) | (l0 >> 56)) ^ T_hi[f0];
+                    l0 = (l0 << 8) ^ T_lo[f0];
+                    h1 = ((h1 << 8) | (l1 >> 56)) ^ T_hi[f1];
+                    l1 = (l1 << 8) ^ T_lo[f1];
+                }
+                for (int j = 0; j < n_parity; ++j) {
+                    int pos = n_parity - 1 - j;
+                    o0[k + j] = (uint8_t)((pos < 8 ? l0 : h0)
+                                          >> (8 * (pos & 7)));
+                    o1[k + j] = (uint8_t)((pos < 8 ? l1 : h1)
+                                          >> (8 * (pos & 7)));
+                }
+            }
+            for (; b < hi_b; ++b) {
+                const uint8_t* m0 = in + (size_t)b * k;
+                uint8_t* o0 = out + (size_t)b * n;
+                std::memcpy(o0, m0, k);
+                uint64_t h0 = 0, l0 = 0;
+                for (int i = 0; i < k; ++i) {
+                    uint8_t f0 = (uint8_t)(m0[i]
+                        ^ (uint8_t)((wide ? h0 : l0) >> topshift));
+                    h0 = ((h0 << 8) | (l0 >> 56)) ^ T_hi[f0];
+                    l0 = (l0 << 8) ^ T_lo[f0];
+                }
+                for (int j = 0; j < n_parity; ++j) {
+                    int pos = n_parity - 1 - j;
+                    o0[k + j] = (uint8_t)((pos < 8 ? l0 : h0)
+                                          >> (8 * (pos & 7)));
+                }
+            }
+        });
+        return;
+    }
+    // 4 codewords advance interleaved per iteration: one LFSR chain is a
+    // serial string of dependent L1 loads (fb → MUL row → reg[0] → next
+    // fb); four independent chains pipeline to the load-port limit (the
+    // same trick as rs_syndromes_all).
+    constexpr int LANES = 4;
+    parallel_rows(batch, [&](int lo, int hi) {
+        std::vector<uint8_t> reg(LANES * 64);
+        int b = lo;
+        for (; b + LANES <= hi; b += LANES) {
+            const uint8_t* msg[LANES];
+            uint8_t* o[LANES];
+            for (int l = 0; l < LANES; ++l) {
+                msg[l] = in + (size_t)(b + l) * k;
+                o[l] = out + (size_t)(b + l) * n;
+                std::memcpy(o[l], msg[l], k);
+            }
+            std::fill(reg.begin(), reg.end(), 0);
+            for (int i = 0; i < k; ++i) {
+                const uint8_t* mr[LANES];
+                for (int l = 0; l < LANES; ++l)
+                    mr[l] = MROW((uint8_t)(msg[l][i] ^ reg[l * 64]));
+                for (int j = 0; j + 1 < n_parity; ++j)
+                    for (int l = 0; l < LANES; ++l)
+                        reg[l * 64 + j] = (uint8_t)(reg[l * 64 + j + 1]
+                                                    ^ mr[l][genhi[j]]);
+                for (int l = 0; l < LANES; ++l)
+                    reg[l * 64 + n_parity - 1] = mr[l][genhi[n_parity - 1]];
+            }
+            for (int l = 0; l < LANES; ++l)
+                std::memcpy(o[l] + k, reg.data() + l * 64, n_parity);
+        }
+        for (; b < hi; ++b) {                        // remainder rows
+            const uint8_t* msg = in + (size_t)b * k;
+            uint8_t* o = out + (size_t)b * n;
+            std::memcpy(o, msg, k);
+            std::fill(reg.begin(), reg.begin() + 64, 0);
+            for (int i = 0; i < k; ++i) {
+                uint8_t fb = (uint8_t)(msg[i] ^ reg[0]);
+                const uint8_t* mr = MROW(fb);
+                for (int j = 0; j + 1 < n_parity; ++j)
+                    reg[j] = (uint8_t)(reg[j + 1] ^ mr[genhi[j]]);
+                reg[n_parity - 1] = mr[genhi[n_parity - 1]];
+            }
+            std::memcpy(o + k, reg.data(), n_parity);
+        }
+    });
+}
+
+// binary BCH generator g(x) = lcm of minimal polys of α^1..α^2t, MSB-first
+// (matches fec/galois.py::_bch_generator); returns parity bit count, fills
+// gen_bits[0..parity] MSB-first
+int bch_generator(int t, uint8_t* gen_bits, int cap) {
+    std::vector<uint8_t> g(1, 1);                // low-first, GF(256) coeffs
+    bool used[256] = {false};
+    for (int j = 1; j <= 2 * t; ++j) {
+        // cyclotomic coset of j mod 255
+        std::vector<int> coset;
+        int r = j;
+        while (std::find(coset.begin(), coset.end(), r) == coset.end()) {
+            coset.push_back(r);
+            r = (r * 2) % 255;
+        }
+        int key = *std::min_element(coset.begin(), coset.end());
+        if (used[key]) continue;
+        used[key] = true;
+        std::vector<uint8_t> minp(1, 1);
+        for (int rr : coset) {
+            std::vector<uint8_t> nm(minp.size() + 1, 0);
+            uint8_t ar = GF.exp[rr % ORDER];
+            for (size_t q = 0; q < minp.size(); ++q) {
+                nm[q + 1] = (uint8_t)(nm[q + 1] ^ minp[q]);
+                nm[q] = (uint8_t)(nm[q] ^ gmul(ar, minp[q]));
+            }
+            minp.swap(nm);
+        }
+        std::vector<uint8_t> ng(g.size() + minp.size() - 1, 0);
+        for (size_t a = 0; a < g.size(); ++a)
+            for (size_t c = 0; c < minp.size(); ++c)
+                ng[a + c] = (uint8_t)(ng[a + c] ^ gmul(g[a], minp[c]));
+        g.swap(ng);
+    }
+    int parity = (int)g.size() - 1;
+    if (parity + 1 > cap) return -1;
+    for (int i = 0; i <= parity; ++i)            // low-first → MSB-first
+        gen_bits[i] = (uint8_t)(g[parity - i] & 1);
+    return parity;
+}
+
+// systematic binary BCH encode (bit in/out), matching Bch.encode's LFSR.
+// parity <= 64 runs the uint64 register fast path (t=8 → exactly 64).
+void bch_encode_batch(int n, int k, int t, const uint8_t* in, int batch,
+                      uint8_t* out) {
+    uint8_t gen_bits[256];
+    int parity = bch_generator(t, gen_bits, 256);
+    if (parity < 0 || k + parity != n) return;   // caller validates shapes
+    if (parity <= 64) {
+        // gtail mask: bit (parity-1-j) holds gen coefficient j+1 (MSB-first
+        // tail), so reg's MSB is the LFSR's reg[0]
+        uint64_t mask = 0;
+        for (int j = 1; j <= parity; ++j)
+            if (gen_bits[j]) mask |= 1ull << (parity - j);
+        int top = parity - 1;
+        parallel_rows(batch, [&](int lo, int hi) {
+            for (int b = lo; b < hi; ++b) {
+                const uint8_t* msg = in + (size_t)b * k;
+                uint8_t* o = out + (size_t)b * n;
+                std::memcpy(o, msg, k);
+                uint64_t reg = 0;
+                for (int i = 0; i < k; ++i) {
+                    uint64_t fb = (uint64_t)(msg[i] & 1)
+                                  ^ ((reg >> top) & 1ull);
+                    reg = (reg << 1) ^ (fb ? mask : 0ull);
+                    if (parity < 64) reg &= (1ull << parity) - 1;
+                }
+                for (int j = 0; j < parity; ++j)
+                    o[k + j] = (uint8_t)((reg >> (top - j)) & 1ull);
+            }
+        });
+        return;
+    }
+    parallel_rows(batch, [&](int lo, int hi) {
+        std::vector<uint8_t> reg(parity);
+        for (int b = lo; b < hi; ++b) {
+            const uint8_t* msg = in + (size_t)b * k;
+            uint8_t* o = out + (size_t)b * n;
+            std::memcpy(o, msg, k);
+            std::fill(reg.begin(), reg.end(), 0);
+            for (int i = 0; i < k; ++i) {
+                uint8_t fb = (uint8_t)((msg[i] ^ reg[0]) & 1);
+                for (int j = 0; j + 1 < parity; ++j)
+                    reg[j] = (uint8_t)(reg[j + 1] ^ (gen_bits[j + 1] & fb));
+                reg[parity - 1] = (uint8_t)(gen_bits[parity] & fb);
+            }
+            std::memcpy(o + k, reg.data(), parity);
+        }
+    });
+}
+
 }  // extern "C"

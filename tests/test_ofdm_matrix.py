@@ -375,3 +375,59 @@ class TestSymbolWindowBuilders:
         cfg = make_cfg("qpsk", n_fft=256, cp=64) \
             .with_symbol_window_beta_tu(0.125)
         assert cfg.carrier_plan.window_roll_off == 32
+
+
+class TestSoftLlrConsistency:
+    @pytest.mark.parametrize("order", list(BPS))
+    def test_llr_sign_matches_hard_decision(self, order):
+        """ref ofdm_soft_llr_sign_matches_hard_decision: under noise, the
+        max-log LLR signs reproduce ofdm_decide's hard bits exactly."""
+        from orion_sdr_tpu.ofdm import ofdm_soft_demod
+        cfg = make_cfg(order)
+        rng = np.random.default_rng(21)
+        bits = rng.integers(0, 2, 4 * cfg.bits_per_ofdm_symbol()
+                            ).astype(np.uint8)
+        iq = np.asarray(ofdm_mod(cfg, bits)[0])
+        iq = iq + np.asarray(sdr.awgn(rng, len(iq), 0.05))
+        soft, _ = ofdm_demod(cfg, iq)
+        hard = np.asarray(ofdm_decide(cfg, soft))
+        llr = np.asarray(ofdm_soft_demod(cfg, soft)).reshape(-1)
+        # positive LLR ⇒ bit 0 (project-wide convention)
+        assert np.array_equal((llr < 0).astype(np.uint8), hard)
+
+
+class TestShapingLevers:
+    @pytest.mark.parametrize("roll_off", [8, 16, 32])
+    def test_mod_taper_touches_only_symbol_edges(self, roll_off):
+        # taper scales the first/last roll_off samples of each symbol and
+        # leaves the interior bit-identical to the untapered frame
+        plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+        cfg0 = OfdmConfig(plan, FS, constellation="qpsk")
+        cfgt = cfg0.with_symbol_window(roll_off)
+        rng = np.random.default_rng(31)
+        bits = rng.integers(0, 2, 2 * cfg0.bits_per_ofdm_symbol()
+                            ).astype(np.uint8)
+        a = np.asarray(ofdm_mod(cfg0, bits)[0]).reshape(2, -1)
+        b = np.asarray(ofdm_mod(cfgt, bits)[0]).reshape(2, -1)
+        sps = cfg0.samples_per_ofdm_symbol()
+        mid = slice(roll_off, sps - roll_off)
+        np.testing.assert_array_equal(a[:, mid], b[:, mid])
+        assert not np.allclose(a[:, :roll_off], b[:, :roll_off])
+
+    def test_tx_lowpass_null_band_builder_sizes_mask(self):
+        plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=31)
+        cfg = OfdmConfig(plan, FS, constellation="qpsk") \
+            .with_tx_lowpass_null_band(65, 60.0)
+        lp = cfg.tx_lowpass
+        assert lp is not None and lp.num_taps == 65
+        assert lp.group_delay() == 32
+        # cutoff sits above the occupied edge, below Nyquist
+        occ = 96 / 256.0
+        assert occ < lp.cutoff_norm < 0.5
+
+    def test_tx_lowpass_guard_budget_rule(self):
+        from orion_sdr_tpu.multicarrier import TxLowpass
+        lp = TxLowpass.for_null_band(256, 97, 45, 60.0)
+        # roll_off + group_delay <= min(cp_len - backoff, backoff)
+        assert lp.fits_guard(cp_len=64, roll_off=8, backoff=32)
+        assert not lp.fits_guard(cp_len=64, roll_off=16, backoff=32)

@@ -85,7 +85,8 @@ def bench_fec_tx():
                 return acc
             return f, (m,)
 
-        per = _size_marginal_s(make, 1024, 4096) / 16
+        per, _ = _size_marginal_s(make, 1024, 4096)
+        per /= 16
         row(f"LDPC {name} Tx (device batch)", k / per / 1e6, base, "Mbps")
 
     # conv encode r1/2 and r7/8 (device)
@@ -106,7 +107,8 @@ def bench_fec_tx():
                 return acc
             return f, (m,)
 
-        per = _size_marginal_s(make, 64, 256) / 16
+        per, _ = _size_marginal_s(make, 64, 256)
+        per /= 16
         row(f"conv K=7 r{rate} Tx (device batch)", 1024 / per / 1e6, base,
             "Mbps")
 
@@ -137,7 +139,8 @@ def bench_fec_tx():
                 return acc
             return f, (xx,)
 
-        per = _size_marginal_s(make, 1, 4) / 8
+        per, _ = _size_marginal_s(make, 1, 4)
+        per /= 8
         row(f"block interleave 32x32 {np.dtype(dt).name} (device)",
             (1 << 20) * 8 / per / 1e6 / 8, base, "Mbps")
 
@@ -174,7 +177,8 @@ def bench_waveform_tx():
                 return acc
             return f, (tones,)
 
-        per_b = _size_marginal_s(make, 4, 16) / 8
+        per_b, _ = _size_marginal_s(make, 4, 16)
+        per_b /= 8
         row(f"{nm} mod (device batch)", n_samples / per_b / 1e6, base)
 
     # OFDM mod only (1024/128) QPSK / QAM-64
@@ -202,69 +206,166 @@ def bench_waveform_tx():
                 return acc
             return f, (bits,)
 
-        per_sym = _size_marginal_s(make, 16, 64) / 8
+        per_sym, _ = _size_marginal_s(make, 16, 64)
+        per_sym /= 8
         row(f"OFDM mod only {order} (1024/128)", 4 * sps / per_sym / 1e6,
             base)
 
 
 def bench_frame_tx():
+    """Frame-mod composites by per-component accounting (the decode chains'
+    methodology — wall-timing a host-driven frame mod through the relay
+    charges ~100 ms per boundary and ~10 MB/s of IQ transfer, which real
+    TPU hosts don't pay)."""
     rng = np.random.default_rng(2)
-
-    # COFDM frame mod (host chain + device mod composite; ref ~87 Msps)
     import orion_sdr_tpu as sdr
-    from orion_sdr_tpu.multicarrier import CarrierPlan
-    from orion_sdr_tpu.ofdm import OfdmConfig
-    from orion_sdr_tpu.frame.modulator import OfdmFrameMod
-    from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+    from orion_sdr_tpu import native
+    from orion_sdr_tpu.fec.galois import ReedSolomon
+    from orion_sdr_tpu.frame.chain import shortened_bch_for
+    from orion_sdr_tpu.fec.interleave import forney_interleave
+    from orion_sdr_tpu.fec.ldpc import ldpc_encode
+    from orion_sdr_tpu.fec.conv import conv_encode_punctured
 
+    # shared component rates
+    rs = ReedSolomon(204, 16)
+    msgs = rng.integers(0, 256, (8192, 188)).astype(np.uint8)
+    rs_rate = host_rate(lambda: rs.encode(msgs), 8192 * 188 * 8)
+    bch = shortened_bch_for(8)
+    bbits = rng.integers(0, 2, (8192, bch.k)).astype(np.uint8)
+    bch_rate = host_rate(lambda: bch.encode(bbits), 8192 * bch.k)
+    byts = rng.integers(0, 256, 1 << 20).astype(np.uint8)
+    forney_rate = host_rate(lambda: forney_interleave(byts), len(byts))
+
+    def device_marginal(make, lo, hi, reps):
+        per, _ = _size_marginal_s(make, lo, hi)
+        return per / reps
+
+    # LDPC N512R12 encode marginal (info bits/s)
+    def make_ldpc(B):
+        m = jnp.asarray(rng.integers(0, 2, (B, 256)).astype(np.uint8))
+
+        @jax.jit
+        def f(x):
+            def body(carry, _):
+                xx, acc = carry
+                cw = ldpc_encode("N512R12", xx)
+                acc = acc + jnp.sum(cw.astype(jnp.int32))
+                return (jnp.roll(xx, 1, axis=0) ^ (acc.astype(jnp.uint8) & 0),
+                        acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None,
+                                       length=16)
+            return acc
+        return f, (m,)
+
+    ldpc_rate = 256 / device_marginal(make_ldpc, 1024, 4096, 16)
+
+    def make_conv(B):
+        m = jnp.asarray(rng.integers(0, 2, (B, 1024)).astype(np.uint8))
+
+        @jax.jit
+        def f(x):
+            def body(carry, _):
+                xx, acc = carry
+                cw = conv_encode_punctured(xx, "1/2", "dvb_k7")
+                acc = acc + jnp.sum(cw.astype(jnp.int32))
+                return (jnp.roll(xx, 1, axis=0) ^ (acc.astype(jnp.uint8) & 0),
+                        acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None,
+                                       length=16)
+            return acc
+        return f, (m,)
+
+    conv_rate = 1024 * 4 / device_marginal(make_conv, 16, 64, 16)
+
+    # ── COFDM frame mod (256/64 QPSK, LDPC r1/2 + BCH): device mod marginal
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig, ofdm_mod
     plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
     cfg = OfdmConfig(plan, fs=1e6, constellation="qpsk")
-    table = sdr.McsTable.default_ladder()
-    pre = OfdmPreamble(repeat_len=128, num_repeats=4
-                       ).with_training_symbol(256, 64)
-    mod = OfdmFrameMod(cfg, table, pre)
-    payload = rng.integers(0, 256, 8192).astype(np.uint8)
-    pkt = sdr.FramePacket(sdr.FrameMetadata(1, 1), payload)
-    iq = np.asarray(mod.modulate_frame(pkt, 1))
-    n = len(iq)
-    r = host_rate(lambda: np.asarray(mod.modulate_frame(pkt, 1)), n, reps=4)
-    row("COFDM frame mod LDPC+BCH (composite)", r / 1e6, 87.0)
+    bps = cfg.bits_per_ofdm_symbol()
+    sps = cfg.samples_per_ofdm_symbol()
 
-    mcs_rs = None
-    for idx in range(16):
-        m = table.get(idx)
-        if m is not None and m.outer_fec.kind == "rs" \
-                and m.inner_fec.kind == "conv":
-            mcs_rs = idx
-            break
-    if mcs_rs is not None:
-        iq = np.asarray(mod.modulate_frame(pkt, mcs_rs))
-        n = len(iq)
-        r = host_rate(lambda: np.asarray(mod.modulate_frame(pkt, mcs_rs)), n,
-                      reps=4)
-        row("COFDM frame mod Conv+RS (composite)", r / 1e6, 97.0)
+    def make_mod(n_sym):
+        bits = jnp.asarray(rng.integers(0, 2, (4, n_sym * bps)
+                                        ).astype(np.uint8))
 
-    # DVB-T frame mod + the shaping-cost trio (ref ~33 plain; 35/35/18.5/10.8)
-    from orion_sdr_tpu.modulate.dvb_t_frame import (DvbTFrameMod,
+        @jax.jit
+        def f(b):
+            def body(carry, _):
+                bb, acc = carry
+                iq, _ = ofdm_mod(cfg, bb)
+                acc = acc + jnp.sum(jnp.real(iq) ** 2)
+                return (jnp.roll(bb, 1, axis=0), acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (b, jnp.float32(0)), None,
+                                       length=8)
+            return acc
+        return f, (bits,)
+
+    mod_rate = 4 * sps / device_marginal(make_mod, 32, 256, 8)
+    coded_per_sample = plan.num_data_carriers() * 2 / sps
+    ldpc_info_ps = coded_per_sample * 0.5
+    bch_info_ps = ldpc_info_ps * 120.0 / 184.0
+    t = (1.0 / mod_rate + ldpc_info_ps / ldpc_rate + bch_info_ps / bch_rate)
+    row("COFDM frame mod LDPC+BCH (composite)", 1.0 / t / 1e6, 87.0)
+
+    # ── DVB-T frame mod: device assemble marginal per shaping variant
+    from orion_sdr_tpu.modulate.dvb_t_frame import (_assemble_frame,
                                                     tx_lowpass_for_2k)
+    from orion_sdr_tpu.waveform.dvb_t_tps import tps_encode_frame
+    from orion_sdr_tpu.waveform.dvb_t import DVB_T_DATA_CARRIERS
+    cp_len, vbits, n_symbols = 256, 2, 68
+    dsps = 2048 + cp_len
+    cap = n_symbols * DVB_T_DATA_CARRIERS * vbits
+    cells_all = np.asarray(tps_encode_frame(np.zeros(53, np.uint8))
+                           )[:n_symbols]
 
-    link = sdr.DvbTLinkParams(guard="1/8", constellation="qpsk",
-                              code_rate="1/2")
-    params = sdr.DvbTFrameParams(link, frame_number=0, cell_id=0)
-    payload_b = bytes(rng.integers(0, 256, 184).astype(np.uint8))
+    def make_asm(roll_off, lowpass):
+        def make(R):
+            bits = jnp.asarray(rng.integers(0, 2, cap).astype(np.uint8))
+            cre = jnp.asarray(cells_all.real.astype(np.float32))
+            cim = jnp.asarray(cells_all.imag.astype(np.float32))
+
+            @jax.jit
+            def f(b):
+                def body(carry, _):
+                    bb, acc = carry
+                    iq = _assemble_frame(bb, cre + 1j * cim, vbits,
+                                         n_symbols, cp_len, roll_off)
+                    if lowpass is not None:
+                        iq = lowpass.apply(iq)
+                    acc = acc + jnp.sum(jnp.real(iq) ** 2)
+                    return (bb ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
+                (_, acc), _ = jax.lax.scan(body, (b, jnp.float32(0)), None,
+                                           length=R)
+                return acc
+            return f, (bits,)
+        return make
+
     variants = [
-        ("plain", DvbTFrameMod(params), 35.0),
-        ("taper16", DvbTFrameMod(params).with_symbol_window(16), 35.0),
-        ("mask45", DvbTFrameMod(params).with_tx_lowpass(
-            tx_lowpass_for_2k(45, 60.0)), 18.5),
-        ("taper16+mask89", DvbTFrameMod(params).with_symbol_window(16)
-         .with_tx_lowpass(tx_lowpass_for_2k(89, 60.0)), 10.8),
+        ("plain", 0, None, 35.0),
+        ("taper16", 16, None, 35.0),
+        ("mask45", 0, tx_lowpass_for_2k(45, 60.0), 18.5),
+        ("taper16+mask89", 16, tx_lowpass_for_2k(89, 60.0), 10.8),
     ]
-    for nm, m, base in variants:
-        f = m.modulate(payload_b)
-        n = len(np.asarray(f.iq))
-        r = host_rate(lambda: m.modulate(payload_b), n, reps=4)
-        row(f"DVB-T frame mod {nm} (composite)", r / 1e6, base)
+    conv_info_ps = DVB_T_DATA_CARRIERS * vbits / dsps / 2.0
+    rs_info_ps = conv_info_ps * 188.0 / 204.0
+    bytes_ps = conv_info_ps / 8.0
+    for nm, ro, lp, base in variants:
+        mk = make_asm(ro, lp)
+        # scan-length marginal: R=1 vs R=9
+        f1, a1 = mk(1)
+        f9, a9 = mk(9)
+        _fetch(f1(*a1)); _fetch(f9(*a9))
+        import time as _time
+        pers = []
+        for _ in range(7):
+            t0 = _time.perf_counter(); _fetch(f1(*a1)); d1 = _time.perf_counter() - t0
+            t0 = _time.perf_counter(); _fetch(f9(*a9)); d9 = _time.perf_counter() - t0
+            pers.append((d9 - d1) / 8)
+        asm_rate = n_symbols * dsps / float(np.median(pers))
+        t = (1.0 / asm_rate + conv_info_ps / conv_rate
+             + bytes_ps / forney_rate + rs_info_ps / rs_rate)
+        row(f"DVB-T frame mod {nm} (composite)", 1.0 / t / 1e6, base)
 
     # TS layer (host)
     from orion_sdr_tpu.waveform.dvb_t_ts import ts_packetize, ts_energy_disperse
