@@ -358,3 +358,26 @@ def test_snr_sweep_ft8_multi_frame():
                 r = ft8_decode_multi_frame(frames, FS12, 950.0, 1150.0)
                 ok += bool(r and r.message.call_de == "KA1ABC")
             print(f"  nf={nf} {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_snr_sweep_ft4_multi_frame():
+    from orion_sdr_tpu.modulate.ft8 import ft4_mod
+    from orion_sdr_tpu.codec.ft8 import ft4_encode
+    from orion_sdr_tpu.codec.ft8_stream import ft4_decode_multi_frame
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft4_mod(ft4_encode(p), FS12, base_hz=1012.5))
+    print("\n[FT4 multi-frame] SNR sweep (2500 Hz ref BW):")
+    for nf in (2, 4):
+        for snr in (-15.0, -16.0, -17.0, -18.0):
+            ok = 0
+            trials = 10
+            for seed in range(trials):
+                rng = np.random.default_rng(97 + seed)
+                frames = np.stack([
+                    iq + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+                    for _ in range(nf)])
+                r = ft4_decode_multi_frame(frames, FS12, 950.0, 1150.0)
+                ok += bool(r and r.message.call_de == "KA1ABC")
+            print(f"  nf={nf} {snr:+.0f} dB: {ok}/{trials}")

@@ -118,31 +118,13 @@ def bench_fec_tx():
         r = host_rate(lambda: scramble(data, taps, width, 1), len(data))
         row(f"scrambler w{width} (host)", r / 1e6, 200.0, "Mbps")
 
-    # interleaver kernel 32x32 (ref u8 5088 / f32 4668 Mbps Tx)
+    # interleaver kernel 32x32 (host numpy reshape/transpose — the
+    # operating path; ref u8 5088 / f32 4668 Mbps Tx)
     for dt, base in ((np.uint8, 5088.0), (np.float32, 4668.0)):
-        x = rng.integers(0, 255, 1 << 20).astype(dt)
-
-        def make(B):
-            xx = jnp.asarray(np.tile(x, (B, 1)))
-
-            @jax.jit
-            def f(v):
-                def body(carry, _):
-                    vv, acc = carry
-                    y = block_interleave(vv.reshape(B, -1, 32 * 32
-                                                    ).reshape(-1, 32 * 32),
-                                         32, 32)
-                    acc = acc + jnp.sum(y.astype(jnp.float32))
-                    return (vv, acc), 0.0
-                (_, acc), _ = jax.lax.scan(body, (v, jnp.float32(0)), None,
-                                           length=8)
-                return acc
-            return f, (xx,)
-
-        per, _ = _size_marginal_s(make, 1, 4)
-        per /= 8
-        row(f"block interleave 32x32 {np.dtype(dt).name} (device)",
-            (1 << 20) * 8 / per / 1e6 / 8, base, "Mbps")
+        x = rng.integers(0, 255, (1024, 32 * 32)).astype(dt)
+        r = host_rate(lambda: block_interleave(x, 32, 32), x.size * 8)
+        row(f"block interleave 32x32 {np.dtype(dt).name} (host)",
+            r / 1e6, base, "Mbps")
 
     # Forney interleave (host path)
     byts = rng.integers(0, 256, 1 << 20).astype(np.uint8)
@@ -316,7 +298,7 @@ def bench_frame_tx():
     cp_len, vbits, n_symbols = 256, 2, 68
     dsps = 2048 + cp_len
     cap = n_symbols * DVB_T_DATA_CARRIERS * vbits
-    cells_all = np.asarray(tps_encode_frame(np.zeros(53, np.uint8))
+    cells_all = np.asarray(tps_encode_frame(np.zeros(68, np.uint8))
                            )[:n_symbols]
 
     def make_asm(roll_off, lowpass):
@@ -379,7 +361,10 @@ def bench_frame_tx():
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
-    for fn in (bench_fec_tx, bench_waveform_tx, bench_frame_tx):
+    sel = sys.argv[1:] or ["fec", "waveform", "frame"]
+    fns = {"fec": bench_fec_tx, "waveform": bench_waveform_tx,
+           "frame": bench_frame_tx}
+    for fn in [fns[k] for k in sel]:
         try:
             fn()
         except Exception as e:                       # noqa: BLE001
