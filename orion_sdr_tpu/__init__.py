@@ -163,5 +163,11 @@ def dvb_t_tx_lowpass_fits_guard(num_taps: int, cp_len: int, roll_off: int,
     return roll_off + gd <= min(cp_len - backoff, backoff)
 
 
+# checkpoint / resume for streaming receiver state (beyond the reference:
+# SURVEY §5 "Checkpoint / resume: absent")
+from .checkpoint import (
+    save_checkpoint, load_checkpoint, state_dict, load_state_dict,
+)
+
 # ── package modules ──────────────────────────────────────────────────────────
 from . import modulate, demodulate, parallel

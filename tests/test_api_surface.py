@@ -42,6 +42,8 @@ def test_flat_namespace_covers_reference_surface():
         # measurement
         "rms", "tone", "gen_complex_tone", "snr_db_at", "power_spectrum",
         "nb_spectrum_snr_db", "wb_spectrum_snr_db", "spectrum_bw_hz", "awgn",
+        # checkpoint / resume (beyond the reference)
+        "save_checkpoint", "load_checkpoint", "state_dict", "load_state_dict",
     ]
     missing = [s for s in surface if not hasattr(sdr, s)]
     assert not missing, missing
