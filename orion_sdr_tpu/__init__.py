@@ -54,7 +54,9 @@ from .codec.ft8 import (
 )
 from .codec.ft8_stream import (Ft8StreamDecoder, Ft8DecodeResult,
                                ft8_decode_windows, ft4_decode_windows,
-                               ft8_decode_multi_frame, ft4_decode_multi_frame)
+                               ft8_decode_multi_frame, ft4_decode_multi_frame,
+                               ft8_decode_multi_signal,
+                               ft4_decode_multi_signal)
 from .sync.ft8_sync import (ft8_sync, ft4_sync, ft8_sync_batch,
                             ft4_sync_batch)
 from . import message

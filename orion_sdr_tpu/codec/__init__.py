@@ -35,7 +35,8 @@ def __getattr__(name):
     if name == "ft8_decode_windows":
         from .ft8_stream import ft8_decode_windows
         return ft8_decode_windows
-    if name in ("ft8_decode_multi_frame", "ft4_decode_multi_frame"):
+    if name in ("ft8_decode_multi_frame", "ft4_decode_multi_frame",
+                "ft8_decode_multi_signal", "ft4_decode_multi_signal"):
         from . import ft8_stream
         return getattr(ft8_stream, name)
     raise AttributeError(name)

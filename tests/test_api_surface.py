@@ -18,6 +18,7 @@ def test_flat_namespace_covers_reference_surface():
         "ft8_mod", "ft8_demod", "ft4_mod", "ft4_demod",
         "ft8_encode", "ft8_decode_soft", "ft4_encode", "ft4_decode_soft",
         "ft8_sync", "ft4_sync", "Ft8StreamDecoder",
+        "ft8_decode_multi_signal", "ft4_decode_multi_signal",
         "pack77", "unpack77", "CallsignHashTable",
         # PSK31
         "VaricodeEncoder", "VaricodeDecoder", "MorseEncoder",

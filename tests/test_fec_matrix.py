@@ -352,6 +352,22 @@ def test_device_rs_matches_host(n, p):
     assert np.array_equal(np.asarray(okd).astype(bool), ref_ok)
 
 
+@pytest.mark.parametrize("t,n", [(8, 184), (8, 255), (5, 167), (2, 63)])
+def test_device_bch_encode_matches_host(t, n):
+    """Device MXU-matmul encode (fec/bch_device.py::bch_encode_batch_device)
+    is bit-exact vs the numpy LFSR reference and survives a decode roundtrip."""
+    from orion_sdr_tpu.fec.bch_device import bch_encode_batch_device
+    bch = Bch(t, n)
+    rng = np.random.default_rng(7 * t + n)
+    B = 24
+    msgs = rng.integers(0, 2, (B, bch.k)).astype(np.uint8)
+    dev = np.asarray(bch_encode_batch_device(n, bch.k, t, msgs))
+    ref = np.stack([bch.encode(m) for m in msgs])
+    assert np.array_equal(dev, ref)
+    dec, ok = bch.decode_batch(dev)
+    assert ok.all() and np.array_equal(dec, msgs)
+
+
 def test_outer_device_gate_logic(monkeypatch):
     """The TPU-only device-outer dispatch never fires on CPU and honors the
     escape hatch."""

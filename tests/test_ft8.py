@@ -360,3 +360,64 @@ def test_ft4_multi_frame_decode_smoke():
         for _ in range(4)])
     got = ft4_decode_multi_frame(frames, fs, 950.0, 1150.0)
     assert got is not None and got.message.call_de == "W9XYZ"
+
+
+def _ft8_signal(msg_fields, fs, base_hz, amp=1.0):
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+    p = pack77(Standard(*msg_fields), CallsignHashTable())
+    return amp * np.asarray(ft8_mod(ft8_encode(p), fs, base_hz=base_hz))
+
+
+def test_ft8_multi_signal_decodes_separated_band():
+    """Multi-signal subtraction decode (beyond-reference; ref codec/ft8.rs
+    returns only the first decode): every signal in a crowded band comes
+    out, strongest first."""
+    from orion_sdr_tpu.codec.ft8_stream import ft8_decode_multi_signal
+    fs = 12000.0
+    iq = (_ft8_signal(("CQ", "KA1ABC", "FN42"), fs, 1012.5, 1.0)
+          + _ft8_signal(("KA1ABC", "W9XYZ", "EN50"), fs, 1293.75, 0.5)
+          + _ft8_signal(("CQ", "G4ABC", "IO91"), fs, 1550.0, 0.25))
+    rng = np.random.default_rng(11)
+    iq = (iq + 0.05 * (rng.standard_normal(len(iq))
+                       + 1j * rng.standard_normal(len(iq)))
+          ).astype(np.complex64)
+    got = ft8_decode_multi_signal(iq, fs, 950.0, 1700.0)
+    calls = {r.message.call_de for r in got}
+    assert {"KA1ABC", "W9XYZ", "G4ABC"} <= calls
+
+
+def test_ft8_multi_signal_uncovers_cochannel_weak():
+    """A weak co-channel time-aligned signal hidden under a strong one is
+    only decodable after the strong frame is re-synthesized, LS-fitted, and
+    subtracted (second pass via the revisit-cell mechanism)."""
+    from orion_sdr_tpu.codec.ft8_stream import ft8_decode_multi_signal
+    fs = 12000.0
+    strong = _ft8_signal(("CQ", "KA1ABC", "FN42"), fs, 1012.5, 1.0)
+    weak = _ft8_signal(("KA1ABC", "W9XYZ", "EN50"), fs, 1012.5, 0.12)
+    rng = np.random.default_rng(12)
+    iq = (strong + weak
+          + 0.01 * (rng.standard_normal(len(strong))
+                    + 1j * rng.standard_normal(len(strong)))
+          ).astype(np.complex64)
+    one_pass = ft8_decode_multi_signal(iq, fs, 950.0, 1150.0, max_passes=1)
+    assert {r.message.call_de for r in one_pass} == {"KA1ABC"}
+    got = ft8_decode_multi_signal(iq, fs, 950.0, 1150.0, max_passes=3)
+    assert {r.message.call_de for r in got} == {"KA1ABC", "W9XYZ"}
+
+
+def test_ft4_multi_signal_smoke():
+    from orion_sdr_tpu.modulate.ft8 import ft4_mod
+    from orion_sdr_tpu.codec.ft8 import ft4_encode
+    from orion_sdr_tpu.codec.ft8_stream import ft4_decode_multi_signal
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+    fs = 12000.0
+    ht = CallsignHashTable()
+    a = np.asarray(ft4_mod(ft4_encode(pack77(
+        Standard("CQ", "KA1ABC", "FN42"), ht)), fs, base_hz=1012.5))
+    b = np.asarray(ft4_mod(ft4_encode(pack77(
+        Standard("CQ", "W9XYZ", "EN50"), ht)), fs, base_hz=1300.0))
+    iq = (a + 0.5 * b).astype(np.complex64)
+    got = ft4_decode_multi_signal(iq, fs, 950.0, 1400.0)
+    assert {r.message.call_de for r in got} == {"KA1ABC", "W9XYZ"}
