@@ -354,3 +354,42 @@ def bch_encode_batch_device(n: int, k: int, t: int, message_bits):
     m = jnp.asarray(message_bits).astype(jnp.int32) & 1
     par = jnp.einsum("kp,...k->...p", P, m) & 1
     return jnp.concatenate([m, par], axis=-1).astype(jnp.uint8)
+
+
+@lru_cache(maxsize=16)
+def _rs_parity_bit_matrix(n: int, n_parity: int) -> np.ndarray:
+    """(k·8, n_parity·8) GF(2) matrix P with parity_bits(m) = m_bits·P mod 2.
+
+    GF(256) addition is XOR and multiplication by a constant is GF(2)-linear
+    on the bit vector, so the whole systematic RS LFSR (ref
+    fec/reed_solomon.rs encode; galois.Rs numpy path) is GF(2)-linear in the
+    MESSAGE BITS. Rows are built empirically: encode the k·8 unit-bit
+    messages through the numpy reference in one batch and unpack the parity
+    bytes (np.unpackbits order, matching frame/chain.py's bytes_to_bits)."""
+    from .galois import ReedSolomon
+    rs = ReedSolomon(n, n_parity)
+    k = rs.k
+    unit = np.zeros((k * 8, k), np.uint8)
+    rows = np.repeat(np.arange(k), 8)
+    unit[np.arange(k * 8), rows] = 0x80 >> np.tile(np.arange(8), k)
+    parity = np.asarray(rs.encode(unit))[:, k:]       # (k*8, n_parity) bytes
+    return np.unpackbits(parity, axis=1)              # (k*8, n_parity*8)
+
+
+@cjit
+def rs_encode_batch_device(n: int, n_parity: int, message_bytes):
+    """(..., k) message bytes → (..., n) systematic RS codewords on device.
+
+    Same GF(2)-linearization as bch_encode_batch_device: unpack message
+    bytes to bits, ONE int matmul against the cached parity bit-matrix,
+    repack parity bits to bytes. Bit-exact vs galois.Rs.encode / native
+    rs_encode_batch; keeps TPU-resident TX chains on-device."""
+    k = n - n_parity
+    P = jnp.asarray(_rs_parity_bit_matrix(n, n_parity).astype(np.int32))
+    m = jnp.asarray(message_bytes).astype(jnp.int32) & 0xFF
+    shifts = jnp.arange(7, -1, -1, jnp.int32)
+    mbits = ((m[..., :, None] >> shifts) & 1).reshape(m.shape[:-1] + (k * 8,))
+    pbits = jnp.einsum("bp,...b->...p", P, mbits) & 1
+    pbits = pbits.reshape(m.shape[:-1] + (n_parity, 8))
+    par = jnp.einsum("...pj,j->...p", pbits, (1 << shifts))
+    return jnp.concatenate([m, par], axis=-1).astype(jnp.uint8)

@@ -286,12 +286,22 @@ def outer_encode(outer: OuterFec, message_bytes) -> np.ndarray:
         n_blk = -(-len(bits) // BCH_INFO_BITS)
         padded = np.concatenate([bits, np.zeros(
             n_blk * BCH_INFO_BITS - len(bits), np.uint8)])
-        return code.encode(padded.reshape(n_blk, BCH_INFO_BITS)).reshape(-1)
+        blocks = padded.reshape(n_blk, BCH_INFO_BITS)
+        if _outer_device_ok(outer.t, n_blk):
+            from ..fec.bch_device import bch_encode_batch_device
+            return np.asarray(bch_encode_batch_device(
+                code.n, code.k, code.t, blocks)).reshape(-1)
+        return code.encode(blocks).reshape(-1)
     rs = rs_for(outer.n, outer.n_parity)
     n_blk = -(-len(message_bytes) // rs.k)
     padded = np.concatenate([message_bytes, np.zeros(
         n_blk * rs.k - len(message_bytes), np.uint8)])
-    coded = rs.encode(padded.reshape(n_blk, rs.k))   # batched LFSR
+    blocks = padded.reshape(n_blk, rs.k)
+    if _outer_device_ok(outer.n_parity // 2, n_blk):
+        from ..fec.bch_device import rs_encode_batch_device
+        coded = np.asarray(rs_encode_batch_device(rs.n, rs.n_parity, blocks))
+    else:
+        coded = rs.encode(blocks)                    # batched LFSR
     return bytes_to_bits(coded.reshape(-1))
 
 

@@ -368,6 +368,40 @@ def test_device_bch_encode_matches_host(t, n):
     assert ok.all() and np.array_equal(dec, msgs)
 
 
+@pytest.mark.parametrize("n,p", [(204, 16), (60, 8), (255, 16)])
+def test_device_rs_encode_matches_host(n, p):
+    """Device GF(2)-linearized RS encode (fec/bch_device.py::
+    rs_encode_batch_device) is byte-exact vs the host LFSR and survives a
+    decode roundtrip with injected errors."""
+    from orion_sdr_tpu.fec.bch_device import rs_encode_batch_device
+    rs = ReedSolomon(n, p)
+    rng = np.random.default_rng(3 * n + p)
+    B = 24
+    msgs = rng.integers(0, 256, (B, rs.k)).astype(np.uint8)
+    dev = np.array(rs_encode_batch_device(n, p, msgs))
+    ref = rs.encode(msgs)
+    assert np.array_equal(dev, ref)
+    for row in dev[:4]:
+        idx = rng.choice(n, p // 2, replace=False)
+        row[idx] ^= rng.integers(1, 256, p // 2).astype(np.uint8)
+    dec, ok = rs.decode_batch(dev)
+    assert ok.all() and np.array_equal(dec, msgs)
+
+
+def test_outer_encode_device_path_matches_host(monkeypatch):
+    """outer_encode produces identical bits whether it dispatches to the
+    device encoders or the host path (gate forced open on CPU)."""
+    from orion_sdr_tpu.frame import chain
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, 2200).astype(np.uint8)  # >64 blocks both
+    for outer in (chain.OuterFec.bch(8), chain.OuterFec.reed_solomon(60, 8)):
+        host = chain.outer_encode(outer, payload)
+        monkeypatch.setattr(chain, "_outer_device_ok", lambda t, nb: True)
+        dev = chain.outer_encode(outer, payload)
+        monkeypatch.undo()
+        assert np.array_equal(host, dev), outer.kind
+
+
 def test_outer_device_gate_logic(monkeypatch):
     """The TPU-only device-outer dispatch never fires on CPU and honors the
     escape hatch."""
