@@ -80,12 +80,20 @@ from .sync.psk31_sync import psk31_sync, best_sync as best_psk31_sync
 from . import codec
 
 
+_LAZY_PSK31 = ("Psk31Stream", "Psk31BandResult", "psk31_decode_band")
+
+
 def __getattr__(name):
-    # Psk31Stream resolves lazily (codec package cycle; see codec/__init__).
-    if name == "Psk31Stream":
-        from .codec.psk31_stream import Psk31Stream
-        return Psk31Stream
+    # Psk31Stream & co. resolve lazily (codec package cycle; see
+    # codec/__init__).
+    if name in _LAZY_PSK31:
+        from .codec import psk31_stream
+        return getattr(psk31_stream, name)
     raise AttributeError(name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_LAZY_PSK31))
 
 
 # ── Block-style drop-in classes (the reference's class surface) ──────────────

@@ -23,9 +23,9 @@ from .morse import MorseEncoder, MORSE_TABLE, char_to_morse
 def __getattr__(name):
     # lazy: the stream drivers pull in sync→demodulate→modulate, which import
     # this package for varicode/gray — a cycle if resolved eagerly.
-    if name == "Psk31Stream":
-        from .psk31_stream import Psk31Stream
-        return Psk31Stream
+    if name in ("Psk31Stream", "Psk31BandResult", "psk31_decode_band"):
+        from . import psk31_stream
+        return getattr(psk31_stream, name)
     if name == "Ft8StreamDecoder":
         from .ft8_stream import Ft8StreamDecoder
         return Ft8StreamDecoder

@@ -9,6 +9,9 @@ sample-by-sample decodes identically to one-shot.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import List
+
 import numpy as np
 
 from .varicode import VaricodeDecoder
@@ -91,3 +94,99 @@ class Psk31Stream:
         text = [self.vdec.push_bits(self.viterbi.flush())]
         text.append(self.vdec.push_bits([0, 0]))
         return "".join(text)
+
+
+# ── whole-band decode ────────────────────────────────────────────────────────
+
+
+@dataclass
+class Psk31BandResult:
+    """One decoded PSK31 transmission from a band scan."""
+    carrier_hz: float
+    time_sym: int
+    score: float
+    text: str
+
+
+def psk31_decode_band(iq, fs: float, base_hz: float, max_hz: float,
+                      qpsk: bool = False, max_carriers: int = 8,
+                      min_carrier_syms: int = 8, peak_margin_db: float = 6.0,
+                      gain: float = 1.0) -> List[Psk31BandResult]:
+    """Decode EVERY PSK31 transmission in a band in one batched pass.
+
+    Beyond-reference: sync/psk31_sync.rs + Psk31Stream decode one carrier
+    per receiver instance; here the waterfall carrier search finds all
+    persistent peaks, the K detected carriers demodulate in ONE device
+    program (psk31_demod_multi: broadcast mix + batched matched-filter
+    matmul + vmapped PLL scans), and only the text layers run per carrier
+    on host. Results sorted strongest first.
+    """
+    from ..dsp.device import sanitize_iq
+    from ..sync.psk31_sync import psk31_carrier_search
+    from ..demodulate.psk31 import psk31_demod_multi, psk31_refine_carriers
+    from ..modulate.psk31 import PSK31_BAUD
+
+    iq = sanitize_iq(iq)
+    found = psk31_carrier_search(iq, fs, base_hz, max_hz,
+                                 min_carrier_syms, peak_margin_db)
+    # one carrier per spectral neighborhood: strongest run wins its ±2-baud
+    # cluster; the cluster's earliest start / latest end bound the decode
+    found.sort(key=lambda c: -c[3])
+    picked: List[list] = []       # [time_sym, carrier_hz, score, end_sym]
+    for start, _bin, hz, score, end in found:
+        for p in picked:
+            if abs(p[1] - hz) <= 2.0 * PSK31_BAUD:
+                p[0] = min(p[0], start)
+                p[3] = max(p[3], end)
+                break
+        else:
+            if len(picked) < max_carriers:
+                picked.append([start, hz, score, end])
+    if not picked:
+        return []
+
+    coarse = np.asarray([p[1] for p in picked], np.float32)
+    carriers = np.asarray(psk31_refine_carriers(iq, fs, coarse, qpsk))
+    soft, _off = psk31_demod_multi(iq, fs, carriers, gain, qpsk)
+    soft = np.asarray(soft)
+    for p, hz in zip(picked, carriers):
+        p[1] = float(hz)
+
+    results: List[Psk31BandResult] = []
+    for (start, hz, score, end), row in zip(picked, soft):
+        # the timing-recovered grid can sit up to one symbol off the
+        # detection grid; varicode's 00-delimiters absorb a leading symbol,
+        # and the run end (+1) stops the decode before post-signal noise —
+        # in a crowded band the leakage floor after a signal ends would
+        # otherwise decode a strong neighbor's text
+        start = max(start - 1, 0)
+        end = min(end + 1, row.shape[0])
+        row = row[:end]
+        vdec = VaricodeDecoder()
+        if not qpsk:
+            bits = bpsk31_decide(row[start:])
+            # align the decoder to the first mark bit: the "00"-boundary
+            # automaton (wire-compatible with ref codec/varicode.rs:290-313)
+            # consumes idle zeros in pairs, so an odd-length leading idle run
+            # would poison the first character with a leading zero
+            nz = np.flatnonzero(bits)
+            text = ""
+            if nz.size:
+                vdec.push_bits([0, 0])
+                text = vdec.push_bits(bits[nz[0]:])
+                text += vdec.push_bits([0, 0])
+        else:
+            vit = StreamingViterbi(DQPSK_EXP)
+            parts = []
+            for d_re, d_im in row[start:]:
+                if d_re * d_re + d_im * d_im < 0.01:   # silence/startup skip
+                    continue
+                b = vit.feed_symbol(float(d_re), float(d_im))
+                if b is not None:
+                    parts.append(vdec.push_bits([b]))
+            parts.append(vdec.push_bits(vit.flush()))
+            parts.append(vdec.push_bits([0, 0]))
+            text = "".join(parts)
+        results.append(Psk31BandResult(carrier_hz=float(hz), time_sym=start,
+                                       score=float(score), text=text))
+    return results

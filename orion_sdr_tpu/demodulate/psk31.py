@@ -144,6 +144,75 @@ def bpsk31_decide(soft) -> np.ndarray:
 
 
 @cjit
+def psk31_refine_carriers(iq, fs: float, carriers_hz, qpsk: bool = False):
+    """Refine waterfall-bin-granular carrier estimates to FFT resolution.
+
+    The waterfall search (sync/psk31_sync.py) is PSK31_BAUD-granular, so a
+    real carrier can sit up to ±baud/2 (±15.6 Hz) off grid — far beyond the
+    AFC PLL's pull range. Squaring removes BPSK modulation entirely
+    (z = a·±e^{jθ} ⇒ z² = a²e^{2jθ}), leaving a spectral line at 2·Δf
+    (z⁴ and 4·Δf for QPSK); one batched FFT of the mixed-down rows resolves
+    it to fs/n. Returns (K,) refined carriers_hz."""
+    from ..modulate.psk31 import PSK31_BAUD
+    z = jnp.asarray(iq)
+    f = jnp.asarray(carriers_hz, jnp.float32).reshape(-1)
+    zb, _ = rotate(z[None, :], -f[:, None], fs)
+    w = zb * zb
+    p = 2
+    if qpsk:
+        w = w * w
+        p = 4
+    S = jnp.abs(jnp.fft.fft(w, axis=-1))
+    freqs = jnp.fft.fftfreq(z.shape[-1], 1.0 / fs).astype(jnp.float32)
+    lim = PSK31_BAUD * (p / 2) * 1.12
+    S = jnp.where(jnp.abs(freqs)[None, :] <= lim, S, -1.0)
+    df = freqs[jnp.argmax(S, axis=-1)] / p
+    return f + df
+
+
+@cjit
+def psk31_demod_multi(iq, fs: float, carriers_hz, gain: float = 1.0,
+                      qpsk: bool = False):
+    """Demodulate ONE capture against K carriers in ONE device program.
+
+    ``carriers_hz`` is a (K,) dynamic array (no retrace per carrier set).
+    The mix is a broadcast phase ramp (K, n); per-carrier symbol timing is
+    recovered on device (matched-filter conv + symbol-cadence energy fold
+    over all sps offsets, argmax per carrier); the matched filter is one
+    batched matmul; the K PLL recurrences run in a single vmapped scan.
+    Returns ((K, n_syms) soft (BPSK) or (K, n_syms, 2) (QPSK),
+    (K,) int32 per-carrier sample offsets) — the channel-batched form of
+    bpsk31_demod/qpsk31_demod (beyond-reference: demodulate/psk31.rs is one
+    carrier per Block instance with caller-supplied alignment)."""
+    z = jnp.asarray(iq)
+    sps = psk31_sps(fs)
+    f = jnp.asarray(carriers_hz, jnp.float32).reshape(-1)
+    K = f.shape[0]
+    n = z.shape[-1]
+    n_syms = (n - sps) // sps if n >= 2 * sps else 0
+    if n_syms == 0:
+        shape = (K, 0, 2) if qpsk else (K, 0)
+        return jnp.zeros(shape, jnp.float32), jnp.zeros((K,), jnp.int32)
+    zb, _ = rotate(z[None, :], -f[:, None], fs)               # (K, n)
+    h = jnp.asarray(psk31_hann(sps)).astype(jnp.float32)
+
+    # timing: matched-filter output energy folded to symbol cadence — the
+    # Hann-shaped envelope peaks mid-symbol, so the true boundary offset
+    # maximizes Σ_k |<h, z[o + k·sps : +sps]>|²
+    mf = jax.vmap(lambda r: jnp.convolve(r, h[::-1], mode="valid"))(zb)
+    m = (mf.shape[-1] // sps) * sps
+    e = jnp.abs(mf[:, :m]) ** 2
+    off = jnp.argmax(e.reshape(K, -1, sps).sum(axis=1), axis=-1)  # (K,)
+
+    take = n_syms * sps
+    zal = jax.vmap(
+        lambda r, o: jax.lax.dynamic_slice(r, (o,), (take,)))(zb, off)
+    soft, _ = _dfm_core(zal, sps, gain, qpsk=qpsk)
+    return ((soft if qpsk else soft.real).astype(jnp.float32),
+            off.astype(jnp.int32))
+
+
+@cjit
 def stream_step(z, phase0, prev_sym, phase_acc, sps: int, gain: float,
                 qpsk: bool, carrier_hz: float, fs: float):
     """One whole-symbol-aligned chunk of the live decode pipeline: carry the

@@ -29,10 +29,12 @@ class Psk31SyncResult:
     soft_bits: np.ndarray
 
 
-def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,
-               min_carrier_syms: int = 8, peak_margin_db: float = 6.0,
-               n_bits: int = 64, max_cand: int = 4) -> List[Psk31SyncResult]:
-    """Scan for PSK31 carriers; up to ``max_cand`` results by score desc."""
+def psk31_carrier_search(iq, fs: float, base_hz: float, max_hz: float,
+                         min_carrier_syms: int = 8,
+                         peak_margin_db: float = 6.0) -> List[tuple]:
+    """Detection only: (time_sym, freq_bin, carrier_hz, score, end_sym)
+    tuples for every persistent spectral-peak run, unsorted. The waterfall is
+    one device matmul; the run extraction is host numpy over the tiny grid."""
     iq = np.asarray(iq)
     sps = psk31_sps(fs)
     if sps == 0 or iq.size == 0:
@@ -49,10 +51,14 @@ def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,
     min_run = max(min_carrier_syms, 1)
 
     # Per-bin temporal median handles short bursts in silence; the cross-bin
-    # noise floor (median of medians) handles constant full-duration carriers
-    # whose per-bin median equals their max (ref :86-116).
+    # noise floor handles constant full-duration carriers whose per-bin
+    # median equals their max (ref :86-116). The floor is the 25th percentile
+    # of bin medians rather than the reference's median: in a crowded band
+    # the spectral skirts of strong carriers elevate a large fraction of
+    # bins, and a median-of-medians floor can swallow weak co-band signals
+    # (single-signal behavior is unchanged — most bins are then pure noise).
     bin_medians = np.median(wf, axis=0)
-    noise_floor = np.median(bin_medians)
+    noise_floor = np.percentile(bin_medians, 25.0)
     global_threshold = noise_floor + ln_margin
 
     # Peak mask: above per-bin OR global threshold, and a local max in freq.
@@ -61,7 +67,7 @@ def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,
     is_peak = ((wf > bin_medians + ln_margin) |
                (bin_medians > global_threshold)) & (wf >= left) & (wf >= right)
 
-    candidates: List[Psk31SyncResult] = []
+    found: List[tuple] = []
     for bin_ in range(num_bins):
         col = is_peak[:, bin_]
         # run-length extraction over the symbol axis
@@ -69,15 +75,29 @@ def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,
         for start, end in zip(edges[0::2], edges[1::2]):
             if end - start < min_run:
                 continue
-            score = float(wf[start:end, bin_].mean())
-            carrier_hz = base_hz + bin_ * PSK31_BAUD
-            start_sample = start * sps
-            if start_sample >= len(iq):
+            if start * sps >= len(iq):
                 continue
-            soft = np.asarray(bpsk31_demod(iq[start_sample:], fs, carrier_hz, 1.0))
-            candidates.append(Psk31SyncResult(
-                time_sym=int(start), freq_bin=bin_, carrier_hz=float(carrier_hz),
-                score=score, soft_bits=soft[:n_bits]))
+            score = float(wf[start:end, bin_].mean())
+            found.append((int(start), bin_,
+                          float(base_hz + bin_ * PSK31_BAUD), score,
+                          int(end)))
+    return found
+
+
+def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,
+               min_carrier_syms: int = 8, peak_margin_db: float = 6.0,
+               n_bits: int = 64, max_cand: int = 4) -> List[Psk31SyncResult]:
+    """Scan for PSK31 carriers; up to ``max_cand`` results by score desc."""
+    iq = np.asarray(iq)
+    sps = psk31_sps(fs)
+    found = psk31_carrier_search(iq, fs, base_hz, max_hz,
+                                 min_carrier_syms, peak_margin_db)
+    candidates: List[Psk31SyncResult] = []
+    for start, bin_, carrier_hz, score, _end in found:
+        soft = np.asarray(bpsk31_demod(iq[start * sps:], fs, carrier_hz, 1.0))
+        candidates.append(Psk31SyncResult(
+            time_sym=start, freq_bin=bin_, carrier_hz=carrier_hz,
+            score=score, soft_bits=soft[:n_bits]))
 
     candidates.sort(key=lambda r: -r.score)
     return candidates[:max_cand]

@@ -24,6 +24,7 @@ def test_flat_namespace_covers_reference_surface():
         "VaricodeEncoder", "VaricodeDecoder", "MorseEncoder",
         "bpsk31_mod_text", "qpsk31_mod_text", "bpsk31_demod", "qpsk31_demod",
         "bpsk31_decide", "Psk31Stream", "psk31_sync", "best_psk31_sync",
+        "psk31_decode_band",
         # OFDM
         "OfdmConfig", "ofdm_mod", "ofdm_demod", "ofdm_decide",
         "ofdm_soft_demod", "OfdmRxFrame", "build_ofdm_rx_frame",

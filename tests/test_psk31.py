@@ -258,3 +258,66 @@ def test_best_sync_none_when_no_match():
     mk = lambda hz, sym: Psk31SyncResult(sym, 0, hz, 1.0, np.zeros(0))
     assert best_sync([mk(2000.0, 0)], 1000.0, PSK31_BAUD) is None
     assert best_sync([], 1000.0, PSK31_BAUD) is None
+
+
+# ── whole-band multi-carrier decode (beyond-reference) ───────────────────────
+
+def test_psk31_band_decode_three_carriers():
+    """psk31_decode_band decodes every transmission in a band in one batched
+    device pass (beyond-reference: the ref stack is one carrier/receiver).
+    Carriers sit OFF the waterfall grid (+12.5 Hz) and start at arbitrary
+    sample offsets — the squared-spectrum carrier refinement and the
+    matched-filter timing search must both land for any text to decode."""
+    from orion_sdr_tpu.codec.psk31_stream import psk31_decode_band
+    base_hz = 900.0
+    msgs = {base_hz + 4 * PSK31_BAUD + 12.5: "CQ DX ALPHA",
+            base_hz + 12 * PSK31_BAUD + 12.5: "HELLO BAND",
+            base_hz + 22 * PSK31_BAUD + 12.5: "TEST 73"}
+    amps = [1.0, 0.4, 0.15]
+    n = int(FS * 6)
+    buf = np.zeros(n, np.complex64)
+    rng = np.random.default_rng(21)
+    for (hz, msg), a in zip(msgs.items(), amps):
+        iq = a * np.asarray(bpsk31_mod_text(msg, FS, rf_hz=hz,
+                                            preamble_bits=64))
+        start = int(rng.integers(0, FS // 4))
+        buf[start:start + len(iq)] += iq[: n - start]
+    buf += _awgn(rng, n, 1e-4)
+    got = psk31_decode_band(buf, FS, base_hz, base_hz + 30 * PSK31_BAUD)
+    assert len(got) == 3
+    assert got[0].score >= got[-1].score          # strongest first
+    for hz, msg in msgs.items():
+        near = [r for r in got if abs(r.carrier_hz - hz) < 40.0]
+        assert near and msg in near[0].text, (hz, msg, got)
+
+
+def test_psk31_band_decode_qpsk_smoke():
+    from orion_sdr_tpu.codec.psk31_stream import psk31_decode_band
+    base_hz = 900.0
+    hz = base_hz + 6 * PSK31_BAUD
+    iq = np.asarray(qpsk31_mod_text("QPSK BAND", FS, rf_hz=hz,
+                                    preamble_bits=64))
+    buf = np.concatenate([iq, np.zeros(int(FS), np.complex64)])
+    got = psk31_decode_band(buf, FS, base_hz, base_hz + 200.0, qpsk=True)
+    assert got and abs(got[0].carrier_hz - hz) < 40.0
+    assert "QPSK BAND" in got[0].text
+
+
+def test_psk31_band_decode_silence_empty():
+    from orion_sdr_tpu.codec.psk31_stream import psk31_decode_band
+    assert psk31_decode_band(np.zeros(int(FS * 2), np.complex64),
+                             FS, 900.0, 1500.0) == []
+    assert psk31_decode_band(np.zeros(0, np.complex64),
+                             FS, 900.0, 1500.0) == []
+
+
+def test_psk31_refine_carriers_offgrid():
+    """Squared-spectrum refinement recovers carriers to sub-Hz from
+    waterfall-bin-granular estimates (up to ±baud/2 off)."""
+    from orion_sdr_tpu.demodulate.psk31 import psk31_refine_carriers
+    true_hz = 1012.5 + 13.7
+    iq = np.asarray(bpsk31_mod_text("REFINE", FS, rf_hz=true_hz,
+                                    preamble_bits=48))
+    coarse = np.asarray([1012.5], np.float32)      # 13.7 Hz off
+    got = float(np.asarray(psk31_refine_carriers(iq, FS, coarse))[0])
+    assert abs(got - true_hz) < 0.5
