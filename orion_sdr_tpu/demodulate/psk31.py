@@ -144,35 +144,72 @@ def bpsk31_decide(soft) -> np.ndarray:
 
 
 @cjit
-def psk31_refine_carriers(iq, fs: float, carriers_hz, qpsk: bool = False):
+def psk31_refine_carriers(iq, fs: float, carriers_hz, qpsk: bool = False,
+                          starts=None, length: int = 0,
+                          max_df_hz: float = 0.0):
     """Refine waterfall-bin-granular carrier estimates to FFT resolution.
 
-    The waterfall search (sync/psk31_sync.py) is PSK31_BAUD-granular, so a
-    real carrier can sit up to ±baud/2 (±15.6 Hz) off grid — far beyond the
+    The waterfall search (sync/psk31_sync.py) is bin-granular, so a
+    real carrier can sit up to ±bin/2 off grid — far beyond the
     AFC PLL's pull range. Squaring removes BPSK modulation entirely
     (z = a·±e^{jθ} ⇒ z² = a²e^{2jθ}), leaving a spectral line at 2·Δf
     (z⁴ and 4·Δf for QPSK); one batched FFT of the mixed-down rows resolves
-    it to fs/n. Returns (K,) refined carriers_hz."""
+    it to fs/n. Returns (K,) refined carriers_hz.
+
+    ``starts`` ((K,) int32 sample offsets) with static ``length`` restricts
+    each estimate to that carrier's detected run (row rolled to its run
+    start, truncated to ``length`` samples), and a Hann matched-filter
+    lowpass suppresses out-of-band noise before the squaring nonlinearity.
+    Without both, full-band noise and the noise-only buffer regions
+    intermodulate into the ±baud search window and weak-carrier refinement
+    in a crowded band can land several Hz off — fatal for the differential
+    demod (10 Hz ≈ 115°/symbol).
+
+    ``max_df_hz`` bounds the true carrier offset when the caller knows it
+    (half-baud waterfall bins ⇒ ≤ baud/4). The squared signal also carries
+    envelope-modulation sidebands at 2Δf ± k·baud (the Hann pulse shaping
+    dips the amplitude at every phase reversal), and with the default
+    ±1.12·baud window the k=1 sideband of a noisy carrier can out-peak the
+    main line — a characteristic ±baud/2 estimate error. A window of
+    p·max_df_hz ≤ baud/2 excludes it. A 3-point parabolic interpolation on
+    the FFT ring gives sub-bin accuracy."""
     from ..modulate.psk31 import PSK31_BAUD
     z = jnp.asarray(iq)
     f = jnp.asarray(carriers_hz, jnp.float32).reshape(-1)
     zb, _ = rotate(z[None, :], -f[:, None], fs)
+    if starts is not None:
+        s = jnp.asarray(starts, jnp.int32).reshape(-1)
+        zb = jax.vmap(lambda r, o: jnp.roll(r, -o))(zb, s)
+    if length and length < zb.shape[-1]:
+        zb = zb[:, :length]
+    h = jnp.asarray(psk31_hann(psk31_sps(fs)))
+    zb = jax.vmap(lambda r: jnp.convolve(r, h, mode="same"))(zb)
     w = zb * zb
     p = 2
     if qpsk:
         w = w * w
         p = 4
     S = jnp.abs(jnp.fft.fft(w, axis=-1))
-    freqs = jnp.fft.fftfreq(z.shape[-1], 1.0 / fs).astype(jnp.float32)
-    lim = PSK31_BAUD * (p / 2) * 1.12
-    S = jnp.where(jnp.abs(freqs)[None, :] <= lim, S, -1.0)
-    df = freqs[jnp.argmax(S, axis=-1)] / p
+    nfft = w.shape[-1]
+    freqs = jnp.fft.fftfreq(nfft, 1.0 / fs).astype(jnp.float32)
+    lim = p * max_df_hz if max_df_hz > 0.0 else PSK31_BAUD * (p / 2) * 1.12
+    Sm = jnp.where(jnp.abs(freqs)[None, :] <= lim, S, -1.0)
+    idx = jnp.argmax(Sm, axis=-1)
+    # ring-adjacent 3-point parabola: fftfreq steps +fs/n per index even
+    # across the 0 wrap, so δ in index units converts linearly to Hz
+    sl = jnp.take_along_axis(S, (idx[:, None] - 1) % nfft, axis=-1)[:, 0]
+    sp = jnp.take_along_axis(S, idx[:, None], axis=-1)[:, 0]
+    sr = jnp.take_along_axis(S, (idx[:, None] + 1) % nfft, axis=-1)[:, 0]
+    den = sl - 2.0 * sp + sr
+    delta = jnp.where(jnp.abs(den) > 1e-20, 0.5 * (sl - sr) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    df = (freqs[idx] + delta * (fs / nfft)) / p
     return f + df
 
 
 @cjit
 def psk31_demod_multi(iq, fs: float, carriers_hz, gain: float = 1.0,
-                      qpsk: bool = False):
+                      qpsk: bool = False, starts=None):
     """Demodulate ONE capture against K carriers in ONE device program.
 
     ``carriers_hz`` is a (K,) dynamic array (no retrace per carrier set).
@@ -183,7 +220,13 @@ def psk31_demod_multi(iq, fs: float, carriers_hz, gain: float = 1.0,
     Returns ((K, n_syms) soft (BPSK) or (K, n_syms, 2) (QPSK),
     (K,) int32 per-carrier sample offsets) — the channel-batched form of
     bpsk31_demod/qpsk31_demod (beyond-reference: demodulate/psk31.rs is one
-    carrier per Block instance with caller-supplied alignment)."""
+    carrier per Block instance with caller-supplied alignment).
+
+    ``starts`` ((K,) int32 sample offsets) rolls each carrier's row to its
+    detected run start so the decision-feedback PLL never tracks leading
+    noise — in a long capture the PLL random-walks over a noise-only head
+    and can take seconds to re-pull once the signal starts (the wrapped
+    buffer tail lands past the decoded run, so it is harmless)."""
     z = jnp.asarray(iq)
     sps = psk31_sps(fs)
     f = jnp.asarray(carriers_hz, jnp.float32).reshape(-1)
@@ -194,6 +237,9 @@ def psk31_demod_multi(iq, fs: float, carriers_hz, gain: float = 1.0,
         shape = (K, 0, 2) if qpsk else (K, 0)
         return jnp.zeros(shape, jnp.float32), jnp.zeros((K,), jnp.int32)
     zb, _ = rotate(z[None, :], -f[:, None], fs)               # (K, n)
+    if starts is not None:
+        so = jnp.asarray(starts, jnp.int32).reshape(-1)
+        zb = jax.vmap(lambda r, o: jnp.roll(r, -o))(zb, so)
     h = jnp.asarray(psk31_hann(sps)).astype(jnp.float32)
 
     # timing: matched-filter output energy folded to symbol cadence — the

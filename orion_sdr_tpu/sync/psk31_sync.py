@@ -31,20 +31,29 @@ class Psk31SyncResult:
 
 def psk31_carrier_search(iq, fs: float, base_hz: float, max_hz: float,
                          min_carrier_syms: int = 8,
-                         peak_margin_db: float = 6.0) -> List[tuple]:
+                         peak_margin_db: float = 6.0,
+                         bin_hz: float = PSK31_BAUD,
+                         with_floor: bool = False):
     """Detection only: (time_sym, freq_bin, carrier_hz, score, end_sym)
     tuples for every persistent spectral-peak run, unsorted. The waterfall is
-    one device matmul; the run extraction is host numpy over the tiny grid."""
+    one device matmul; the run extraction is host numpy over the tiny grid.
+
+    ``bin_hz`` sets the waterfall bin spacing (ref is baud-spaced). The
+    symbol-length correlator's response is sinc-shaped with first null at
+    ±baud, so a carrier halfway off a baud-spaced grid splits −3.9 dB into
+    two bins and the local-max flickers between them, fragmenting runs
+    below min_carrier_syms; half-baud spacing bounds the split at −0.9 dB
+    with a clean single winner (used by psk31_decode_band)."""
     iq = np.asarray(iq)
     sps = psk31_sps(fs)
     if sps == 0 or iq.size == 0:
-        return []
+        return ([], 0.0) if with_floor else []
     num_syms = len(iq) // sps
     if num_syms == 0:
-        return []
-    num_bins = int(np.ceil(max(max_hz - base_hz, 0.0) / PSK31_BAUD)) + 1
+        return ([], 0.0) if with_floor else []
+    num_bins = int(np.ceil(max(max_hz - base_hz, 0.0) / bin_hz)) + 1
 
-    wf = np.asarray(compute_waterfall(iq, fs, base_hz, PSK31_BAUD, sps,
+    wf = np.asarray(compute_waterfall(iq, fs, base_hz, bin_hz, sps,
                                       num_syms, num_bins))  # (syms, bins)
 
     ln_margin = peak_margin_db * np.log(10.0) / 10.0
@@ -61,11 +70,18 @@ def psk31_carrier_search(iq, fs: float, base_hz: float, max_hz: float,
     noise_floor = np.percentile(bin_medians, 25.0)
     global_threshold = noise_floor + ln_margin
 
-    # Peak mask: above per-bin OR global threshold, and a local max in freq.
+    # Peak mask: above per-bin OR global threshold, and a NEAR-local max in
+    # freq — within 1 dB of both neighbors. A strict local max fragments
+    # runs when a carrier sits halfway between two bins (the ~equal split
+    # flickers the winner symbol to symbol); 1 dB keeps both split bins
+    # alive (cluster merging downstream dedupes them) while still rejecting
+    # the ≥3.9 dB-down neighbors of an on-grid carrier.
+    near_ln = 1.0 * np.log(10.0) / 10.0
     left = np.pad(wf, ((0, 0), (1, 0)), constant_values=-np.inf)[:, :-1]
     right = np.pad(wf, ((0, 0), (0, 1)), constant_values=-np.inf)[:, 1:]
     is_peak = ((wf > bin_medians + ln_margin) |
-               (bin_medians > global_threshold)) & (wf >= left) & (wf >= right)
+               (bin_medians > global_threshold)) \
+        & (wf >= left - near_ln) & (wf >= right - near_ln)
 
     found: List[tuple] = []
     for bin_ in range(num_bins):
@@ -79,9 +95,9 @@ def psk31_carrier_search(iq, fs: float, base_hz: float, max_hz: float,
                 continue
             score = float(wf[start:end, bin_].mean())
             found.append((int(start), bin_,
-                          float(base_hz + bin_ * PSK31_BAUD), score,
+                          float(base_hz + bin_ * bin_hz), score,
                           int(end)))
-    return found
+    return (found, float(noise_floor)) if with_floor else found
 
 
 def psk31_sync(iq, fs: float, base_hz: float, max_hz: float,

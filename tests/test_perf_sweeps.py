@@ -381,3 +381,48 @@ def test_snr_sweep_ft4_multi_frame():
                 r = ft4_decode_multi_frame(frames, FS12, 950.0, 1150.0)
                 ok += bool(r and r.message.call_de == "KA1ABC")
             print(f"  nf={nf} {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_psk31_band_decode_sweep():
+    """Crowded-band BPSK31: every transmission in the band decodes in ONE
+    batched device pass (beyond-reference — sync/psk31_sync.rs + Psk31Stream
+    decode one carrier per receiver instance). Six signals at staggered
+    levels on random off-grid carriers with random start offsets; a level
+    counts as decoded when its text appears at its carrier."""
+    from orion_sdr_tpu.modulate.psk31 import bpsk31_mod_text, PSK31_BAUD
+    from orion_sdr_tpu.codec.psk31_stream import psk31_decode_band
+
+    levels = (10.0, 5.0, 0.0, -3.0, -5.0, -7.0)
+    msgs = [f"CQ SIG{i} K" for i in range(len(levels))]
+    base_hz, n = 600.0, int(FS8 * 8)
+    noise_p = snr_to_noise_power(0.0, FS8)
+    trials = 8
+    per_level = np.zeros(len(levels), int)
+    print("\n[PSK31 band] crowded-band sweep (2500 Hz ref BW, 6 signals):")
+    for seed in range(trials):
+        rng = np.random.default_rng(977 + seed)
+        # random off-grid carriers on a jittered comb, levels shuffled over it
+        carriers = (base_hz + 60.0 + 180.0 * np.arange(len(levels))
+                    + rng.uniform(0.0, 4 * PSK31_BAUD, len(levels)))
+        order = rng.permutation(len(levels))
+        buf = _awgn(rng, n, noise_p)
+        for lvl_i, pos in enumerate(order):
+            amp = 10.0 ** (levels[lvl_i] / 20.0)
+            iq = amp * np.asarray(bpsk31_mod_text(
+                msgs[lvl_i], FS8, rf_hz=float(carriers[pos]),
+                preamble_bits=64))
+            start = int(rng.integers(0, FS8 // 2))
+            buf[start:start + len(iq)] += iq[: n - start]
+        got = psk31_decode_band(buf, FS8, base_hz, base_hz + 1200.0)
+        for lvl_i, pos in enumerate(order):
+            near = [r for r in got
+                    if abs(r.carrier_hz - carriers[pos]) < 40.0]
+            per_level[lvl_i] += bool(near and msgs[lvl_i] in near[0].text)
+    for lvl, ok in zip(levels, per_level):
+        print(f"  {lvl:+.0f} dB: {ok}/{trials}")
+    # regression gate: every level down to −3 dB decodes nearly always
+    # (recorded 8/8 at +10/+5/0/−3; −5/−7 dB sit under the strongest
+    # neighbors' correlator sidelobes and are detection-limited)
+    for lvl, ok in zip(levels, per_level):
+        if lvl >= -3.0:
+            assert ok >= trials - 2, (lvl, ok)
