@@ -39,7 +39,8 @@ from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 
 # ── analog modes (CwKeyedMod/CwEnvelopeDemod … PmQuadratureDemod) ────────────
 from .modulate.analog import cw_mod, am_mod, ssb_mod, fm_mod, pm_mod
-from .demodulate.analog import cw_demod, am_demod, ssb_demod, fm_demod, pm_demod
+from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
+                                ssb_demod, fm_demod, pm_demod)
 
 # ── single-carrier digital (BpskMod/BpskDemod … QamDemod) ────────────────────
 from .modulate.digital import psk_qam_mod, digital_mod
@@ -71,7 +72,8 @@ from .message import (
 from .codec.varicode import (
     VaricodeEncoder, VaricodeDecoder, varicode_encode, varicode_decode,
 )
-from .codec.morse import MorseEncoder
+from .codec.morse import (MorseEncoder, MorseBandResult, morse_decode,
+                          morse_decode_band)
 from .modulate.psk31 import (
     bpsk31_mod_bits, qpsk31_mod_bits, bpsk31_mod_text, qpsk31_mod_text,
 )

@@ -17,7 +17,8 @@ from .ft8 import (
     FT4_XOR, ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
     ft8_decode_hard, ft4_decode_hard, ft8_frame_llr_hard, ft4_frame_llr_hard,
 )
-from .morse import MorseEncoder, MORSE_TABLE, char_to_morse
+from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
+                    MorseBandResult, morse_decode, morse_decode_band)
 
 
 def __getattr__(name):

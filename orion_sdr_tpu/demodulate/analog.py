@@ -12,11 +12,13 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..dsp.device import cjit as _cjit
 
 from ..dsp.osc import rotate, mix_usb
+from ..dsp.fir import kaiser_lowpass_taps, kaiser_num_taps
 from ..util import atan2_approx
 from ..dsp.iir import (
     design_butter_lp, dc_pole, lp_cascade, lp_dc_cascade, LpDcState, biquad_init,
@@ -35,6 +37,41 @@ def cw_demod(iq, fs, env_bw_hz=300.0, gain=1.0, y0=0.0):
     a = float(np.exp(-2.0 * np.pi * max(env_bw_hz, 1.0) / fs))
     y, y_last = first_order(a, (1.0 - a) * mag, y0=y0)
     return gain * y, y_last
+
+
+@_cjit
+def cw_envelope_multi(iq, fs, carriers_hz, env_bw_hz=100.0,
+                      env_rate_hz=1000.0):
+    """K keying envelopes from ONE capture in one device program.
+
+    Beyond-reference (demodulate/cw.rs:8-50 is one envelope per Block
+    instance, already mixed to baseband): rotate the capture to every
+    carrier at once, narrowband-lowpass the complex rows BEFORE the
+    magnitude (so the noise bandwidth is ``env_bw_hz``, not fs/2, and a
+    carrier estimate off by ≪ env_bw_hz costs nothing), then box-average
+    down to ``env_rate_hz``. The decimated grid is what the host Morse
+    classifier consumes — run lengths only need ~1 ms resolution while the
+    dit at 40 wpm is 30 ms.
+
+    Returns (K, n_env) float32 envelopes.
+    """
+    z = jnp.asarray(iq)
+    f = jnp.asarray(carriers_hz, jnp.float32).reshape(-1)
+    m = max(int(round(fs / max(env_rate_hz, 1.0))), 1)
+    k = f.shape[0]
+    if z.shape[-1] < m or k == 0:
+        return jnp.zeros((k, 0), jnp.float32)
+    zb, _ = rotate(z[None, :], -f[:, None], fs)              # (K, n)
+    # Kaiser design with an EXPLICIT 60 dB stopband one env_bw out: in a
+    # band decode a 20 dB-stronger neighbor a few hundred Hz away must not
+    # key this row's envelope (the Hann fir_lowpass_design transition is
+    # ~3.3·fs/ntaps wide — far too shallow here).
+    nt = kaiser_num_taps(env_bw_hz / fs, 60.0)
+    taps = jnp.asarray(kaiser_lowpass_taps(nt, env_bw_hz / fs, 60.0))
+    zb = jax.vmap(lambda r: jnp.convolve(r, taps, mode="same"))(zb)
+    mag = jnp.abs(zb).astype(jnp.float32)
+    n_env = mag.shape[-1] // m
+    return mag[:, : n_env * m].reshape(k, n_env, m).mean(axis=-1)
 
 
 @_cjit

@@ -22,6 +22,8 @@ def test_flat_namespace_covers_reference_surface():
         "pack77", "unpack77", "CallsignHashTable",
         # PSK31
         "VaricodeEncoder", "VaricodeDecoder", "MorseEncoder",
+        "morse_decode", "morse_decode_band", "MorseBandResult",
+        "cw_envelope_multi",
         "bpsk31_mod_text", "qpsk31_mod_text", "bpsk31_demod", "qpsk31_demod",
         "bpsk31_decide", "Psk31Stream", "psk31_sync", "best_psk31_sync",
         "psk31_decode_band",
