@@ -181,5 +181,12 @@ from .checkpoint import (
     save_checkpoint, load_checkpoint, state_dict, load_state_dict,
 )
 
+# channel impairment simulator (beyond the reference: AWGN-only
+# qualification in tests/common/mod.rs — no fading/multipath model exists)
+from .channel import (
+    cfo_apply, phase_noise_apply, iq_imbalance_apply, multipath_apply,
+    fading_taps, fading_apply, watterson_apply,
+)
+
 # ── package modules ──────────────────────────────────────────────────────────
 from . import modulate, demodulate, parallel

@@ -48,6 +48,9 @@ def test_flat_namespace_covers_reference_surface():
         "nb_spectrum_snr_db", "wb_spectrum_snr_db", "spectrum_bw_hz", "awgn",
         # checkpoint / resume (beyond the reference)
         "save_checkpoint", "load_checkpoint", "state_dict", "load_state_dict",
+        # channel impairment simulator (beyond the reference)
+        "cfo_apply", "phase_noise_apply", "iq_imbalance_apply",
+        "multipath_apply", "fading_taps", "fading_apply", "watterson_apply",
     ]
     missing = [s for s in surface if not hasattr(sdr, s)]
     assert not missing, missing
