@@ -62,29 +62,40 @@ class DvbTRxFrame(NamedTuple):
 
 
 @cjit
-def scattered_equalize(freq, first_phase: int = 0, backoff: int = 0):
-    """(..., n_sym, 2048) raw spectra → per-symbol-pilot-interp ZF-equalized
-    spectra; symbols grouped by the four scattered phases (vectorized).
+def scattered_equalize_csi(freq, first_phase: int = 0, backoff: int = 0):
+    """(..., n_sym, 2048) raw spectra → (ZF-equalized spectra, |ĥ|² CSI);
+    symbols grouped by the four scattered phases (vectorized).
 
     Fast path (n_sym % 4 == 0, phase 0): phases become a strided reshape so
     every phase works on a contiguous slab and the result restacks with one
-    reshape — no full-tensor at[].set scatters."""
+    reshape — no full-tensor at[].set scatters.
+
+    The CSI plane exists because ZF equalization amplifies noise by 1/|h|
+    on faded carriers while the max-log LLRs keep full confidence — on a
+    frequency-selective channel the Viterbi then trusts exactly the wrong
+    bits. Weighting LLRs by |ĥ|² (max-ratio combining) restores the proper
+    per-carrier reliability; on a flat channel the normalized weight is 1
+    and nothing changes. (Found by the channel simulator's echo-margin
+    sweep: a −6 dB in-guard echo at 6 dB SNR failed UNweighted.)"""
     g = scattered_grid()
     f = jnp.asarray(freq)
     n_sym = f.shape[-2]
     P = DVB_T_SCATTERED_PHASES
     if first_phase == 0 and n_sym % P == 0 and n_sym:
         fb = f.reshape(f.shape[:-2] + (n_sym // P, P, f.shape[-1]))
-        cols = []
+        cols, mags = [], []
         for phase in range(P):
             sub = fb[..., phase, :]
             est = channel_estimate_pilots(sub, np.asarray(g.ref_bins[phase]),
                                           np.asarray(g.ref_vals[phase]),
                                           DVB_T_N_FFT)
             cols.append(zf_equalize(sub, est))
-        out = jnp.stack(cols, axis=-2)
-        return out.reshape(f.shape)
+            mags.append((jnp.abs(est) ** 2).astype(jnp.float32))
+        out = jnp.stack(cols, axis=-2).reshape(f.shape)
+        csi = jnp.stack(mags, axis=-2).reshape(f.shape)
+        return out, csi
     out = f
+    csi = jnp.ones(f.shape, jnp.float32)
     for phase in range(P):
         syms = np.arange(n_sym)[(np.arange(n_sym) + first_phase) % P == phase]
         if len(syms) == 0:
@@ -94,7 +105,14 @@ def scattered_equalize(freq, first_phase: int = 0, backoff: int = 0):
                                       np.asarray(g.ref_vals[phase]),
                                       DVB_T_N_FFT)
         out = out.at[..., syms, :].set(zf_equalize(sub, est))
-    return out
+        csi = csi.at[..., syms, :].set((jnp.abs(est) ** 2
+                                        ).astype(jnp.float32))
+    return out, csi
+
+
+def scattered_equalize(freq, first_phase: int = 0, backoff: int = 0):
+    """Equalized spectra only (back-compat surface over the CSI variant)."""
+    return scattered_equalize_csi(freq, first_phase, backoff)[0]
 
 
 @dataclass
@@ -262,9 +280,19 @@ def _receive_frame_body(seg, n_symbols: int, cp_len: int, backoff: int,
     freq = symbol_fft(seg, DVB_T_N_FFT, cp_len, backoff=backoff,
                       n_symbols=n_symbols)
     cells = freq[..., jnp.asarray(tps_carrier_bins())]
-    eq = scattered_equalize(freq, backoff=backoff)
+    eq, csi_full = scattered_equalize_csi(freq, backoff=backoff)
     data = scattered_extract_frame(eq)
-    return dvb_t_soft_llrs(data, vbits), cells
+    llrs = dvb_t_soft_llrs(data, vbits)
+    # CSI-weight the LLRs (max-ratio): ZF boosts noise 1/|h| on faded
+    # carriers while max-log distances keep full confidence; scaling each
+    # carrier's vbits LLRs by |h|²/mean(|h|²) restores per-bit reliability.
+    # Flat channel ⇒ weight ≡ 1 (AWGN behavior unchanged). Normalized per
+    # SYMBOL (axis −1), not per frame, so the time-sharded receive — which
+    # runs this body on symbol sub-ranges — produces identical weights.
+    csi = scattered_extract_frame(csi_full)
+    w = csi / jnp.maximum(jnp.mean(csi, axis=-1, keepdims=True), 1e-9)
+    shaped = llrs.reshape(csi.shape + (vbits,)) * w[..., None]
+    return shaped.reshape(llrs.shape), cells
 
 
 @cjit

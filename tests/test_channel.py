@@ -221,3 +221,26 @@ def test_ft8_through_watterson_moderate():
         if dec is not None and np.array_equal(np.asarray(dec, np.uint8), p):
             ok += 1
     assert ok == 2
+
+
+def test_dvb_t_csi_weighted_llrs_through_echo():
+    """CSI-weighted Viterbi LLRs (scattered_equalize_csi): a −6 dB echo at
+    delay 32 with 6 dB SNR decodes on seeds the UNweighted max-log path
+    loses (unweighted: 1/5 of these seeds; weighted: 3/5, incl. both
+    below). Guards the max-ratio weighting in _receive_frame_body."""
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTFrameDemod
+    params = DvbTFrameParams(DvbTLinkParams("1/32", "qpsk", "1/2"), 0, 0)
+    payload = np.random.default_rng(0).integers(0, 256, 400).astype(np.uint8)
+    frame = DvbTFrameMod(params).modulate(payload)
+    sig_p = float(np.mean(np.abs(frame.iq) ** 2))
+    echoed = sdr.multipath_apply(np.asarray(frame.iq), [0, 32],
+                                 [1.0, 10 ** (-6 / 20) * np.exp(1.3j)])
+    for seed in (11, 14):
+        rng = np.random.default_rng(seed)
+        buf = echoed + ((rng.standard_normal(len(echoed)) +
+                         1j * rng.standard_normal(len(echoed)))
+                        .astype(np.complex64) * np.sqrt(sig_p / 10 ** 0.6 / 2))
+        rx = DvbTFrameDemod(params).decode(buf, frame.n_symbols, len(payload))
+        assert np.array_equal(rx.payload, payload), seed

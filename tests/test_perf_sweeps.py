@@ -426,3 +426,68 @@ def test_psk31_band_decode_sweep():
     for lvl, ok in zip(levels, per_level):
         if lvl >= -3.0:
             assert ok >= trials - 2, (lvl, ok)
+
+
+def test_snr_sweep_ft8_watterson():
+    """FT8 through the CCIR 520 Watterson 'moderate' HF channel (1 ms delay,
+    0.5 Hz spread) + AWGN — the qualification channel WSJT-X itself uses.
+    No reference equivalent (AWGN-only there, tests/common/mod.rs)."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.codec.ft8_stream import Ft8StreamDecoder
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS12, base_hz=1012.5))
+    print("\n[FT8/Watterson moderate] SNR sweep (2500 Hz ref BW):")
+    for snr in (-8.0, -11.0, -13.0, -15.0, -17.0):
+        ok = 0
+        trials = 10
+        for seed in range(trials):
+            rng = np.random.default_rng(301 + seed)
+            faded = sdr.watterson_apply(rng, iq, FS12, 1e-3, 0.5)
+            noisy = faded + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+            res = Ft8StreamDecoder.new_ft8(FS12, 950.0, 1150.0).feed(noisy)
+            ok += bool(res and res[0].message.call_de == "KA1ABC")
+        print(f"  {snr:+.0f} dB: {ok}/{trials}")
+
+
+def test_dvb_t_echo_margin_sweep():
+    """DVB-T static-echo margin: a −6 dB echo swept across the guard
+    interval (CP 64 for guard 1/32) at 6 dB SNR. Decode holds while the
+    echo sits inside the guard; past it, ISI wins. No reference equivalent
+    (flat-AWGN-only there)."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxError
+
+    params = DvbTFrameParams(DvbTLinkParams("1/32", "qpsk", "1/2"), 0, 0)
+    payload = np.random.default_rng(0).integers(0, 256, 400).astype(np.uint8)
+    frame = DvbTFrameMod(params).modulate(payload)
+    sig_p = float(np.mean(np.abs(frame.iq) ** 2))
+    print("\n[DVB-T qpsk r1/2] -6 dB echo delay sweep @ 6 dB SNR (CP=64):")
+    per_delay = {}
+    for delay in (4, 16, 32, 48, 60):
+        ok = 0
+        trials = 5
+        for seed in range(trials):
+            rng = np.random.default_rng(11 + seed)
+            echoed = sdr.multipath_apply(
+                np.asarray(frame.iq), [0, delay],
+                [1.0, 10 ** (-6 / 20) * np.exp(1.3j)])
+            buf = echoed + _awgn(rng, len(echoed), sig_p / 10 ** 0.6)
+            try:
+                rx = DvbTFrameDemod(params).decode(buf, frame.n_symbols,
+                                                   len(payload))
+                ok += bool(np.array_equal(rx.payload, payload))
+            except DvbTRxError:
+                pass
+        per_delay[delay] = ok
+        print(f"  delay {delay:3d}: {ok}/{trials}")
+    # regression gates (CSI-weighted LLRs; see docs/sweeps.md): narrow
+    # periodic fades decode; wide contiguous fades are wire-format-limited
+    # (the reference's chain has no inner interleaver) and NOT gated.
+    assert per_delay[48] >= 4 and per_delay[60] >= 4, per_delay
+    assert per_delay[32] >= 2, per_delay
