@@ -54,16 +54,33 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
     z = z[..., : n_symbols * sps]
     freq = symbol_fft(z, g.n_fft, g.cp_len, backoff=cfg.rx_window_backoff,
                       n_symbols=n_symbols)
+    csi = None
     if cfg.equalizer_method == "pilot_interp" and g.pilot_bins.size:
         from ..ofdm import channel_estimate_pilots
         known = (g.pilot_values * np.complex64(cfg.gain))
         est = channel_estimate_pilots(freq, g.pilot_bins, known, g.n_fft)
         freq = zf_equalize(freq, est)
+        csi = (jnp.abs(est) ** 2).astype(jnp.float32)
     elif estimate is not None:
-        freq = zf_equalize(freq, jnp.asarray(estimate))
+        est = jnp.asarray(estimate)
+        freq = zf_equalize(freq, est)
+        csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
+                               freq.shape)
     syms = grid_extract(g, freq)
     flat = syms.reshape(syms.shape[:-2] + (-1,))
-    return soft_llr(flat, constellation).astype(jnp.float32)
+    llr = soft_llr(flat, constellation).astype(jnp.float32)
+    if csi is not None:
+        # CSI-weight (max-ratio): ZF amplifies noise 1/|h| on faded bins
+        # while the max-log distances keep full confidence; scale each
+        # data bin's LLRs by |h|^2/mean_sym(|h|^2). Flat channel => 1.
+        # Per-symbol normalization keeps the sharded demap bit-equal.
+        cd = grid_extract(g, csi)
+        w = cd / jnp.maximum(jnp.mean(cd, axis=-1, keepdims=True), 1e-9)
+        wflat = w.reshape(w.shape[:-2] + (-1,))
+        bits = BITS_PER_SYMBOL[constellation]
+        llr = (llr.reshape(wflat.shape + (bits,)) * wflat[..., None]
+               ).reshape(llr.shape)
+    return llr
 
 
 # Sub-batch cap for fused device programs: the axon relay worker is unstable
@@ -307,8 +324,13 @@ class OfdmFrameStreamDemod:
         freq = symbol_fft(corrected[start:end], t.n_fft, t.cp_len,
                           backoff=self.cfg.rx_window_backoff, n_symbols=1)
         from ..sync.ofdm_sync import training_symbol_freq_pattern
+        from ..ofdm import channel_estimate_denoise
         known = training_symbol_freq_pattern(t.n_fft) * self.cfg.gain
-        return (np.asarray(freq)[0] / known).astype(np.complex64)
+        raw = (np.asarray(freq)[0] / known).astype(np.complex64)
+        # delay-domain denoise: any in-guard channel passes unchanged, the
+        # single-symbol estimation noise drops by ~n_fft/(cp+backoff)
+        return channel_estimate_denoise(raw, t.cp_len,
+                                        self.cfg.rx_window_backoff)
 
     def _try_one_frame(self):
         n_fft = self.cfg.carrier_plan.n_fft

@@ -266,6 +266,30 @@ def channel_estimate_training(rx_training_freq, known_freq):
     return (jnp.asarray(rx_training_freq) / jnp.asarray(known_freq)).astype(jnp.complex64)
 
 
+def channel_estimate_denoise(estimate, cp_len: int, backoff: int = 0,
+                             timing_slop: int = 4):
+    """Delay-domain denoising of a per-bin channel estimate (beyond the
+    reference, which holds the raw single-symbol ratio).
+
+    A legal OFDM channel's impulse response fits inside the cyclic prefix,
+    so its frequency response is bandlimited: IFFT the (..., n_fft)
+    estimate, keep taps [0, cp_len + backoff] (window backoff delays the
+    effective response by up to ``backoff``) plus ``timing_slop`` wraparound
+    taps for residual fine-timing error, zero the rest, FFT back. Keeps
+    ~(cp+backoff)/n_fft of the estimation noise — ≈6 dB cleaner for
+    n_fft/cp = 4 — and is exactly transparent for any in-guard channel.
+
+    Host numpy by design: one n_fft-length vector per acquisition (the
+    axon relay's ~100 ms boundary charge dwarfs the FFT, and eager complex
+    jnp is unsupported there)."""
+    h = np.fft.ifft(np.asarray(estimate), axis=-1)
+    n_fft = h.shape[-1]
+    keep_hi = min(int(cp_len) + int(backoff) + 1, n_fft)
+    idx = np.arange(n_fft)
+    mask = (idx < keep_hi) | (idx >= n_fft - int(timing_slop))
+    return np.fft.fft(np.where(mask, h, 0.0), axis=-1).astype(np.complex64)
+
+
 @lru_cache(maxsize=64)
 def _pilot_interp_matrix(pb_key: tuple, n_fft: int) -> np.ndarray:
     """(n_pilots, n_fft) linear-interpolation weights for SORTED constant

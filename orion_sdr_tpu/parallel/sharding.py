@@ -129,7 +129,7 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
     semantics on every path.
     """
     from ..multicarrier import CarrierGrid, symbol_fft, grid_extract
-    from ..constellation import soft_llr
+    from ..constellation import soft_llr, BITS_PER_SYMBOL
     from ..ofdm import zf_equalize
 
     from ..ofdm import channel_estimate_pilots
@@ -147,6 +147,7 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
         freq = symbol_fft(z, g.n_fft, g.cp_len,
                           backoff=cfg.rx_window_backoff,
                           n_symbols=local_syms)
+        csi = None
         if cfg.equalizer_method == "pilot_interp" and g.pilot_bins.size:
             # per-symbol re-estimation is symbol-local: shards need no halo
             # (takes precedence over a held estimate, matching soft_demap)
@@ -154,12 +155,26 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
             est = channel_estimate_pilots(freq, g.pilot_bins, known,
                                           g.n_fft)
             freq = zf_equalize(freq, est)
+            csi = (jnp.abs(est) ** 2).astype(jnp.float32)
         elif estimate is not None:
             # held per-bin estimate: identical on every shard, no halo
-            freq = zf_equalize(freq, est_re + 1j * est_im)
+            est = est_re + 1j * est_im
+            freq = zf_equalize(freq, est)
+            csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
+                                   freq.shape)
         syms = grid_extract(g, freq)
         flat = syms.reshape(syms.shape[:-2] + (-1,))
-        return soft_llr(flat, constellation)
+        llr = soft_llr(flat, constellation)
+        if csi is not None:
+            # CSI weighting, per-symbol normalized — identical math to
+            # frame.demodulator.soft_demap, shard-invariant by construction
+            cd = grid_extract(g, csi)
+            w = cd / jnp.maximum(jnp.mean(cd, axis=-1, keepdims=True), 1e-9)
+            wflat = w.reshape(w.shape[:-2] + (-1,))
+            bits = BITS_PER_SYMBOL[constellation]
+            llr = (llr.reshape(wflat.shape + (bits,)) * wflat[..., None]
+                   ).reshape(llr.shape)
+        return llr
 
     shard_fn = jax.shard_map(local, mesh=mesh,
                              in_specs=(P("ch", "t"), P(), P()),

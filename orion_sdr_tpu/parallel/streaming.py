@@ -454,6 +454,9 @@ def ofdm_frame_decode_time_sharded(cfg, mcs_table, preamble, iq, mesh: Mesh,
                           backoff=cfg.rx_window_backoff, n_symbols=1)
         known = training_symbol_freq_pattern(t.n_fft) * cfg.gain
         est = (np.asarray(freq)[0] / known).astype(np.complex64)
+        # same delay-domain denoise as OfdmFrameStreamDemod._estimate_channel
+        from ..ofdm import channel_estimate_denoise
+        est = channel_estimate_denoise(est, t.cp_len, cfg.rx_window_backoff)
 
     # one capture: put EVERY device on the time axis (1 × n mesh)
     tmesh = Mesh(mesh.devices.reshape(1, -1), ("ch", "t"))

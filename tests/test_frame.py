@@ -258,6 +258,36 @@ def test_stream_unknown_offset_cfo_noise():
     ok = [r for r in res if hasattr(r, "packet")]
     assert ok and np.array_equal(ok[0].packet.payload, payload)
     assert abs(ok[0].diagnostics.cfo_hz - 37.0) < 2.0
+
+
+def test_stream_multipath_echo_with_noise():
+    """Static in-guard multipath + 7 dB AWGN: the training-hold estimate
+    (delay-domain denoised) + CSI-weighted LLRs must still decode. Guards
+    the round-3 sensitivity work — the raw single-symbol estimate without
+    denoising fails this channel below ~10 dB."""
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    payload = _payload(200, 14)
+    iq = _frame_iq(cfg, pre, table, payload)
+    buf = np.concatenate([np.zeros(3000, np.complex64), iq,
+                          np.zeros(2000, np.complex64)])
+    echo = np.zeros_like(buf)
+    echo[20:] = 0.4 * np.exp(1j * 0.7) * buf[:-20]   # 20-sample in-CP echo
+    buf = buf + echo
+    body = iq[pre.total_len():]
+    sig = float(np.mean(np.abs(body) ** 2))
+    sigma = np.sqrt(sig / (2 * 10 ** (7.0 / 10)))
+    rng = np.random.default_rng(15)
+    buf = buf + (rng.standard_normal(len(buf)) +
+                 1j * rng.standard_normal(len(buf))
+                 ).astype(np.complex64) * sigma
+    s = OfdmFrameStreamDemod(cfg, table, pre)
+    res = []
+    for i in range(0, len(buf), 20000):
+        res += s.feed(buf[i:i + 20000])
+    res += s.flush()
+    ok = [r for r in res if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
     assert ok[0].diagnostics.timing_offset_samples == 3000
 
 

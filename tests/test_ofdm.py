@@ -106,6 +106,44 @@ class TestEqualizer:
         out = np.asarray(ofdm_decide(cfg, soft))
         np.testing.assert_array_equal(out, bits)
 
+    def test_estimate_denoise_transparent_in_guard(self):
+        # any channel whose impulse response fits inside the CP must pass
+        # through the delay-domain denoiser unchanged
+        from orion_sdr_tpu.ofdm import channel_estimate_denoise
+        rng = np.random.default_rng(6)
+        n_fft, cp = 256, 64
+        h = np.zeros(n_fft, np.complex64)
+        taps = rng.standard_normal(cp) + 1j * rng.standard_normal(cp)
+        h[:cp] = taps.astype(np.complex64)
+        est = np.fft.fft(h).astype(np.complex64)
+        out = channel_estimate_denoise(est, cp)
+        np.testing.assert_allclose(out, est, atol=1e-3)
+
+    def test_estimate_denoise_shrinks_noise(self):
+        # white estimation noise drops by ~(cp+slop)/n_fft in power
+        from orion_sdr_tpu.ofdm import channel_estimate_denoise
+        rng = np.random.default_rng(7)
+        n_fft, cp = 256, 64
+        truth = np.fft.fft(np.concatenate([
+            [1.0, 0.4], np.zeros(n_fft - 2)])).astype(np.complex64)
+        noise = 0.2 * (rng.standard_normal(n_fft) +
+                       1j * rng.standard_normal(n_fft)).astype(np.complex64)
+        den = channel_estimate_denoise(truth + noise, cp)
+        err_raw = np.mean(np.abs(noise) ** 2)
+        err_den = np.mean(np.abs(den - truth) ** 2)
+        # keep fraction = (cp + backoff + 1 + slop)/n_fft = 69/256 ≈ 0.27
+        assert err_den < 0.4 * err_raw
+
+    def test_estimate_denoise_keeps_wraparound_timing_slop(self):
+        # a −2-sample fine-timing error shows up as wraparound taps; the
+        # slop window must keep them (estimate stays usable, not clipped)
+        from orion_sdr_tpu.ofdm import channel_estimate_denoise
+        n_fft, cp = 256, 64
+        ramp = np.exp(2j * np.pi * 2 * np.arange(n_fft) / n_fft
+                      ).astype(np.complex64)   # pure delay of -2 samples
+        out = channel_estimate_denoise(ramp, cp, timing_slop=4)
+        np.testing.assert_allclose(out, ramp, atol=1e-3)
+
 
 class TestSync:
     def test_preamble_deterministic(self):

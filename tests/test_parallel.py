@@ -82,6 +82,25 @@ class TestSharding:
         out = ofdm_soft_demap_sharded(cfg, "qpsk", iq, n_sym, mesh8)
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    def test_ofdm_soft_demap_sharded_matches_with_estimate(self, mesh8):
+        # held-estimate path: ZF + CSI LLR weighting must be shard-invariant
+        # (per-symbol normalization keeps the weights local to each shard)
+        from orion_sdr_tpu.frame.demodulator import soft_demap
+        from orion_sdr_tpu.parallel import ofdm_soft_demap_sharded
+        plan = sdr.CarrierPlan(128, 32).with_contiguous_data(edge_guard=8)
+        cfg = sdr.OfdmConfig(plan, fs=1e6)
+        rng = np.random.default_rng(4)
+        n_sym = 16
+        iq = (rng.standard_normal((2, n_sym * 160)) +
+              1j * rng.standard_normal((2, n_sym * 160))).astype(np.complex64)
+        # non-flat channel: magnitude AND phase vary across bins
+        est = (0.5 + rng.random(128) +
+               1j * 0.3 * rng.standard_normal(128)).astype(np.complex64)
+        ref = soft_demap(cfg, "qpsk", iq, n_sym, est)
+        out = ofdm_soft_demap_sharded(cfg, "qpsk", iq, n_sym, mesh8,
+                                      estimate=est)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
     def test_dvb_t_receive_sharded_matches(self, mesh8):
         # service-parallel DVB-T: 8 aligned frames, one per device,
         # sharded fused receive == single-device receive
