@@ -491,3 +491,93 @@ def test_dvb_t_echo_margin_sweep():
     # (the reference's chain has no inner interleaver) and NOT gated.
     assert per_delay[48] >= 4 and per_delay[60] >= 4, per_delay
     assert per_delay[32] >= 2, per_delay
+
+
+def _cofdm_stream_link():
+    import orion_sdr_tpu as sdr
+    plan = sdr.CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+    cfg = sdr.OfdmConfig(plan, fs=1e6)
+    pre = sdr.OfdmPreamble(repeat_len=128, num_repeats=4
+                           ).with_training_symbol(256, 64)
+    return cfg, pre, sdr.McsTable.default_ladder()
+
+
+def _cofdm_stream_trial(cfg, pre, table, payload, chan_fn, snr_db, seed):
+    import orion_sdr_tpu as sdr
+    rng = np.random.default_rng(seed)
+    iq = sdr.OfdmFrameMod(cfg, table, pre).modulate_frame(
+        sdr.FramePacket(sdr.FrameMetadata(1, 1), payload), seed)
+    buf = np.concatenate([np.zeros(3000, np.complex64), np.asarray(iq),
+                          np.zeros(2000, np.complex64)])
+    buf = chan_fn(rng, buf)
+    body = np.asarray(iq)[pre.total_len():]
+    sig = float(np.mean(np.abs(body) ** 2))
+    buf = buf + _awgn(rng, len(buf), sig / 10 ** (snr_db / 10.0))
+    s = sdr.OfdmFrameStreamDemod(cfg, table, pre)
+    res = []
+    for i in range(0, len(buf), 20000):
+        res += s.feed(buf[i:i + 20000])
+    res += s.flush()
+    ok = [r for r in res if hasattr(r, "packet")]
+    return bool(ok) and np.array_equal(ok[0].packet.payload, payload)
+
+
+def test_snr_sweep_cofdm_stream_waterline():
+    """COFDM streaming frame waterline (MCS 1: QPSK LDPC r1/2 + BCH t=8),
+    clean and static in-guard echo channels — the docs/sweeps.md table.
+    Guards the delay-domain estimate denoise + CSI LLR weighting: without
+    them the clean waterline sits at ~8 dB and the echo at ~10 dB."""
+    cfg, pre, table = _cofdm_stream_link()
+    payload = np.random.default_rng(7).integers(0, 256, 200).astype(np.uint8)
+
+    def clean(rng, buf):
+        return buf
+
+    def echo(rng, buf):
+        out = buf.copy()
+        out[20:] += 0.4 * np.exp(1j * 0.7) * buf[:-20]
+        return out
+
+    results = {}
+    print("\n[COFDM stream] waterline sweep (10 trials/point):")
+    for name, chan, snrs in (("clean", clean, (7.0, 5.0, 4.0)),
+                             ("echo 0.4@20", echo, (7.0, 5.0))):
+        for snr in snrs:
+            ok = sum(_cofdm_stream_trial(cfg, pre, table, payload, chan,
+                                         snr, 100 + t) for t in range(10))
+            results[(name, snr)] = ok
+            print(f"  {name:12s} {snr:+.0f} dB: {ok}/10")
+    assert results[("clean", 7.0)] >= 9, results
+    assert results[("clean", 5.0)] >= 8, results
+    assert results[("echo 0.4@20", 7.0)] >= 9, results
+
+
+def test_snr_sweep_cofdm_stream_rayleigh():
+    """COFDM streaming frame through 2-path Rayleigh fading (Jakes) at
+    12 dB SNR, Doppler swept. The training-hold equalizer assumes the
+    channel is static across the ~6 ms frame, so decode holds while the
+    coherence time stays long against the frame (low Doppler) and dies
+    once the held estimate decorrelates. No reference equivalent
+    (flat-AWGN-only qualification there)."""
+    import orion_sdr_tpu as sdr
+    cfg, pre, table = _cofdm_stream_link()
+    payload = np.random.default_rng(8).integers(0, 256, 200).astype(np.uint8)
+
+    print("\n[COFDM stream] 2-path Rayleigh Doppler sweep @ 12 dB SNR:")
+    results = {}
+    for dop in (2.0, 20.0, 60.0):
+        def fade(rng, buf, dop=dop):
+            dur = len(buf) / cfg.fs
+            rate = max(32.0 * dop, 64.0)
+            taps = sdr.fading_taps(rng, int(dur * rate) + 4, rate, dop,
+                                   spectrum="jakes", n_paths=2)
+            return sdr.fading_apply(buf, cfg.fs, taps, rate, [0, 24],
+                                    path_gains_db=[0.0, -5.0])
+
+        ok = sum(_cofdm_stream_trial(cfg, pre, table, payload, fade,
+                                     12.0, 200 + t) for t in range(10))
+        results[dop] = ok
+        print(f"  Doppler {dop:5.0f} Hz: {ok}/10")
+    # quasi-static Rayleigh: most random channel draws decode (deep fades
+    # on BOTH paths at once are the residual); fast fading is hold-limited
+    assert results[2.0] >= 7, results
