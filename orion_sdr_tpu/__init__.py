@@ -116,7 +116,8 @@ from . import ofdm as ofdm_mod_api
 from .ofdm import (
     OfdmConfig, ofdm_mod, ofdm_demod, ofdm_decide, ofdm_soft_demod,
     zf_equalize, channel_estimate_training, channel_estimate_pilots,
-    channel_estimate_denoise, OfdmRxFrame, build_ofdm_rx_frame,
+    channel_estimate_denoise, cpe_correct, cpe_raw_phases, cpe_unwrap,
+    OfdmRxFrame, build_ofdm_rx_frame,
 )
 from . import sync
 from .sync.ofdm_sync import (

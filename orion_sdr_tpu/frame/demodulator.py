@@ -67,6 +67,9 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
         csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
                                freq.shape)
     syms = grid_extract(g, freq)
+    if cfg.phase_tracking == "cpe":
+        from ..ofdm import cpe_correct
+        syms, _ = cpe_correct(syms, constellation)
     flat = syms.reshape(syms.shape[:-2] + (-1,))
     llr = soft_llr(flat, constellation).astype(jnp.float32)
     if csi is not None:

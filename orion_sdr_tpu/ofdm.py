@@ -46,6 +46,12 @@ class OfdmConfig:
     # demodulate/ofdm.rs:241-266) or 'pilot_interp' (re-estimated every
     # symbol by linear interpolation between the plan's pilot bins).
     equalizer_method: str = "training_symbol"
+    # per-symbol common-phase-error tracking on the frame RX path (beyond
+    # the reference): 'off' (reference behavior — the training estimate's
+    # phase is held for the whole frame) or 'cpe' (V&V blind per-symbol
+    # phase estimate + unwrap after equalization; rescues oscillator
+    # phase-noise / residual-CFO drift across long frames).
+    phase_tracking: str = "off"
     rx_window_backoff: int = 0
     tx_lowpass: Optional[TxLowpass] = None
     # frame-layer fields (orion_sdr_tpu.frame); defaults mirror the reference
@@ -128,6 +134,14 @@ class OfdmConfig:
         and python/ofdm.rs:505-532)."""
         return replace(self, equalizer_method=method)
 
+    def with_phase_tracking(self, method: str):
+        """'off' (default, reference behavior) or 'cpe': blind per-symbol
+        common-phase-error correction after the equalizer (V&V power-law
+        estimate, cumulatively unwrapped). Rescues frames under oscillator
+        phase noise / residual CFO that the held training estimate cannot
+        follow; no reference equivalent."""
+        return replace(self, phase_tracking=method)
+
     def with_tx_lowpass(self, lowpass):
         return replace(self, tx_lowpass=lowpass)
 
@@ -186,6 +200,10 @@ class OfdmConfig:
             raise ValueError(
                 f"unknown equalizer {self.equalizer_method!r} "
                 "(expected 'training_symbol' or 'pilot_interp')")
+        if self.phase_tracking not in ("off", "cpe"):
+            raise ValueError(
+                f"unknown phase_tracking {self.phase_tracking!r} "
+                "(expected 'off' or 'cpe')")
         if not (0 <= self.rx_window_backoff <= self.carrier_plan.cp_len):
             raise ValueError("rx_window_backoff must be within the cyclic prefix")
         if self.tx_lowpass is not None and not self.tx_lowpass.transition_fits(
@@ -288,6 +306,46 @@ def channel_estimate_denoise(estimate, cp_len: int, backoff: int = 0,
     idx = np.arange(n_fft)
     mask = (idx < keep_hi) | (idx >= n_fft - int(timing_slop))
     return np.fft.fft(np.where(mask, h, 0.0), axis=-1).astype(np.complex64)
+
+
+def cpe_raw_phases(syms, constellation: str):
+    """Per-OFDM-symbol common-phase estimates, Viterbi&Viterbi style
+    (beyond the reference, which holds the training phase for the frame).
+
+    ``syms``: (..., n_sym, n_data) equalized data cells. BPSK: the squared
+    sum removes the ±1 modulation, φ̂ = ∠(Σz²)/2 mod π. QPSK/QAM: the
+    4th-power sum removes the 4-fold symmetry and lands on the negative
+    real axis (E[p⁴] < 0 for every square constellation), so
+    φ̂ = ∠(−Σz⁴)/4 mod π/2. Returns (..., n_sym) wrapped phases; resolve
+    the modulus with :func:`cpe_unwrap` before rotating."""
+    z = jnp.asarray(syms)
+    if constellation == "bpsk":
+        return jnp.angle(jnp.sum(z * z, axis=-1)) / 2.0
+    z2 = z * z
+    return jnp.angle(-jnp.sum(z2 * z2, axis=-1)) / 4.0
+
+
+def cpe_unwrap(raw, constellation: str):
+    """Cumulatively unwrap the modulus-π/2 (π for BPSK) V&V phases along
+    the symbol axis: successive common-phase increments are small (one
+    OFDM symbol of oscillator walk), so each step takes the branch nearest
+    the previous symbol's phase."""
+    per = jnp.pi if constellation == "bpsk" else jnp.pi / 2.0
+    raw = jnp.asarray(raw)
+    d = jnp.diff(raw, axis=-1)
+    d = (d + per / 2.0) % per - per / 2.0
+    return jnp.concatenate(
+        [raw[..., :1], raw[..., :1] + jnp.cumsum(d, axis=-1)], axis=-1)
+
+
+def cpe_correct(syms, constellation: str):
+    """Estimate and remove per-symbol common phase error from equalized
+    data cells (the ``phase_tracking='cpe'`` RX stage): V&V raw phases →
+    cumulative unwrap → derotate. Returns (corrected, phases)."""
+    z = jnp.asarray(syms)
+    phases = cpe_unwrap(cpe_raw_phases(z, constellation), constellation)
+    rot = jnp.exp(-1j * phases.astype(jnp.float32)).astype(jnp.complex64)
+    return z * rot[..., None], phases
 
 
 @lru_cache(maxsize=64)

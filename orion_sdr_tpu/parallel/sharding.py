@@ -163,6 +163,20 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
             csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
                                    freq.shape)
         syms = grid_extract(g, freq)
+        if cfg.phase_tracking == "cpe":
+            # the V&V raw phases are symbol-local, but the cumulative
+            # unwrap runs along the WHOLE symbol axis: all-gather the
+            # per-symbol scalars over 't' (n_sym floats — trivial), unwrap
+            # the full run identically on every shard, slice back local.
+            from ..ofdm import cpe_raw_phases, cpe_unwrap
+            raw = cpe_raw_phases(syms, constellation)      # (ch_l, t_l)
+            full = jax.lax.all_gather(raw, "t", axis=-1, tiled=True)
+            un = cpe_unwrap(full, constellation)
+            i = jax.lax.axis_index("t")
+            loc = jax.lax.dynamic_slice_in_dim(
+                un, i * local_syms, local_syms, axis=-1)
+            rot = jnp.exp(-1j * loc.astype(jnp.float32)).astype(jnp.complex64)
+            syms = syms * rot[..., None]
         flat = syms.reshape(syms.shape[:-2] + (-1,))
         llr = soft_llr(flat, constellation)
         if csi is not None:

@@ -291,6 +291,38 @@ def test_stream_multipath_echo_with_noise():
     assert ok[0].diagnostics.timing_offset_samples == 3000
 
 
+def test_stream_phase_noise_cpe_tracking():
+    """Wiener oscillator phase noise (15 Hz linewidth) accumulates ~0.7 rad
+    over the frame — fatal to the held training phase. phase_tracking='cpe'
+    (per-symbol V&V + unwrap, beyond-reference) must ride it out."""
+    from orion_sdr_tpu.channel import phase_noise_apply
+    cfg, pre = _link()
+    cfg = cfg.with_phase_tracking("cpe")
+    table = McsTable.default_ladder()
+    payload = _payload(200, 16)
+    iq = _frame_iq(cfg, pre, table, payload)
+    body = iq[pre.total_len():]
+    sig = float(np.mean(np.abs(body) ** 2))
+    decoded = 0
+    for seed in (21, 22, 24):
+        rng = np.random.default_rng(seed)
+        buf = np.concatenate([np.zeros(2500, np.complex64), iq,
+                              np.zeros(1500, np.complex64)])
+        buf = phase_noise_apply(rng, buf, 15.0, FS)
+        sigma = np.sqrt(sig / (2 * 10 ** (12.0 / 10)))
+        buf = buf + (rng.standard_normal(len(buf)) +
+                     1j * rng.standard_normal(len(buf))
+                     ).astype(np.complex64) * sigma
+        s = OfdmFrameStreamDemod(cfg, table, pre)
+        res = []
+        for i in range(0, len(buf), 20000):
+            res += s.feed(buf[i:i + 20000])
+        res += s.flush()
+        ok = [r for r in res if hasattr(r, "packet")]
+        decoded += bool(ok) and np.array_equal(ok[0].packet.payload, payload)
+    assert decoded == 3
+
+
 def test_stream_multipath_training_equalizer():
     cfg, pre = _link()
     table = McsTable.default_ladder()

@@ -134,6 +134,40 @@ class TestEqualizer:
         # keep fraction = (cp + backoff + 1 + slop)/n_fft = 69/256 ≈ 0.27
         assert err_den < 0.4 * err_raw
 
+    def test_cpe_correct_removes_phase_walk(self):
+        # inject a known per-symbol common phase walk on random data cells;
+        # cpe_correct must recover the unrotated constellation
+        from orion_sdr_tpu.ofdm import cpe_correct
+        from orion_sdr_tpu.constellation import map_bits
+        rng = np.random.default_rng(9)
+        n_sym, n_data = 24, 193
+        # tol: BPSK/QPSK V&V is noise-limited; QAM64 adds 4th-power
+        # modulation self-noise (~2° rms over 193 bins)
+        for constel, bits, tol in (("bpsk", 1, 0.05), ("qpsk", 2, 0.05),
+                                   ("qam64", 6, 0.12)):
+            raw = rng.integers(0, 2, n_sym * n_data * bits).astype(np.uint8)
+            pts = np.asarray(map_bits(raw, constel)).reshape(n_sym, n_data)
+            walk = np.cumsum(rng.normal(0.0, 0.08, n_sym)).astype(np.float32)
+            rx = pts * np.exp(1j * walk)[:, None]
+            rx = rx + 0.02 * (rng.standard_normal(rx.shape) +
+                              1j * rng.standard_normal(rx.shape))
+            out, phases = cpe_correct(rx, constel)
+            err = np.angle(np.exp(1j * (np.asarray(phases) - walk)))
+            assert np.max(np.abs(err)) < tol, (constel, np.max(np.abs(err)))
+            np.testing.assert_allclose(np.asarray(out), pts, atol=0.25)
+
+    def test_cpe_correct_identity_on_clean_input(self):
+        # zero phase error in, (near-)zero rotation out — enabling the
+        # tracker must not disturb a clean frame
+        from orion_sdr_tpu.ofdm import cpe_correct
+        from orion_sdr_tpu.constellation import map_bits
+        rng = np.random.default_rng(10)
+        raw = rng.integers(0, 2, 16 * 193 * 2).astype(np.uint8)
+        pts = np.asarray(map_bits(raw, "qpsk")).reshape(16, 193)
+        out, phases = cpe_correct(pts, "qpsk")
+        assert np.max(np.abs(np.asarray(phases))) < 1e-3
+        np.testing.assert_allclose(np.asarray(out), pts, atol=1e-3)
+
     def test_estimate_denoise_keeps_wraparound_timing_slop(self):
         # a −2-sample fine-timing error shows up as wraparound taps; the
         # slop window must keep them (estimate stays usable, not clipped)

@@ -101,6 +101,33 @@ class TestSharding:
                                       estimate=est)
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
+    def test_ofdm_soft_demap_sharded_matches_cpe(self, mesh8):
+        # phase_tracking='cpe': the V&V unwrap runs along the WHOLE symbol
+        # axis (all-gathered over 't'); must equal the single-device demap
+        from orion_sdr_tpu.frame.demodulator import soft_demap
+        from orion_sdr_tpu.parallel import ofdm_soft_demap_sharded
+        plan = sdr.CarrierPlan(128, 32).with_contiguous_data(edge_guard=8)
+        cfg = sdr.OfdmConfig(plan, fs=1e6).with_phase_tracking("cpe")
+        rng = np.random.default_rng(5)
+        n_sym = 16
+        from orion_sdr_tpu.constellation import map_bits
+        nd = plan.num_data_carriers()
+        bits = rng.integers(0, 2, 2 * n_sym * nd * 2).astype(np.uint8)
+        pts = np.asarray(map_bits(bits, "qpsk")).reshape(2, n_sym, nd)
+        # a slow phase walk across symbols so CPE actually acts
+        walk = np.cumsum(rng.normal(0, 0.05, (2, n_sym)), axis=-1)
+        from orion_sdr_tpu.multicarrier import CarrierGrid, grid_map
+        from orion_sdr_tpu.ofdm import OfdmConfig as _O
+        g = CarrierGrid(plan)
+        freq = np.asarray(grid_map(g, (pts * np.exp(1j * walk)[..., None]
+                                       ).astype(np.complex64)))
+        t = np.fft.ifft(freq, axis=-1).astype(np.complex64)
+        cp = t[..., -32:]
+        iq = np.concatenate([cp, t], axis=-1).reshape(2, -1)
+        ref = soft_demap(cfg, "qpsk", iq, n_sym)
+        out = ofdm_soft_demap_sharded(cfg, "qpsk", iq, n_sym, mesh8)
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
     def test_dvb_t_receive_sharded_matches(self, mesh8):
         # service-parallel DVB-T: 8 aligned frames, one per device,
         # sharded fused receive == single-device receive

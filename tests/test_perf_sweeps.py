@@ -581,3 +581,29 @@ def test_snr_sweep_cofdm_stream_rayleigh():
     # quasi-static Rayleigh: most random channel draws decode (deep fades
     # on BOTH paths at once are the residual); fast fading is hold-limited
     assert results[2.0] >= 7, results
+
+
+def test_snr_sweep_cofdm_stream_phase_noise():
+    """COFDM streaming frame under Wiener oscillator phase noise,
+    phase_tracking off vs 'cpe' (V&V per-symbol common-phase tracking,
+    beyond-reference). The held training phase dies once the oscillator
+    walks ~1 rad over the ~6 ms frame (Δν ≈ 10 Hz); CPE tracks it until
+    intra-symbol ICI takes over (~100 Hz)."""
+    import orion_sdr_tpu as sdr
+    cfg, pre, table = _cofdm_stream_link()
+    payload = np.random.default_rng(9).integers(0, 256, 200).astype(np.uint8)
+
+    results = {}
+    print("\n[COFDM stream] phase-noise linewidth sweep @ 12 dB SNR:")
+    for mode in ("off", "cpe"):
+        c = cfg.with_phase_tracking(mode)
+        for lw in (10.0, 30.0, 50.0):
+            def chan(rng, buf, lw=lw):
+                return sdr.phase_noise_apply(rng, buf, lw, c.fs)
+            ok = sum(_cofdm_stream_trial(c, pre, table, payload, chan,
+                                         12.0, 300 + t) for t in range(10))
+            results[(mode, lw)] = ok
+            print(f"  {mode:3s} linewidth {lw:5.0f} Hz: {ok}/10")
+    assert results[("cpe", 10.0)] >= 7, results
+    assert (results[("cpe", 10.0)] + results[("cpe", 30.0)]
+            > results[("off", 10.0)] + results[("off", 30.0)]), results
