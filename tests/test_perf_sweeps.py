@@ -607,3 +607,47 @@ def test_snr_sweep_cofdm_stream_phase_noise():
     assert results[("cpe", 10.0)] >= 7, results
     assert (results[("cpe", 10.0)] + results[("cpe", 30.0)]
             > results[("off", 10.0)] + results[("off", 30.0)]), results
+
+
+def test_snr_sweep_dvb_t_mobile_fading():
+    """DVB-T through 2-path Rayleigh (Jakes) mobile fading at 10 dB SNR,
+    Doppler swept. The scattered-pilot equalizer re-estimates the channel
+    EVERY symbol (symbol rate ≈ 1.1 kHz at 2.4 MS/s), so decode should
+    ride Doppler well past the COFDM frame receiver's training-hold limit.
+    No reference equivalent (flat-AWGN-only there)."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.waveform.dvb_t import (DvbTLinkParams, DvbTFrameParams,
+                                              NB_BANDWIDTHS)
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxError
+
+    params = DvbTFrameParams(DvbTLinkParams("1/32", "qpsk", "1/2"), 0, 0)
+    payload = np.random.default_rng(1).integers(0, 256, 400).astype(np.uint8)
+    frame = DvbTFrameMod(params).modulate(payload)
+    iq = np.asarray(frame.iq)
+    fs = 2.402e6   # 2 MHz NB mode sample rate
+    sig_p = float(np.mean(np.abs(iq) ** 2))
+    print("\n[DVB-T qpsk r1/2] 2-path Jakes Doppler sweep @ 10 dB SNR:")
+    results = {}
+    for dop in (5.0, 30.0, 100.0):
+        ok = 0
+        trials = 5
+        for seed in range(trials):
+            rng = np.random.default_rng(41 + seed)
+            dur = len(iq) / fs
+            rate = max(32.0 * dop, 64.0)
+            taps = sdr.fading_taps(rng, int(dur * rate) + 4, rate, dop,
+                                   spectrum="jakes", n_paths=2)
+            faded = sdr.fading_apply(iq, fs, taps, rate, [0, 40],
+                                     path_gains_db=[0.0, -6.0])
+            buf = faded + _awgn(rng, len(iq), sig_p / 10.0)
+            try:
+                rx = DvbTFrameDemod(params).decode(buf, frame.n_symbols,
+                                                   len(payload))
+                ok += bool(np.array_equal(rx.payload, payload))
+            except DvbTRxError:
+                pass
+        results[dop] = ok
+        print(f"  Doppler {dop:5.0f} Hz: {ok}/{trials}")
+    # per-symbol pilot re-estimation: slow fading must mostly decode
+    assert results[5.0] >= 3, results
