@@ -132,6 +132,7 @@ from . import frame
 from .frame import (
     FramePacket, FrameMetadata, RxError, Mcs, McsTable, CodecCache,
     OfdmFrameMod, OfdmFrameDemod, OfdmFrameStreamDemod,
+    OfdmFrameBandStreamDemod, RxFrame,
     OuterFec, InnerFec, InterleaverKind, ScramblerKind,
 )
 

@@ -480,3 +480,68 @@ def test_stream_pilot_interp_tracks_drifting_channel():
     res = s_hold.feed(rx) + s_hold.flush()
     assert not any(hasattr(r, "packet") and
                    np.array_equal(r.packet.payload, payload) for r in res)
+
+
+# ── multi-channel band receive (beyond-reference) ────────────────────────────
+
+def test_band_receive_three_channels():
+    """Three COFDM links at different centers in one 8 MS/s capture: the
+    batched channelizer + per-channel streams must decode all three
+    payloads (plus noise), chunk-boundary invariant."""
+    from orion_sdr_tpu.frame import OfdmFrameBandStreamDemod
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    fs_wide = 8.0 * FS
+    centers = [-2.1e6, 0.3e6, 1.5e6]
+    payloads = [_payload(120, 40 + i) for i in range(3)]
+
+    def up8(x):
+        # exact bandlimited 8× upsampling: FFT zero-padding (the signal is
+        # zero-guarded, so the circular wrap touches only dead air)
+        x = np.concatenate([np.zeros(256), np.asarray(x, np.complex128),
+                            np.zeros(256)])
+        X = np.fft.fft(x)
+        n = len(x)
+        Y = np.zeros(8 * n, np.complex128)
+        Y[: n // 2] = X[: n // 2]
+        Y[-(n - n // 2):] = X[n // 2:]
+        return 8.0 * np.fft.ifft(Y)
+
+    rng = np.random.default_rng(50)
+    n_wide = 120_000
+    wide = np.zeros(n_wide, np.complex128)
+    k = np.arange(n_wide)
+    for i, (fc, p) in enumerate(zip(centers, payloads)):
+        iq = _frame_iq(cfg, pre, table, p, seq=i, mcs=1, seed=i)
+        up = np.zeros(n_wide, np.complex128)
+        start = 3000 + 9000 * i
+        x = up8(iq) / 8.0
+        up[start:start + len(x)] = x
+        wide += up * np.exp(2j * np.pi * fc * k / fs_wide)
+    wide = wide.astype(np.complex64)
+    sig = float(np.mean(np.abs(wide) ** 2))
+    wide += (rng.standard_normal(n_wide) + 1j * rng.standard_normal(n_wide)
+             ).astype(np.complex64) * np.sqrt(sig * 0.001 / 2)
+
+    def run(chunk):
+        rx = OfdmFrameBandStreamDemod(cfg, table, pre, centers, fs_wide)
+        got = {}
+        for i in range(0, n_wide, chunk):
+            for c, res in rx.feed(wide[i:i + chunk]).items():
+                got.setdefault(c, []).extend(res)
+        for c, res in rx.flush().items():
+            got.setdefault(c, []).extend(res)
+        return got
+
+    got = run(37_003)   # deliberately not a multiple of the decimation
+    for c, p in enumerate(payloads):
+        frames = [r for r in got.get(c, []) if hasattr(r, "packet")]
+        assert frames, (c, got.get(c))
+        assert np.array_equal(frames[0].packet.payload, p), c
+        assert frames[0].packet.metadata.sequence_num == c
+
+    # chunk-boundary invariance: different feed size, same three payloads
+    got2 = run(50_000)
+    for c, p in enumerate(payloads):
+        frames = [r for r in got2.get(c, []) if hasattr(r, "packet")]
+        assert frames and np.array_equal(frames[0].packet.payload, p), c
