@@ -147,7 +147,8 @@ from .modulate.dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
 from .modulate.dvb_t_super_frame import DvbTSuperFrameMod, DvbTSuperFrame
 from .demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxFrame, DvbTRxError
 from .demodulate.dvb_t_super_frame import DvbTSuperFrameDemod, DvbTRxSuperFrame
-from .demodulate.dvb_t_stream import DvbTFrameStreamDemod
+from .demodulate.dvb_t_stream import (DvbTFrameStreamDemod,
+                                      DvbTBandStreamDemod)
 
 # reference's NB/bandwidth helper surface (python/orion_sdr/__init__.py:65-72)
 from .waveform.dvb_t import (

@@ -124,7 +124,16 @@ def _decode(meta: Any, arrays: Dict[str, np.ndarray], current: Any) -> Any:
         if "__array__" in meta:
             return arrays[meta["__array__"]]
         if "__seq__" in meta:
-            items = [_decode(m, arrays, None) for m in meta["items"]]
+            # carry per-item counterparts through sequences so nested
+            # objects (e.g. a band receiver's per-channel streams) restore
+            # into the freshly constructed target's instances
+            if (isinstance(current, (list, tuple, deque))
+                    and len(current) == len(meta["items"])):
+                cur = list(current)
+            else:
+                cur = [None] * len(meta["items"])
+            items = [_decode(m, arrays, c)
+                     for m, c in zip(meta["items"], cur)]
             if meta["__seq__"] == "deque":
                 return deque(items)
             if meta["__seq__"] == "tuple":

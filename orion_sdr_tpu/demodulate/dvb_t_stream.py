@@ -109,3 +109,56 @@ class DvbTFrameStreamDemod:
                 return e, min(start + self.sps, len(self._buf))
             self._short_skips = 0
             return e, consume_to
+
+
+class DvbTBandStreamDemod:
+    """Multi-mux DVB-T gateway receive (beyond-reference): C equal-geometry
+    DVB-T multiplexes at known centers in one wideband capture, channelized
+    in ONE batched device program (dsp.channelizer.Channelizer), each mux
+    drained by its own :class:`DvbTFrameStreamDemod`.
+
+    ``fs`` is the per-mux sample rate (an NB-mode rate,
+    ``dvb_t_fs_for_bandwidth``); ``fs_wide`` must be an integer multiple
+    of it. Results come back as {mux_index: [DvbTRxFrame|DvbTRxError]}.
+    """
+
+    def __init__(self, params: DvbTFrameParams, n_symbols: int,
+                 payload_len: int, centers_hz, fs: float, fs_wide: float,
+                 stopband_db: float = 60.0) -> None:
+        from ..dsp.channelizer import Channelizer
+        from ..waveform.dvb_t import DVB_T_KMAX
+        # occupied band: 1705 active carriers of 2048 → ±KMAX/2 bins
+        occ_hz = (DVB_T_KMAX / 2 + 1) / DVB_T_N_FFT * fs
+        self.channelizer = Channelizer(fs_wide, fs, centers_hz,
+                                       passband_hz=occ_hz,
+                                       stopband_db=stopband_db)
+        self.streams = [DvbTFrameStreamDemod(params, n_symbols, payload_len)
+                        for _ in range(self.channelizer.num_channels)]
+
+    @property
+    def centers_hz(self) -> np.ndarray:
+        return self.channelizer.centers_hz
+
+    def __len__(self) -> int:
+        return len(self.channelizer)
+
+    def _drain(self, y: np.ndarray):
+        out = {}
+        if y.shape[-1]:
+            for c, s in enumerate(self.streams):
+                res = s.feed(y[c])
+                if res:
+                    out[c] = res
+        return out
+
+    def feed(self, iq):
+        """Feed wideband IQ; {mux_index: new results} for productive muxes."""
+        return self._drain(self.channelizer.push(iq))
+
+    def flush(self):
+        out = self._drain(self.channelizer.flush())
+        for c, s in enumerate(self.streams):
+            res = s.flush()
+            if res:
+                out.setdefault(c, []).extend(res)
+        return out

@@ -27,3 +27,4 @@ from .iir import (
     LpDcState,
 )
 from .agc import AgcParams, design_agc, agc_rms
+from .channelizer import Channelizer

@@ -145,3 +145,46 @@ def test_dvb_t_stream_buffer_state_survives(tmp_path):
         sdr.DvbTFrameStreamDemod(params, n_symbols=68, payload_len=64))
     assert np.array_equal(resumed.view_buf(), s.view_buf())
     assert resumed.sps == s.sps
+
+
+def test_band_receiver_resume_matches_continuous(tmp_path):
+    """The band receiver's whole state tree — channelizer phases/FIR
+    tails/remainder plus every per-channel stream buffer — survives the
+    file; resuming mid-capture decodes exactly like the uninterrupted
+    run."""
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.sync.ofdm_sync import OfdmPreamble
+
+    plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+    cfg = sdr.OfdmConfig(plan, fs=1e6)
+    pre = OfdmPreamble(repeat_len=128, num_repeats=4
+                       ).with_training_symbol(256, 64)
+    table = sdr.McsTable.default_ladder()
+    payload = np.random.default_rng(70).integers(0, 256, 90).astype(np.uint8)
+    iq = sdr.OfdmFrameMod(cfg, table, pre).modulate_frame(
+        sdr.FramePacket(sdr.FrameMetadata(4, 1), payload), 8)
+    fs_wide, fc = 4e6, 0.7e6
+    n_wide = 4 * (len(iq) + 4000)
+    k = np.arange(n_wide)
+    x = np.zeros(n_wide, np.complex128)
+    up = np.repeat(np.asarray(iq, np.complex128), 4) / 4.0   # single channel:
+    x[5000:5000 + len(up)] = up                              # ZOH images land
+    x *= np.exp(2j * np.pi * fc * k / fs_wide)               # out of band
+    x = x.astype(np.complex64)
+
+    def fresh():
+        return sdr.OfdmFrameBandStreamDemod(cfg, table, pre, [fc], fs_wide)
+
+    one = fresh()
+    ref = one.feed(x).get(0, []) + one.flush().get(0, [])
+    ok = [r for r in ref if hasattr(r, "packet")]
+    assert ok and np.array_equal(ok[0].packet.payload, payload)
+
+    cut = len(x) // 2 + 777                     # mid-frame, off-block
+    a = fresh()
+    got = a.feed(x[:cut]).get(0, [])
+    resumed = _roundtrip_via_file(tmp_path, a, fresh())
+    got += resumed.feed(x[cut:]).get(0, [])
+    got += resumed.flush().get(0, [])
+    ok2 = [r for r in got if hasattr(r, "packet")]
+    assert ok2 and np.array_equal(ok2[0].packet.payload, payload)

@@ -372,3 +372,59 @@ def test_map_symbols_matches_point_table_exhaustively():
                 ).astype(np.uint8)
         got = np.asarray(dvb_t_map_symbols(bits.reshape(-1), v))
         np.testing.assert_allclose(got, _point_table(v), atol=5e-7)
+
+
+def test_dvb_t_band_receive_two_muxes():
+    """Two DVB-T multiplexes at different centers in one 4x-rate wideband
+    capture: the batched channelizer + per-mux streams decode both."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+
+    params = DvbTFrameParams(DvbTLinkParams("1/32", "qpsk", "1/2"), 0, 5)
+    rng = np.random.default_rng(3)
+    payloads = [rng.integers(0, 256, 300).astype(np.uint8) for _ in range(2)]
+    frames = [DvbTFrameMod(params).modulate(p) for p in payloads]
+    n_sym = frames[0].n_symbols
+
+    fs = sdr.nb_bandwidth_fs(1_000_000.0)
+    fs_wide = 4.0 * fs
+    centers = [-1.4e6, 1.1e6]
+
+    def up4(x):
+        x = np.concatenate([np.zeros(256), np.asarray(x, np.complex128),
+                            np.zeros(256)])
+        X = np.fft.fft(x)
+        n = len(x)
+        Y = np.zeros(4 * n, np.complex128)
+        Y[: n // 2] = X[: n // 2]
+        Y[-(n - n // 2):] = X[n // 2:]
+        return 4.0 * np.fft.ifft(Y)
+
+    lens = [len(up4(f.iq)) for f in frames]
+    n_wide = max(lens) + 40_000
+    wide = np.zeros(n_wide, np.complex128)
+    k = np.arange(n_wide)
+    for i, f in enumerate(frames):
+        x = up4(f.iq)
+        up = np.zeros(n_wide, np.complex128)
+        up[8_000 + 4_000 * i:8_000 + 4_000 * i + len(x)] = x
+        wide += up * np.exp(2j * np.pi * centers[i] * k / fs_wide)
+    wide = wide.astype(np.complex64)
+    sig = float(np.mean(np.abs(wide) ** 2))
+    wide += (rng.standard_normal(n_wide) + 1j * rng.standard_normal(n_wide)
+             ).astype(np.complex64) * np.sqrt(sig * 0.002 / 2)
+
+    rx = sdr.DvbTBandStreamDemod(params, n_sym, len(payloads[0]),
+                                 centers, fs, fs_wide)
+    got = {}
+    for i in range(0, n_wide, 120_000):
+        for c, res in rx.feed(wide[i:i + 120_000]).items():
+            got.setdefault(c, []).extend(res)
+    for c, res in rx.flush().items():
+        got.setdefault(c, []).extend(res)
+    for c, p in enumerate(payloads):
+        frames_ok = [r for r in got.get(c, []) if hasattr(r, "payload")]
+        assert frames_ok, (c, got.get(c))
+        assert np.array_equal(frames_ok[0].payload, p), c
+        assert frames_ok[0].tps.cell_id == 5
