@@ -141,7 +141,8 @@ def _decode(meta: Any, arrays: Dict[str, np.ndarray], current: Any) -> Any:
             return items
         if "__dict__" in meta:
             conv = int if meta.get("int_keys") else str
-            return {conv(k): _decode(m, arrays, None)
+            cur = current if isinstance(current, dict) else {}
+            return {conv(k): _decode(m, arrays, cur.get(conv(k)))
                     for k, m in meta["__dict__"].items()}
         if "__config__" in meta:
             return current                     # configs stay as constructed

@@ -94,3 +94,57 @@ def test_random_pilot_plan_interp_roundtrip(seed):
     soft = grid_extract(g, zf_equalize(freq, est))
     out = np.asarray(sdr.ofdm_decide(cfg, soft))
     assert np.array_equal(out[:len(bits)], bits), (spacing, lim)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_cpe_walk_roundtrip(seed):
+    """Random constellation × random walk scale × random grid: cpe_correct
+    recovers the symbols whenever per-symbol increments stay in-range."""
+    from orion_sdr_tpu.ofdm import cpe_correct
+    from orion_sdr_tpu.constellation import map_bits, BITS_PER_SYMBOL
+    rng = np.random.default_rng(1000 + seed)
+    constel = rng.choice(["bpsk", "qpsk", "qam16", "qam64"])
+    n_sym = int(rng.integers(2, 40))
+    n_data = int(rng.integers(32, 256))
+    bits = BITS_PER_SYMBOL[constel]
+    raw = rng.integers(0, 2, n_sym * n_data * bits).astype(np.uint8)
+    pts = np.asarray(map_bits(raw, constel)).reshape(n_sym, n_data)
+    # per-symbol increments well inside the unwrap capture (π/2·constel)
+    step = 0.25 if constel == "bpsk" else 0.12
+    walk = np.cumsum(rng.uniform(-step, step, n_sym)).astype(np.float32)
+    rx = pts * np.exp(1j * walk)[:, None]
+    out, phases = cpe_correct(rx, constel)
+    err = np.angle(np.exp(1j * (np.asarray(phases) - walk)))
+    assert np.max(np.abs(err)) < 0.12, (constel, n_sym, n_data)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_channelizer_chunking_invariance(seed):
+    """Any split of the same wideband stream produces identical channelizer
+    output (absolute-aligned internal blocks)."""
+    from orion_sdr_tpu.dsp import Channelizer
+    rng = np.random.default_rng(2000 + seed)
+    m = int(rng.choice([2, 4, 8]))
+    fs_out = 1e6
+    fs_wide = m * fs_out
+    n_ch = int(rng.integers(1, 4))
+    centers = rng.uniform(-0.4, 0.4, n_ch) * fs_wide
+    n = int(rng.integers(30_000, 90_000))
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+
+    def run(cuts):
+        ch = Channelizer(fs_wide, fs_out, centers)
+        parts = []
+        prev = 0
+        for c in list(cuts) + [n]:
+            parts.append(ch.push(x[prev:c]))
+            prev = c
+        parts.append(ch.flush())
+        return np.concatenate([p for p in parts if p.shape[-1]], axis=-1)
+
+    a = run([])
+    cuts = sorted(rng.integers(0, n, int(rng.integers(1, 5))).tolist())
+    b = run(cuts)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
