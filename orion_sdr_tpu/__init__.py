@@ -51,7 +51,7 @@ from .modulate.ft8 import ft8_mod, ft4_mod, ft8_mod_batch, ft4_mod_batch
 from .demodulate.ft8 import ft8_demod, ft4_demod
 from .codec.ft8 import (
     ft8_encode, ft4_encode, ft8_decode_soft, ft4_decode_soft,
-    ft8_decode_hard, ft4_decode_hard,
+    ft8_decode_hard, ft4_decode_hard, ft8_ap_prior, apply_ap_prior,
 )
 from .codec.ft8_stream import (Ft8StreamDecoder, Ft8DecodeResult,
                                ft8_decode_windows, ft4_decode_windows,

@@ -62,15 +62,86 @@ def _decode_llr(llr, max_iter: int = 20) -> Optional[np.ndarray]:
     return payload
 
 
-def ft8_decode_soft(llr, max_iter: int = 20) -> Optional[np.ndarray]:
-    """174 soft LLRs (positive ⇒ bit 0) → 77-bit payload or None."""
-    return _decode_llr(llr, max_iter)
+def ft8_ap_prior(call_a: Optional[str] = None, call_b: Optional[str] = None,
+                 hash_table=None, ft4: bool = False):
+    """A-priori decoding prior (WSJT-X "AP" — beyond the reference).
+
+    A caller usually knows part of the message it is listening for: "CQ"
+    in the first callsign slot, or its own call in either slot. The
+    standard-message layout (message/message.py) is c28a r1a c28b r1b R1
+    g15 i3, so fixing a slot pins 29 systematic codeword bits. Returns
+    ``(positions, bits)`` over the 174-bit codeword, suitable for
+    :func:`ft8_decode_soft`'s ``ap=`` argument (``ft4=True`` applies the
+    FT4 payload scrambling so the bits are in codeword domain).
+    """
+    from ..message.callsign import pack28
+    from ..message import CallsignHashTable
+    ht = hash_table if hash_table is not None else CallsignHashTable()
+    xor_bits = np.unpackbits(FT4_XOR)[:77] if ft4 else np.zeros(77, np.uint8)
+    idx: list = []
+    val: list = []
+    for call, base in ((call_a, 0), (call_b, 29)):
+        if call is None:
+            continue
+        packed = pack28(call, ht)
+        if packed is None:
+            raise ValueError(f"cannot pack callsign {call!r} for AP")
+        n28, ip = packed
+        b = np.unpackbits(np.array([(n28 >> 24) & 255, (n28 >> 16) & 255,
+                                    (n28 >> 8) & 255, n28 & 255],
+                                   np.uint8))[4:]
+        bits29 = np.concatenate([b, [np.uint8(ip)]])
+        pos = np.arange(base, base + 29)
+        idx.append(pos)
+        val.append(bits29 ^ xor_bits[pos])
+    if not idx:
+        raise ValueError("ft8_ap_prior needs at least one callsign")
+    return (np.concatenate(idx).astype(np.int64),
+            np.concatenate(val).astype(np.uint8))
 
 
-def ft4_decode_soft(llr, max_iter: int = 20) -> Optional[np.ndarray]:
+def apply_ap_prior(llr, ap, amp: Optional[float] = None) -> np.ndarray:
+    """Clamp the known-bit positions of (..., 174) LLRs to ±``amp``
+    (default 4·rms + 8 — dominant but finite, mirroring WSJT-X)."""
+    idx, bits = ap
+    llr = np.array(llr, np.float32, copy=True)
+    if amp is None:
+        amp = 4.0 * float(np.sqrt(np.mean(llr ** 2))) + 8.0
+    llr[..., idx] = np.where(bits == 0, np.float32(amp), np.float32(-amp))
+    return llr
+
+
+def ft8_decode_soft(llr, max_iter: int = 20, ap=None) -> Optional[np.ndarray]:
+    """174 soft LLRs (positive ⇒ bit 0) → 77-bit payload or None.
+
+    ``ap``: optional ``(positions, bits)`` a-priori prior from
+    :func:`ft8_ap_prior`; the known bits are clamped before BP and the
+    decode is rejected unless the result reproduces them (guards the
+    CRC-14 against prior-seeded false converges).
+    """
+    if ap is None:
+        return _decode_llr(llr, max_iter)
+    payload = _decode_llr(apply_ap_prior(llr, ap), max_iter)
+    if payload is None:
+        return None
+    idx, bits = ap
+    got = np.unpackbits(payload)[:77]
+    return payload if np.array_equal(got[idx], bits) else None
+
+
+def ft4_decode_soft(llr, max_iter: int = 20, ap=None) -> Optional[np.ndarray]:
+    """``ap``: prior from ``ft8_ap_prior(..., ft4=True)`` — bits are in the
+    scrambled codeword domain, verified there before descrambling."""
+    if ap is not None:
+        llr = apply_ap_prior(llr, ap)
     payload = _decode_llr(llr, max_iter)
     if payload is None:
         return None
+    if ap is not None:
+        idx, bits = ap
+        got = np.unpackbits(payload)[:77]
+        if not np.array_equal(got[idx], bits):
+            return None
     payload = (payload ^ FT4_XOR).astype(np.uint8)
     payload[9] &= 0xF8
     return payload

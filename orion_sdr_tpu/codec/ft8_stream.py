@@ -34,7 +34,7 @@ class Ft8StreamDecoder:
     """Accumulates IQ at 12 kHz and decodes FT8 or FT4 frames."""
 
     def __init__(self, fs: float, base_hz: float, max_hz: float,
-                 max_cand: int = 4, ft8: bool = True) -> None:
+                 max_cand: int = 4, ft8: bool = True, ap=None) -> None:
         self.fs = float(fs)
         self.base_hz = float(base_hz)
         self.max_hz = float(max_hz)
@@ -43,6 +43,9 @@ class Ft8StreamDecoder:
         self.frame_len = FT8_FRAME_LEN if ft8 else FT4_FRAME_LEN
         self._buf = np.zeros(0, np.complex64)
         self.hash_table = CallsignHashTable()
+        # a-priori prior (positions, bits) from ft8_ap_prior: candidates
+        # that fail the plain decode get a second, prior-clamped BP pass
+        self.ap = ap
 
     @classmethod
     def new_ft8(cls, fs: float, base_hz: float, max_hz: float,
@@ -83,21 +86,26 @@ class Ft8StreamDecoder:
         search_max = max(self.max_hz + spacing, search_min + spacing)
         sync = ft8_sync if self.is_ft8 else ft4_sync
         decode = ft8_decode_soft if self.is_ft8 else ft4_decode_soft
-        for cand in sync(self._buf, self.fs, search_min, search_max,
-                         0, 0, self.max_cand):
-            payload = decode(cand.llr)
-            # the all-zero codeword is CRC-consistent, so silence would
-            # otherwise "decode" as an empty free-text message — reject it
-            if payload is not None and np.any(payload):
-                msg = unpack77(payload, self.hash_table)
-                return [Ft8DecodeResult(
-                    message=msg,
-                    carrier_hz=self.base_hz + cand.freq_bin * spacing,
-                    snr_db=cand.score)]
+        cands = sync(self._buf, self.fs, search_min, search_max,
+                     0, 0, self.max_cand)
+        # plain decodes first; AP-primed retries only if nothing decodes
+        # (matches WSJT-X ordering — an AP decode never masks a full one)
+        for ap in ([None, self.ap] if self.ap is not None else [None]):
+            for cand in cands:
+                payload = decode(cand.llr, ap=ap)
+                # the all-zero codeword is CRC-consistent, so silence would
+                # otherwise "decode" as an empty free-text message — reject
+                if payload is not None and np.any(payload):
+                    msg = unpack77(payload, self.hash_table)
+                    return [Ft8DecodeResult(
+                        message=msg,
+                        carrier_hz=self.base_hz + cand.freq_bin * spacing,
+                        snr_db=cand.score)]
         return []
 
 
-def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8):
+def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8,
+                    ap=None):
     from . import ft8_ldpc
     from .ft8 import FT4_XOR
     from ..message import unpack77 as _unpack
@@ -117,38 +125,60 @@ def _decode_windows(windows, fs, base_hz, max_hz, max_cand, hash_table, ft8):
     if not all_llrs:
         return [None] * len(windows)
 
-    # one batched BP over every candidate of every window
+    # one batched BP over every candidate of every window; with an AP
+    # prior the clamped retry rows ride the SAME batch (plain rows win)
     llr_mat = np.stack(all_llrs).astype(np.float32)
+    n_plain = llr_mat.shape[0]
+    if ap is not None:
+        from .ft8 import apply_ap_prior
+        llr_mat = np.concatenate([llr_mat, apply_ap_prior(llr_mat, ap)])
     bits, errs = ft8_ldpc.ldpc_decode_soft(llr_mat)
     bits = np.asarray(bits)
     errs = np.asarray(errs)
 
     from .ft8_crc import ft8_check_crc
+
+    def _extract(k, verify_ap):
+        if errs[k] != 0:
+            return None
+        if verify_ap and not np.array_equal(
+                bits[k].astype(np.uint8)[ap[0]], ap[1]):
+            return None
+        a91 = np.packbits(np.concatenate(
+            [bits[k].astype(np.uint8), np.zeros(5, np.uint8)]))
+        if not ft8_check_crc(a91) or not np.any(a91[:10]):
+            return None
+        payload = a91[:10].copy()
+        if not ft8:
+            payload = (payload ^ FT4_XOR).astype(np.uint8)
+        payload[9] &= 0xF8
+        return payload
+
     results: List[Optional[Ft8DecodeResult]] = []
-    k = 0
+    k0 = 0
     for cands in cands_per_win:
         hit = None
-        for c in cands:
-            if hit is None and errs[k] == 0:
-                a91 = np.packbits(np.concatenate(
-                    [bits[k].astype(np.uint8), np.zeros(5, np.uint8)]))
-                if ft8_check_crc(a91) and np.any(a91[:10]):
-                    payload = a91[:10].copy()
-                    if not ft8:
-                        payload = (payload ^ FT4_XOR).astype(np.uint8)
-                    payload[9] &= 0xF8
+        for pass_base, verify in (((0, False),) if ap is None
+                                  else ((0, False), (n_plain, True))):
+            if hit is not None:
+                break
+            for j, c in enumerate(cands):
+                payload = _extract(pass_base + k0 + j, verify)
+                if payload is not None:
                     hit = Ft8DecodeResult(
                         message=_unpack(payload, ht),
                         carrier_hz=base_hz + c.freq_bin * spacing,
                         snr_db=c.score)
-            k += 1
+                    break
+        k0 += len(cands)
         results.append(hit)
     return results
 
 
 def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
                        max_hz: float = 3000.0, max_cand: int = 4,
-                       hash_table: Optional[CallsignHashTable] = None):
+                       hash_table: Optional[CallsignHashTable] = None,
+                       ap=None):
     """Batch-decode many 15 s FT8 receive windows (BASELINE.json config 3).
 
     ``windows``: (B, n) IQ at 12 kHz. ONE fused device program computes every
@@ -158,15 +188,16 @@ def ft8_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
     (len B) of Ft8DecodeResult-or-None.
     """
     return _decode_windows(windows, fs, base_hz, max_hz, max_cand,
-                           hash_table, ft8=True)
+                           hash_table, ft8=True, ap=ap)
 
 
 def ft4_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
                        max_hz: float = 3000.0, max_cand: int = 4,
-                       hash_table: Optional[CallsignHashTable] = None):
+                       hash_table: Optional[CallsignHashTable] = None,
+                       ap=None):
     """ft8_decode_windows for 7.5 s FT4 windows (XOR-descrambled payloads)."""
     return _decode_windows(windows, fs, base_hz, max_hz, max_cand,
-                           hash_table, ft8=False)
+                           hash_table, ft8=False, ap=ap)
 
 
 def _decode_multi_frame(frames, fs, base_hz, max_hz, max_cand, ft8,

@@ -651,3 +651,36 @@ def test_snr_sweep_dvb_t_mobile_fading():
         print(f"  Doppler {dop:5.0f} Hz: {ok}/{trials}")
     # per-symbol pilot re-estimation: slow fading must mostly decode
     assert results[5.0] >= 3, results
+
+
+def test_snr_sweep_ft8_ap():
+    """FT8 single-frame sensitivity with the a-priori 'CQ' prior
+    (beyond-reference; WSJT-X's AP decoding). Clamping the 29 known
+    c28a+r1a bits before BP buys ~1 dB at the floor."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.modulate.ft8 import ft8_mod
+    from orion_sdr_tpu.codec.ft8 import ft8_encode
+    from orion_sdr_tpu.codec.ft8_stream import Ft8StreamDecoder
+    from orion_sdr_tpu.message import pack77, Standard, CallsignHashTable
+
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS12, base_hz=1012.5))
+    ap = sdr.ft8_ap_prior("CQ")
+    print("\n[FT8/AP] SNR sweep, plain vs AP-CQ (2500 Hz ref BW):")
+    results = {}
+    for snr in (-18.0, -19.0, -20.0, -21.0):
+        n_plain = n_ap = 0
+        trials = 10
+        for seed in range(trials):
+            rng = np.random.default_rng(801 + seed)
+            noisy = iq + _awgn(rng, len(iq), snr_to_noise_power(snr, FS12))
+            r_p = Ft8StreamDecoder.new_ft8(FS12, 950.0, 1150.0).feed(noisy)
+            r_a = Ft8StreamDecoder(FS12, 950.0, 1150.0, ap=ap).feed(noisy)
+            n_plain += bool(r_p and r_p[0].message.call_de == "KA1ABC")
+            n_ap += bool(r_a and r_a[0].message.call_de == "KA1ABC")
+        results[snr] = (n_plain, n_ap)
+        print(f"  {snr:+.0f} dB: plain {n_plain}/{trials}  AP {n_ap}/{trials}")
+    # AP never hurts and dominates at the floor
+    assert all(a >= plain for plain, a in results.values()), results
+    assert sum(a for _, a in results.values()) > sum(
+        p0 for p0, _ in results.values()), results
