@@ -201,7 +201,7 @@ def ft4_decode_windows(windows, fs: float = 12000.0, base_hz: float = 200.0,
 
 
 def _decode_multi_frame(frames, fs, base_hz, max_hz, max_cand, ft8,
-                        hash_table, max_iter: int = 30
+                        hash_table, max_iter: int = 30, ap=None
                         ) -> Optional[Ft8DecodeResult]:
     from ..sync.ft8_sync import ft_sync_multi
     from ..dsp.device import sanitize_iq
@@ -209,22 +209,26 @@ def _decode_multi_frame(frames, fs, base_hz, max_hz, max_cand, ft8,
     spacing = FT8_TONE_SPACING_HZ if ft8 else FT4_TONE_SPACING_HZ
     decode = ft8_decode_soft if ft8 else ft4_decode_soft
     ht = hash_table if hash_table is not None else CallsignHashTable()
-    for cand in ft_sync_multi(frames, fs, base_hz,
-                              max(max_hz + spacing, base_hz + spacing),
-                              max_cand, "ft8" if ft8 else "ft4"):
-        payload = decode(cand.llr, max_iter)
-        if payload is not None and np.any(payload):
-            return Ft8DecodeResult(
-                message=unpack77(payload, ht),
-                carrier_hz=base_hz + cand.freq_bin * spacing,
-                snr_db=cand.score)
+    cands = ft_sync_multi(frames, fs, base_hz,
+                          max(max_hz + spacing, base_hz + spacing),
+                          max_cand, "ft8" if ft8 else "ft4")
+    # plain decodes first; AP-primed retries only if none succeed
+    for prior in ([None, ap] if ap is not None else [None]):
+        for cand in cands:
+            payload = decode(cand.llr, max_iter, ap=prior)
+            if payload is not None and np.any(payload):
+                return Ft8DecodeResult(
+                    message=unpack77(payload, ht),
+                    carrier_hz=base_hz + cand.freq_bin * spacing,
+                    snr_db=cand.score)
     return None
 
 
 def ft8_decode_multi_frame(frames, fs: float = 12000.0,
                            base_hz: float = 200.0, max_hz: float = 3000.0,
                            max_cand: int = 4, hash_table=None,
-                           max_iter: int = 30) -> Optional[Ft8DecodeResult]:
+                           max_iter: int = 30, ap=None
+                           ) -> Optional[Ft8DecodeResult]:
     """Multi-frame averaging FT8 decode (beyond-reference sensitivity).
 
     ``frames``: (n_frames, 151680) — frame-aligned captures of the SAME
@@ -235,17 +239,18 @@ def ft8_decode_multi_frame(frames, fs: float = 12000.0,
     doubling of n_frames is worth ~1.5 dB of decode floor.
     """
     return _decode_multi_frame(frames, fs, base_hz, max_hz, max_cand,
-                               True, hash_table, max_iter)
+                               True, hash_table, max_iter, ap=ap)
 
 
 def ft4_decode_multi_frame(frames, fs: float = 12000.0,
                            base_hz: float = 200.0, max_hz: float = 3000.0,
                            max_cand: int = 4, hash_table=None,
-                           max_iter: int = 30) -> Optional[Ft8DecodeResult]:
+                           max_iter: int = 30, ap=None
+                           ) -> Optional[Ft8DecodeResult]:
     """Multi-frame averaging FT4 decode — see ft8_decode_multi_frame
     ((n_frames, 60480) captures)."""
     return _decode_multi_frame(frames, fs, base_hz, max_hz, max_cand,
-                               False, hash_table, max_iter)
+                               False, hash_table, max_iter, ap=ap)
 
 
 # ── multi-signal decode via iterative subtraction ────────────────────────────

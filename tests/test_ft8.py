@@ -497,3 +497,23 @@ def test_ap_decode_ft4_roundtrip():
     llr = llr + rng.normal(0, 6.0, llr.shape).astype(np.float32)
     out = ft4_decode_soft(llr, ap=ap)
     assert out is not None and np.array_equal(out, p)
+
+
+def test_ap_multi_frame_composes():
+    """AP prior + 4-frame LLR averaging decodes at −23 dB where the plain
+    averaged decode fails (seeded) — the composed floor past WSJT-X's
+    published −21 dB."""
+    import orion_sdr_tpu as sdr
+    p = pack77(Standard("CQ", "KA1ABC", "FN42"), CallsignHashTable())
+    iq = np.asarray(ft8_mod(ft8_encode(p), FS, base_hz=1012.5))
+    ap = sdr.ft8_ap_prior("CQ")
+    rng = np.random.default_rng(601)    # seed where plain fails, AP decodes
+    pwr = FS / (2500.0 * 10.0 ** (-23.0 / 10.0))
+    frames = np.stack([iq + (rng.standard_normal(len(iq)) +
+                             1j * rng.standard_normal(len(iq))
+                             ).astype(np.complex64) * np.sqrt(pwr / 2)
+                       for _ in range(4)])
+    plain = sdr.ft8_decode_multi_frame(frames, FS, 950.0, 1150.0)
+    assert plain is None or plain.message.call_de != "KA1ABC"
+    got = sdr.ft8_decode_multi_frame(frames, FS, 950.0, 1150.0, ap=ap)
+    assert got is not None and got.message.call_de == "KA1ABC"
