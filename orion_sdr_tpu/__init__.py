@@ -28,6 +28,7 @@ from .util import (
     rms, hann, tone, gen_complex_tone, snr_db_at, power_spectrum,
     nb_spectrum_snr_db, wb_spectrum_snr_db, spectrum_bw_hz,
     SIGNAL_THRESHOLD, PSK31_BW_HZ, awgn, measure, atan2_approx, trace,
+    spectrum_scan, SpectrumSegment,
 )
 
 # ── DSP substrate ────────────────────────────────────────────────────────────

@@ -228,3 +228,109 @@ def atan2_approx(y, x):
     sign_y = jnp.where(y < 0.0, -1.0, 1.0)
     return jnp.where(x < 0.0, (jnp.float32(np.pi) - phi) * sign_y,
                      phi * sign_y).astype(jnp.float32)
+
+
+# ── spectrum scanning (beyond the reference) ─────────────────────────────────
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class SpectrumSegment:
+    """One occupied sub-band found by :func:`spectrum_scan`."""
+    center_hz: float     # power-weighted centroid
+    bw_hz: float         # occupied width at the detection threshold
+    power_db: float      # mean in-segment PSD, dB re full-scale/bin
+    snr_db: float        # mean in-segment PSD over the noise floor
+
+
+def _welch_psd(iq, nfft: int):
+    """Welch-averaged periodogram of a complex capture: Hann segments,
+    50 % overlap, ONE batched device FFT over all segments."""
+    import jax.numpy as jnp
+    from .dsp.device import cjit as _cjit
+
+    @_cjit
+    def _psd(z, nfft: int):
+        z = jnp.asarray(z)
+        hop = nfft // 2
+        n_seg = max((z.shape[-1] - nfft) // hop + 1, 1)
+        idx = jnp.arange(n_seg)[:, None] * hop + jnp.arange(nfft)[None, :]
+        segs = z[idx]
+        w = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(nfft) / nfft)
+        spec = jnp.fft.fft(segs * w.astype(jnp.complex64), axis=-1)
+        scale = jnp.float32(1.0 / (nfft * 0.5))   # Hann coherent gain = 0.5
+        return jnp.mean(jnp.abs(spec * scale) ** 2, axis=0).astype(jnp.float32)
+
+    return np.fft.fftshift(np.asarray(_psd(iq, nfft)))
+
+
+def spectrum_scan(iq, fs: float, rbw_hz: float | None = None,
+                  threshold_db: float = 10.0,
+                  min_bw_hz: float | None = None,
+                  gap_bins: int = 2):
+    """Detect occupied sub-bands in a complex wideband capture.
+
+    Beyond the reference (whose util.rs stops at single-capture spectra):
+    the gateway front end of scan-then-receive — Welch-average the whole
+    capture (one batched device FFT), estimate the noise floor as the
+    median PSD bin, mark bins ``threshold_db`` above it, close gaps of up
+    to ``gap_bins`` (pilot combs, mask ripple), and report each
+    contiguous segment wider than ``min_bw_hz`` as a
+    :class:`SpectrumSegment`, strongest first. Feed the centers to
+    ``OfdmFrameBandStreamDemod``/``DvbTBandStreamDemod``.
+
+    ``rbw_hz``: resolution bandwidth (default fs/4096, clamped so nfft
+    lands in [256, 65536]). ``min_bw_hz`` defaults to 4·rbw.
+    """
+    iq = np.asarray(iq)
+    if iq.ndim != 1:
+        raise ValueError("spectrum_scan takes a 1-D capture")
+    if len(iq) < 256:
+        raise ValueError("capture too short to scan (need ≥256 samples)")
+    if rbw_hz is None:
+        rbw_hz = fs / 4096.0
+    nfft = 1 << int(np.clip(np.round(np.log2(fs / max(rbw_hz, 1e-9))),
+                            8, 16))
+    nfft = min(nfft, 1 << int(np.floor(np.log2(len(iq)))))
+    psd = _welch_psd(iq.astype(np.complex64), nfft)
+    psd_db = 10.0 * np.log10(psd + 1e-20)
+    freqs = (np.arange(nfft) - nfft // 2) * (fs / nfft)
+    floor_db = float(np.median(psd_db))
+    mask = psd_db > floor_db + threshold_db
+    # close short gaps so pilot combs / mask ripple stay one segment
+    if gap_bins > 0 and mask.any():
+        occ = np.flatnonzero(mask)
+        gaps = np.diff(occ)
+        for i in np.flatnonzero((gaps > 1) & (gaps <= gap_bins + 1)):
+            mask[occ[i]:occ[i + 1]] = True
+    if min_bw_hz is None:
+        min_bw_hz = 4.0 * fs / nfft
+    min_bins = max(int(np.ceil(min_bw_hz / (fs / nfft))), 1)
+
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        [[0], mask.astype(np.int8), [0]])))
+    spans = list(zip(edges[::2], edges[1::2]))
+    # merge segments separated by less than min_bw: a channel whose PSD
+    # grazes the threshold (short burst diluted by Welch averaging, pilot
+    # comb) must not split into fragments narrower than anything we report
+    merged = []
+    for a, b in spans:
+        if merged and a - merged[-1][1] < min_bins:
+            merged[-1][1] = b
+        else:
+            merged.append([a, b])
+    out = []
+    for a, b in merged:
+        if b - a < min_bins:
+            continue
+        p = psd[a:b]
+        center = float(np.sum(freqs[a:b] * p) / np.sum(p))
+        mean_db = float(10.0 * np.log10(np.mean(p) + 1e-20))
+        out.append(SpectrumSegment(
+            center_hz=center,
+            bw_hz=float((b - a) * fs / nfft),
+            power_db=mean_db,
+            snr_db=mean_db - floor_db))
+    out.sort(key=lambda s: -s.power_db)
+    return out

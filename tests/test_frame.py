@@ -545,3 +545,69 @@ def test_band_receive_three_channels():
     for c, p in enumerate(payloads):
         frames = [r for r in got2.get(c, []) if hasattr(r, "packet")]
         assert frames and np.array_equal(frames[0].packet.payload, p), c
+
+
+def test_scan_then_band_receive():
+    """Blind gateway flow: spectrum_scan finds the occupied channels in a
+    wideband capture, their centers feed the band receiver, both payloads
+    decode — no prior knowledge of the channel plan."""
+    import orion_sdr_tpu as sdr
+    from orion_sdr_tpu.frame import OfdmFrameBandStreamDemod
+    cfg, pre = _link()
+    table = McsTable.default_ladder()
+    fs_wide = 8.0 * FS
+    true_centers = [-2.6e6, 1.7e6]
+    payloads = [_payload(100, 60 + i) for i in range(2)]
+
+    def up8(x):
+        x = np.concatenate([np.zeros(256), np.asarray(x, np.complex128),
+                            np.zeros(256)])
+        X = np.fft.fft(x)
+        n = len(x)
+        Y = np.zeros(8 * n, np.complex128)
+        Y[: n // 2] = X[: n // 2]
+        Y[-(n - n // 2):] = X[n // 2:]
+        return 8.0 * np.fft.ifft(Y)
+
+    rng = np.random.default_rng(80)
+    n_wide = 100_000
+    wide = np.zeros(n_wide, np.complex128)
+    k = np.arange(n_wide)
+    for i, (fc, p) in enumerate(zip(true_centers, payloads)):
+        iq = _frame_iq(cfg, pre, table, p, seq=i, mcs=1, seed=i)
+        x = up8(iq) / 8.0
+        row = np.zeros(n_wide, np.complex128)
+        row[4000 + 7000 * i:4000 + 7000 * i + len(x)] = x
+        wide += row * np.exp(2j * np.pi * fc * k / fs_wide)
+    wide = wide.astype(np.complex64)
+    sig = float(np.mean(np.abs(wide) ** 2))
+    wide += (rng.standard_normal(n_wide) + 1j * rng.standard_normal(n_wide)
+             ).astype(np.complex64) * np.sqrt(sig * 0.01 / 2)
+
+    segs = sdr.spectrum_scan(wide, fs_wide, min_bw_hz=200e3)
+    assert len(segs) == 2, segs
+    found = sorted(s.center_hz for s in segs)
+    for fc, got in zip(sorted(true_centers), found):
+        # the centroid rides the preamble's random per-bin power comb
+        # (~13 dB hotter than the body), so expect tens of kHz of skew;
+        # the receiver's integer-CFO search (±bins of 3.9 kHz) plus S&C
+        # fractional capture absorbs it — the decode below is the proof
+        assert abs(got - fc) < 60_000.0, (fc, got)
+
+    rx = OfdmFrameBandStreamDemod(cfg, table, pre,
+                                  [s.center_hz for s in segs], fs_wide)
+    got = {}
+    for i in range(0, n_wide, 40_000):
+        for c, res in rx.feed(wide[i:i + 40_000]).items():
+            got.setdefault(c, []).extend(res)
+    for c, res in rx.flush().items():
+        got.setdefault(c, []).extend(res)
+    decoded = {}
+    for c in range(2):
+        for r in got.get(c, []):
+            if hasattr(r, "packet"):
+                decoded[int(r.packet.metadata.sequence_num)] = \
+                    r.packet.payload
+    assert set(decoded) == {0, 1}, got
+    for i, p in enumerate(payloads):
+        assert np.array_equal(decoded[i], p)

@@ -120,3 +120,39 @@ def test_measure_reports_positive_rate():
     msps, dt = sdr.measure(lambda: np.fft.fft(np.ones(1 << 12)), 1 << 12,
                            repeats=2)
     assert msps > 0.0 and dt > 0.0
+
+
+def test_spectrum_scan_finds_channels():
+    """Three noise-like channels of known center/width/power: the scanner
+    reports all three, strongest first, centers within an RBW and widths
+    within 10%; empty band → no segments."""
+    import orion_sdr_tpu as sdr
+    fs = 8e6
+    n = 1 << 19
+    rng = np.random.default_rng(0)
+    noise = 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                    ).astype(np.complex64)
+    x = noise.copy()
+    chans = ((-2.4e6, 0.9e6, 0.2), (0.2e6, 0.9e6, 0.1), (2.9e6, 0.3e6, 0.05))
+    for fc, bw, amp in chans:
+        m = int(bw / fs * n)
+        spec = np.zeros(n, np.complex128)
+        c0 = int((fc / fs) * n) % n
+        idx = (np.arange(m) - m // 2 + c0) % n
+        spec[idx] = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+        sig = np.fft.ifft(spec)
+        sig *= amp / np.sqrt(np.mean(np.abs(sig) ** 2))
+        x += sig.astype(np.complex64)
+
+    segs = sdr.spectrum_scan(x, fs)
+    assert len(segs) == 3
+    rbw = fs / 4096
+    for seg, (fc, bw, _) in zip(segs, chans):   # strongest-first == chans
+        assert abs(seg.center_hz - fc) < rbw, (seg, fc)
+        assert abs(seg.bw_hz - bw) < 0.1 * bw, (seg, bw)
+        assert seg.snr_db > 10.0
+    assert sdr.spectrum_scan(noise, fs) == []
+    with pytest.raises(ValueError):
+        sdr.spectrum_scan(np.zeros((2, 512), np.complex64), fs)
+    with pytest.raises(ValueError):
+        sdr.spectrum_scan(np.zeros(100, np.complex64), fs)
