@@ -118,6 +118,7 @@ from .ofdm import (
     OfdmConfig, ofdm_mod, ofdm_demod, ofdm_decide, ofdm_soft_demod,
     zf_equalize, channel_estimate_training, channel_estimate_pilots,
     channel_estimate_denoise, cpe_correct, cpe_raw_phases, cpe_unwrap,
+    dft_precode, dft_deprecode,
     OfdmRxFrame, build_ofdm_rx_frame,
 )
 from . import sync

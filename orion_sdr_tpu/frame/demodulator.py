@@ -67,6 +67,14 @@ def soft_demap(cfg: OfdmConfig, constellation: str, iq, n_symbols: int,
         csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
                                freq.shape)
     syms = grid_extract(g, freq)
+    if cfg.transform_precoding:
+        # DFT-s-OFDM: despread back to single-carrier constellation points
+        # after the frequency-domain equalizer. The IDFT mixes every bin
+        # into every output symbol, so per-bin CSI weighting no longer
+        # applies (each coded bit already sees the average channel).
+        from ..ofdm import dft_deprecode
+        syms = dft_deprecode(syms)
+        csi = None
     if cfg.phase_tracking == "cpe":
         from ..ofdm import cpe_correct
         syms, _ = cpe_correct(syms, constellation)

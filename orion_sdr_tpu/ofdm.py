@@ -66,6 +66,16 @@ class OfdmConfig:
     scrambler_pos: str = "before_outer_fec"
     ldpc_decode_rule: str = "sum_product"
     dvb_t_scattered: bool = False
+    # DFT-spread OFDM (SC-FDMA) transform precoding — the first follow-on
+    # of the reference's planned multicarrier family
+    # (/root/reference/docs/features.md "DFT-s-OFDM/SC-FDMA and OTFS to
+    # follow"; unimplemented there). When on, each OFDM symbol's data
+    # cells are spread by a unitary M-point DFT before grid mapping, so
+    # the occupied band carries a cyclic single-carrier waveform: PAPR
+    # drops ~2.5 dB and the RX becomes frequency-domain equalization of a
+    # single-carrier stream. Applies to header and payload alike (TX/RX
+    # exact mirrors).
+    transform_precoding: bool = False
 
     def __post_init__(self):
         from .frame.types import (InterleaverKind, ScramblerKind, OuterFec,
@@ -123,6 +133,13 @@ class OfdmConfig:
 
     def with_dvb_t_scattered(self, scattered: bool = True):
         return replace(self, dvb_t_scattered=scattered)
+
+    def with_transform_precoding(self, enable: bool = True):
+        """DFT-s-OFDM (SC-FDMA): spread each symbol's data cells with a
+        unitary DFT before grid mapping (and invert after equalization on
+        RX). Lowers PAPR ~2.5 dB for a localized (contiguous) carrier
+        plan; incompatible with the fixed DVB-T wire format."""
+        return replace(self, transform_precoding=enable)
 
     def with_rx_window_backoff(self, backoff: int):
         return replace(self, rx_window_backoff=backoff)
@@ -206,6 +223,12 @@ class OfdmConfig:
                 "(expected 'off' or 'cpe')")
         if not (0 <= self.rx_window_backoff <= self.carrier_plan.cp_len):
             raise ValueError("rx_window_backoff must be within the cyclic prefix")
+        if self.transform_precoding and self.dvb_t_scattered:
+            raise ValueError(
+                "transform_precoding is not a DVB-T mechanism (EN 300 744 "
+                "fixes the carrier mapping); disable one of the two")
+        if self.transform_precoding and self.carrier_plan.num_data_carriers() < 2:
+            raise ValueError("transform_precoding needs ≥2 data carriers")
         if self.tx_lowpass is not None and not self.tx_lowpass.transition_fits(
                 self.carrier_plan.n_fft,
                 self.carrier_plan.occupied_half_carriers()):
@@ -235,6 +258,30 @@ class OfdmConfig:
                 raise ValueError("invalid Reed-Solomon (n, n_parity) config")
 
 
+# ── DFT-s-OFDM transform precoding ───────────────────────────────────────────
+
+
+def dft_precode(syms):
+    """Unitary M-point DFT across the data-carrier axis (SC-FDMA TX
+    spreading): X[k] = (1/√M)·Σₘ x[m]·e^(−2πi·mk/M). Unit average power
+    in == unit average power out, so the grid/LLR gain bookkeeping is
+    untouched."""
+    z = jnp.asarray(syms)
+    m = z.shape[-1]
+    return (jnp.fft.fft(z, axis=-1) * jnp.float32(1.0 / np.sqrt(m))
+            ).astype(jnp.complex64)
+
+
+def dft_deprecode(syms):
+    """Inverse of :func:`dft_precode` (RX despreading after frequency-domain
+    equalization): the equalized data cells of each OFDM symbol return to
+    the single-carrier constellation points."""
+    z = jnp.asarray(syms)
+    m = z.shape[-1]
+    return (jnp.fft.ifft(z, axis=-1) * jnp.float32(np.sqrt(m))
+            ).astype(jnp.complex64)
+
+
 # ── TX ───────────────────────────────────────────────────────────────────────
 
 
@@ -255,6 +302,8 @@ def ofdm_mod(cfg: OfdmConfig, bits, phase0=0.0, pilot_bins=None, pilot_values=No
         bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
     syms = map_bits(bits, cfg.constellation)
     syms = syms.reshape(syms.shape[:-1] + (n_sym, g.num_data_carriers))
+    if cfg.transform_precoding:
+        syms = dft_precode(syms)
     freq = grid_map(g, syms, pilot_bins=pilot_bins, pilot_values=pilot_values)
     taper = symbol_taper(cfg.samples_per_ofdm_symbol(), cfg.carrier_plan.window_roll_off)
     t = ofdm_assemble(freq, cfg.carrier_plan.cp_len, taper=taper)
@@ -439,6 +488,8 @@ def ofdm_demod(cfg: OfdmConfig, iq, n_symbols=None, estimate=None, gain=1.0, pha
     if estimate is not None:
         freq = zf_equalize(freq, estimate)
     soft = grid_extract(g, freq) * gain
+    if cfg.transform_precoding:
+        soft = dft_deprecode(soft)
     return soft.astype(jnp.complex64), phase0
 
 

@@ -163,6 +163,13 @@ def ofdm_soft_demap_sharded(cfg, constellation: str, iq, n_symbols: int,
             csi = jnp.broadcast_to((jnp.abs(est) ** 2).astype(jnp.float32),
                                    freq.shape)
         syms = grid_extract(g, freq)
+        if cfg.transform_precoding:
+            # DFT-s-OFDM despread is symbol-local (per-symbol IDFT along
+            # the data axis) — no halo; CSI weighting is inapplicable once
+            # the IDFT mixes all bins (matches frame.demodulator.soft_demap)
+            from ..ofdm import dft_deprecode
+            syms = dft_deprecode(syms)
+            csi = None
         if cfg.phase_tracking == "cpe":
             # the V&V raw phases are symbol-local, but the cumulative
             # unwrap runs along the WHOLE symbol axis: all-gather the

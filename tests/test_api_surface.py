@@ -31,6 +31,9 @@ def test_flat_namespace_covers_reference_surface():
         "OfdmConfig", "ofdm_mod", "ofdm_demod", "ofdm_decide",
         "ofdm_soft_demod", "OfdmRxFrame", "build_ofdm_rx_frame",
         "ofdm_sync", "generate_ofdm_preamble", "CarrierPlan", "TxLowpass",
+        "dft_precode", "dft_deprecode",
+        # spectrum scanning (beyond the reference)
+        "spectrum_scan", "SpectrumSegment",
         # frame layer
         "FramePacket", "McsTable", "OfdmFrameMod", "OfdmFrameDemod",
         "OfdmFrameStreamDemod", "RxError",

@@ -271,3 +271,71 @@ class TestUncodedBerRegression:
         ref = self.REF[order]
         print(f"\n[{order}] BER {ber:.5f} (reference {ref})")
         assert 0.6 * ref < ber < 1.5 * ref
+
+
+class TestDftSOfdm:
+    """DFT-spread OFDM (SC-FDMA) transform precoding — the first follow-on
+    of the reference's planned multicarrier family (its docs/features.md
+    promises "DFT-s-OFDM/SC-FDMA ... to follow"; unimplemented there)."""
+
+    @pytest.mark.parametrize("order", ["bpsk", "qpsk", "qam16", "qam64"])
+    def test_roundtrip_bit_exact(self, order):
+        rng = np.random.default_rng(10)
+        cfg = make_cfg(order).with_transform_precoding()
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 5).astype(np.uint8)
+        iq, _ = ofdm_mod(cfg, bits)
+        soft, _ = ofdm_demod(cfg, iq)
+        np.testing.assert_array_equal(np.asarray(ofdm_decide(cfg, soft)), bits)
+        # despread symbols are the constellation points, not spread cells
+        from orion_sdr_tpu.constellation import map_bits
+        ideal = np.asarray(map_bits(bits, order))
+        np.testing.assert_allclose(np.asarray(soft).reshape(-1), ideal,
+                                   atol=1e-4)
+
+    def test_papr_reduction(self):
+        # the point of SC-FDMA: a localized precoded burst has materially
+        # lower peak-to-average power than the same bits as plain OFDM
+        rng = np.random.default_rng(11)
+        plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+        plain = OfdmConfig(plan, FS, constellation="qpsk")
+        prec = plain.with_transform_precoding()
+        bits = rng.integers(0, 2, plain.bits_per_ofdm_symbol() * 200
+                            ).astype(np.uint8)
+
+        def papr_db(cfg):
+            x = np.asarray(ofdm_mod(cfg, bits)[0])
+            p = np.abs(x) ** 2
+            return 10 * np.log10(np.percentile(p, 99.9) / np.mean(p))
+
+        gain = papr_db(plain) - papr_db(prec)
+        print(f"\nPAPR(99.9%) reduction: {gain:.2f} dB")
+        assert gain > 1.5
+
+    def test_multipath_equalized_roundtrip(self):
+        # frequency-domain ZF equalization of the spread stream, then
+        # despread: an in-guard channel must come back bit-exact
+        rng = np.random.default_rng(12)
+        cfg = make_cfg("qam16").with_transform_precoding()
+        g = cfg.grid()
+        bits = rng.integers(0, 2, cfg.bits_per_ofdm_symbol() * 4).astype(np.uint8)
+        iq = np.asarray(ofdm_mod(cfg, bits)[0])
+        chan = np.array([1.0, 0.4 * np.exp(1j * 0.7), 0.15j], np.complex64)
+        rx = np.convolve(iq, chan)[:len(iq)]
+        est = np.fft.fft(chan, g.n_fft).astype(np.complex64)
+        soft, _ = ofdm_demod(cfg, rx, estimate=est)
+        np.testing.assert_array_equal(np.asarray(ofdm_decide(cfg, soft)), bits)
+
+    def test_validate_rejects_dvb_t_combo(self):
+        cfg = make_cfg("qpsk").with_transform_precoding().with_dvb_t_scattered()
+        with pytest.raises(ValueError):
+            cfg.validate()
+
+    def test_precode_unitary(self):
+        rng = np.random.default_rng(13)
+        z = (rng.standard_normal((3, 5, 48)) +
+             1j * rng.standard_normal((3, 5, 48))).astype(np.complex64)
+        w = np.asarray(sdr.dft_precode(z))
+        np.testing.assert_allclose(np.mean(np.abs(w) ** 2),
+                                   np.mean(np.abs(z) ** 2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sdr.dft_deprecode(w)), z,
+                                   atol=1e-5)

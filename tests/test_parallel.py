@@ -101,6 +101,24 @@ class TestSharding:
                                       estimate=est)
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
+    def test_ofdm_soft_demap_sharded_matches_precoded(self, mesh8):
+        # DFT-s-OFDM despread is symbol-local: sharded == single-device,
+        # training-hold estimate broadcast, no halo
+        from orion_sdr_tpu.frame.demodulator import soft_demap
+        from orion_sdr_tpu.parallel import ofdm_soft_demap_sharded
+        plan = sdr.CarrierPlan(128, 32).with_contiguous_data(edge_guard=8)
+        cfg = sdr.OfdmConfig(plan, fs=1e6).with_transform_precoding()
+        rng = np.random.default_rng(6)
+        n_sym = 16
+        iq = (rng.standard_normal((2, n_sym * 160)) +
+              1j * rng.standard_normal((2, n_sym * 160))).astype(np.complex64)
+        est = (0.6 + rng.random(128) +
+               1j * 0.2 * rng.standard_normal(128)).astype(np.complex64)
+        ref = soft_demap(cfg, "qam16", iq, n_sym, est)
+        out = ofdm_soft_demap_sharded(cfg, "qam16", iq, n_sym, mesh8,
+                                      estimate=est)
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
     def test_ofdm_soft_demap_sharded_matches_cpe(self, mesh8):
         # phase_tracking='cpe': the V&V unwrap runs along the WHOLE symbol
         # axis (all-gathered over 't'); must equal the single-device demap
