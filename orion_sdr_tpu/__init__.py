@@ -118,9 +118,10 @@ from .ofdm import (
     OfdmConfig, ofdm_mod, ofdm_demod, ofdm_decide, ofdm_soft_demod,
     zf_equalize, channel_estimate_training, channel_estimate_pilots,
     channel_estimate_denoise, cpe_correct, cpe_raw_phases, cpe_unwrap,
-    dft_precode, dft_deprecode,
+    dft_precode, dft_deprecode, mmse_equalize,
     OfdmRxFrame, build_ofdm_rx_frame,
 )
+from .otfs import isfft, sfft, otfs_mod, otfs_demod, otfs_num_symbols
 from . import sync
 from .sync.ofdm_sync import (
     ofdm_sync, generate_ofdm_preamble, OfdmPreamble, TrainingSymbol,

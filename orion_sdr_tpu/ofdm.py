@@ -327,6 +327,23 @@ def zf_equalize(freq_syms, estimate):
     return (x * jnp.conj(h) / mag2).astype(jnp.complex64)
 
 
+def mmse_equalize(freq_syms, estimate, noise_var: float):
+    """Per-bin LMMSE: x·conj(h)/(|h|² + σ²).
+
+    ``noise_var`` is the complex noise variance PER FREQUENCY BIN relative
+    to unit-amplitude grid cells — the domain this equalizer runs in. For
+    time-domain AWGN of complex variance σ²ₜ entering the unity-gain
+    ``symbol_fft``, that is ``n_fft·σ²ₜ`` (the forward FFT has no 1/N).
+    Unlike ZF it shrinks deeply faded bins toward zero instead of
+    amplifying their noise — the right front end for diversity-combining
+    waveforms (DFT-s-OFDM, OTFS) where a later transform averages over
+    bins. Beyond the reference (ZF only, demodulate/ofdm.rs:427-448)."""
+    h = jnp.asarray(estimate)
+    x = jnp.asarray(freq_syms)
+    denom = jnp.abs(h) ** 2 + jnp.float32(max(noise_var, EQUALIZER_FLOOR))
+    return (x * jnp.conj(h) / denom).astype(jnp.complex64)
+
+
 def channel_estimate_training(rx_training_freq, known_freq):
     """TrainingSymbolHold: h[bin] = rx[bin]/known[bin]
     (ref: demodulate/ofdm.rs:347-356)."""
