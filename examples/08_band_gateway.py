@@ -66,7 +66,17 @@ def main():
     wide += (rng.standard_normal(n_wide) + 1j * rng.standard_normal(n_wide)
              ).astype(np.complex64) * np.sqrt(sig * 0.002 / 2)
 
-    rx = sdr.OfdmFrameBandStreamDemod(cfg, table, pre, centers, fs_wide)
+    # find the occupied channels blind — no channel plan needed
+    segs = sdr.spectrum_scan(wide, fs_wide, min_bw_hz=200e3)
+    found = [s.center_hz for s in segs]
+    print("spectrum_scan:", ", ".join(
+        f"{s.center_hz/1e6:+.2f} MHz ({s.bw_hz/1e3:.0f} kHz, "
+        f"{s.snr_db:.0f} dB)" for s in segs))
+    # scan centers ride the preamble's power comb (tens of kHz of skew);
+    # the receiver's integer-CFO search + S&C fractional capture absorb it
+    order = [int(np.argmin(np.abs(np.array(found) - fc))) for fc in centers]
+    rx = sdr.OfdmFrameBandStreamDemod(cfg, table, pre,
+                                      [found[i] for i in order], fs_wide)
     got = {}
     for i in range(0, n_wide, 30_000):          # stream in arbitrary chunks
         for c, res in rx.feed(wide[i:i + 30_000]).items():
