@@ -28,3 +28,4 @@ from .iir import (
 )
 from .agc import AgcParams, design_agc, agc_rms
 from .channelizer import Channelizer
+from .resample import resample, resample_taps, Resampler
