@@ -143,12 +143,15 @@ from .frame import (
 from . import waveform
 from .waveform import (
     DvbTLinkParams, DvbTFrameParams, DvbTSuperFrameParams,
+    DvbTHierLinkParams, DvbTHierFrameParams,
     TpsWord, dvb_t_config, dvb_t_scattered_config, dvb_t_mcs_table,
     DVB_T_MAX_RX_WINDOW_BACKOFF,
 )
-from .modulate.dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
+from .modulate.dvb_t_frame import (DvbTFrameMod, DvbTFrame, DvbTHierFrameMod,
+                                   tx_lowpass_for_2k)
 from .modulate.dvb_t_super_frame import DvbTSuperFrameMod, DvbTSuperFrame
-from .demodulate.dvb_t_frame import DvbTFrameDemod, DvbTRxFrame, DvbTRxError
+from .demodulate.dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
+                                      DvbTHierFrameDemod, DvbTHierRxFrame)
 from .demodulate.dvb_t_super_frame import DvbTSuperFrameDemod, DvbTRxSuperFrame
 from .demodulate.dvb_t_stream import (DvbTFrameStreamDemod,
                                       DvbTBandStreamDemod)

@@ -10,7 +10,8 @@ from .psk31 import (
     hard_decide_dbpsk, hard_decide_dqpsk,
 )
 from .ft8 import ft8_demod, ft4_demod
-from .dvb_t_frame import DvbTFrameDemod, DvbTRxFrame, DvbTRxError
+from .dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
+                          DvbTHierFrameDemod, DvbTHierRxFrame)
 from .dvb_t_super_frame import (
     DvbTSuperFrameDemod, DvbTRxSuperFrame, DvbTRxSuperFrameError,
 )

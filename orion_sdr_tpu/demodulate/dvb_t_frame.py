@@ -11,7 +11,7 @@ scattered phases (4 vectorized calls instead of n_symbols loop iterations).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ from ..frame.types import InterleaverKind, ScramblerKind, SCRAMBLER_BEFORE_OUTER
 from ..sync.dvb_t_gi_sync import dvb_t_gi_sync, dvb_t_integer_cfo
 from ..waveform.dvb_t import (
     DVB_T_N_FFT, DVB_T_DATA_CARRIERS, DVB_T_SCATTERED_PHASES, DvbTFrameParams,
+    DvbTHierFrameParams,
     guard_cp_len_2k, scattered_grid, scattered_extract_frame, dvb_t_soft_llrs,
     tps_carrier_bins, dvb_t_frame_outer, dvb_t_frame_outer_il,
 )
@@ -274,7 +275,7 @@ class DvbTFrameDemod:
 
 
 def _receive_frame_body(seg, n_symbols: int, cp_len: int, backoff: int,
-                        vbits: int):
+                        vbits: int, alpha: int = 1):
     """Pure-jax body of the fused receive (also embedded directly by the
     on-device benchmark harness and the sharded receive)."""
     freq = symbol_fft(seg, DVB_T_N_FFT, cp_len, backoff=backoff,
@@ -282,7 +283,7 @@ def _receive_frame_body(seg, n_symbols: int, cp_len: int, backoff: int,
     cells = freq[..., jnp.asarray(tps_carrier_bins())]
     eq, csi_full = scattered_equalize_csi(freq, backoff=backoff)
     data = scattered_extract_frame(eq)
-    llrs = dvb_t_soft_llrs(data, vbits)
+    llrs = dvb_t_soft_llrs(data, vbits, alpha)
     # CSI-weight the LLRs (max-ratio): ZF boosts noise 1/|h| on faded
     # carriers while max-log distances keep full confidence; scaling each
     # carrier's vbits LLRs by |h|²/mean(|h|²) restores per-bit reliability.
@@ -296,9 +297,101 @@ def _receive_frame_body(seg, n_symbols: int, cp_len: int, backoff: int,
 
 
 @cjit
-def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int):
+def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int,
+                   alpha: int = 1):
     """The whole per-frame device program: symbol FFT → per-phase
     scattered-pilot equalization → data extraction → Figure-9a LLRs, plus the
     raw TPS cells — ONE jit, two host fetches (the axon relay charges ~100 ms
     per boundary crossing, so stage-at-a-time hosting dominates otherwise)."""
-    return _receive_frame_body(seg, n_symbols, cp_len, backoff, vbits)
+    return _receive_frame_body(seg, n_symbols, cp_len, backoff, vbits, alpha)
+
+
+class DvbTHierRxFrame(NamedTuple):
+    """Hierarchical receive result: HP always present (decode raises if the
+    HP stream fails — the frame is then useless); LP is None when its FEC
+    failed but HP survived — the graceful-degradation contract hierarchy
+    exists to provide."""
+    hp_payload: np.ndarray
+    lp_payload: Optional[np.ndarray]
+    tps: TpsWord
+
+
+@dataclass
+class DvbTHierFrameDemod:
+    """Hierarchical frame demod (EN 300 744 §4.3.5/§5.1 — beyond the
+    reference): one fused receive program computes non-uniform-grid LLRs for
+    every cell; the HP (quadrant MSBs) and LP (remaining bits) LLR planes
+    then decode through their own RS + Forney + K=7 chains."""
+
+    params: "DvbTHierFrameParams"
+    rx_window_backoff: int = 0
+
+    def with_rx_window_backoff(self, backoff: int) -> "DvbTHierFrameDemod":
+        return DvbTHierFrameDemod(self.params, backoff)
+
+    @property
+    def fs(self) -> float:
+        from ..waveform.dvb_t import dvb_t_fs_for_bandwidth
+        return dvb_t_fs_for_bandwidth(1_000_000.0)
+
+    def decode(self, iq, n_symbols: int, hp_payload_len: int,
+               lp_payload_len: int) -> DvbTHierRxFrame:
+        params = self.params
+        params.link.validate()
+        cp_len = guard_cp_len_2k(params.link.guard)
+        sps = DVB_T_N_FFT + cp_len
+        vbits = BITS_PER_SYMBOL[params.link.constellation]
+        iq = np.asarray(iq)
+
+        acq = dvb_t_gi_sync(iq, DVB_T_N_FFT, cp_len, self.fs, sps)
+        if acq is None:
+            raise DvbTRxError(DvbTRxError.ACQUISITION)
+        start = acq.start_sample
+        if len(iq) < start + n_symbols * sps:
+            raise DvbTRxError(DvbTRxError.INCOMPLETE)
+
+        llrs, cells = _receive_frame(iq[start: start + n_symbols * sps],
+                                     n_symbols, cp_len,
+                                     self.rx_window_backoff, vbits,
+                                     params.link.alpha)
+        tps_word = None
+        for blk in range(n_symbols // TPS_SYMBOLS_PER_FRAME):
+            bits = tps_decode_frame(
+                cells[blk * TPS_SYMBOLS_PER_FRAME:
+                      (blk + 1) * TPS_SYMBOLS_PER_FRAME])
+            tps_word = TpsWord.unpack(bits)
+            if tps_word is not None:
+                break
+        if tps_word is None:
+            raise DvbTRxError(DvbTRxError.TPS_DECODE)
+
+        # demultiplex the per-cell LLRs into the two priority planes
+        per_cell = llrs.reshape(-1, vbits)
+        hp_llrs = np.ascontiguousarray(per_cell[:, :2]).reshape(-1)
+        lp_llrs = np.ascontiguousarray(per_cell[:, 2:]).reshape(-1)
+
+        hp = self._decode_stream(hp_llrs, params.inner_hp(), hp_payload_len)
+        if hp is None:
+            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
+        lp = self._decode_stream(lp_llrs, params.inner_lp(), lp_payload_len)
+        return DvbTHierRxFrame(hp_payload=hp, lp_payload=lp, tps=tps_word)
+
+    def _decode_stream(self, llrs, inner, payload_len: int):
+        n_ts = max(-(-payload_len // TS_PAYLOAD_LEN), 1)
+        ts_len = n_ts * TS_PACKET_LEN
+        plan = block_plan(ts_len, "none", dvb_t_frame_outer(), inner,
+                          dvb_t_frame_outer_il(), InterleaverKind.none())
+        try:
+            ts, ok = decode_chain(
+                llrs, plan, "none", dvb_t_frame_outer(), inner,
+                dvb_t_frame_outer_il(), InterleaverKind.none(),
+                ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
+        except Exception:                                  # noqa: BLE001
+            return None
+        if not ok or len(ts) < ts_len:
+            return None
+        ts = ts_energy_disperse(ts[:ts_len])
+        payload = ts_depacketize(ts)
+        if payload is None:
+            return None
+        return payload[:payload_len]

@@ -20,7 +20,8 @@ from .ft8 import (
     ft8_mod, ft4_mod, cpfsk_mod, ft8_symbol_sequence, ft4_symbol_sequence,
     ft8_mod_batch, ft4_mod_batch, cpfsk_mod_batch,
 )
-from .dvb_t_frame import DvbTFrameMod, DvbTFrame, tx_lowpass_for_2k
+from .dvb_t_frame import (DvbTFrameMod, DvbTFrame, DvbTHierFrameMod,
+                          tx_lowpass_for_2k)
 from .dvb_t_super_frame import (
     DvbTSuperFrameMod, DvbTSuperFrame, DvbTSuperFrameParams,
     DVB_T_FRAMES_PER_SUPER_FRAME,

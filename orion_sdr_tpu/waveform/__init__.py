@@ -16,6 +16,7 @@ from .dvb_t import (
     dvb_t_mcs_table, dvb_t_config, dvb_t_scattered_config,
     dvb_t_frame_outer, dvb_t_frame_outer_il,
     DvbTLinkParams, DvbTFrameParams, DvbTSuperFrameParams,
+    DvbTHierLinkParams, DvbTHierFrameParams, dvb_t_axis, DVB_T_ALPHAS,
     DVB_T_FRAMES_PER_SUPER_FRAME,
 )
 from .dvb_t_tps import (

@@ -64,11 +64,35 @@ DVB_T_AXIS = {
 
 _DVB_ORDERS = {"qpsk": 2, "qam16": 4, "qam64": 6}
 
+# Hierarchical non-uniform constellations (§4.3.5, Figures 9b/9c): every
+# uniform axis magnitude u shifts outward to u + (α−1), pushing the four
+# quadrant clusters apart so the two MSBs (the embedded-QPSK HP stream)
+# survive lower SNR. α ∈ {1, 2, 4}; α = 1 is the uniform grid reused by
+# hierarchical multiplexing. (Beyond the reference — it implements only
+# non-hierarchical Figure 9a, waveform/dvb_t.rs:112-268.)
+DVB_T_ALPHAS = (1, 2, 4)
 
-def axis_scale(v: int) -> float:
-    """1/√(2(M²−1)/3) with M = 2^(v/2) levels per axis — unit symbol energy."""
-    m = 1 << (v // 2)
-    return 1.0 / np.sqrt(2.0 * (m * m - 1) / 3.0)
+
+def dvb_t_axis(v: int, alpha: int = 1) -> np.ndarray:
+    """Non-uniform per-axis level table: sign(u)·(|u| + α − 1)."""
+    if alpha not in DVB_T_ALPHAS:
+        raise ValueError(f"alpha must be one of {DVB_T_ALPHAS}, got {alpha}")
+    if alpha != 1 and v == 2:
+        raise ValueError("hierarchical alpha applies to 16-/64-QAM only")
+    u = DVB_T_AXIS[v]
+    return (np.sign(u) * (np.abs(u) + (alpha - 1))).astype(np.float32)
+
+
+def axis_scale(v: int, alpha: int = 1) -> float:
+    """1/√(2·E[axis²]) — unit mean symbol energy. For α = 1 this is the
+    uniform 1/√(2(M²−1)/3); the spec's non-uniform factors (1/√20, 1/√52
+    for 16-QAM α=2/4; 1/√60, 1/√108 for 64-QAM) fall out of the same
+    expectation over the shifted level set."""
+    if alpha == 1:
+        m = 1 << (v // 2)
+        return 1.0 / np.sqrt(2.0 * (m * m - 1) / 3.0)
+    mags = np.abs(dvb_t_axis(v, alpha)).astype(np.float64)
+    return float(1.0 / np.sqrt(2.0 * np.mean(mags * mags)))
 
 
 def is_dvb_t_constellation(order: str) -> bool:
@@ -76,10 +100,10 @@ def is_dvb_t_constellation(order: str) -> bool:
 
 
 @lru_cache(maxsize=8)
-def _point_table(v: int) -> np.ndarray:
+def _point_table(v: int, alpha: int = 1) -> np.ndarray:
     """(2^v,) complex64: constellation point per v-bit label y0..y(v-1)."""
-    table = DVB_T_AXIS[v]
-    scale = axis_scale(v)
+    table = dvb_t_axis(v, alpha)
+    scale = axis_scale(v, alpha)
     k = v // 2
     labels = np.arange(1 << v)
     # de-interleave label bits: even positions → I index, odd → Q index
@@ -94,18 +118,19 @@ def _point_table(v: int) -> np.ndarray:
 
 
 @cjit
-def dvb_t_map_symbols(bits, v: int):
-    """(..., n·v) bits → (..., n) Figure-9a constellation points (vectorized
-    over whole frames; ref dvb_t_map_symbol).
+def dvb_t_map_symbols(bits, v: int, alpha: int = 1):
+    """(..., n·v) bits → (..., n) Figure-9a/9b/9c constellation points
+    (vectorized over whole frames; ref dvb_t_map_symbol — alpha ≠ 1 is the
+    hierarchical non-uniform grid, beyond the reference).
 
-    The axis tables factor as sign(MSB) × (M−1 − 2·gray_decode(rest)), so
-    the mapping is pure bit arithmetic — a per-cell table gather is
+    The axis tables factor as sign(MSB) × (M−1 − 2·gray_decode(rest) + α−1),
+    so the mapping is pure bit arithmetic — a per-cell table gather is
     VPU-serial on TPU (measured ~90× slower in the QAM mapper)."""
     b = jnp.asarray(bits).astype(jnp.int32) & 1
     g = b.reshape(b.shape[:-1] + (-1, v))
     k = v // 2
     m = 1 << k
-    scale = axis_scale(v)
+    scale = axis_scale(v, alpha)
 
     def axis_val(ab):
         # ab: (..., n, k) axis bits MSB-first
@@ -115,7 +140,8 @@ def dvb_t_map_symbols(bits, v: int):
         low = idx & ((1 << max(k - 1, 0)) - 1)
         gd = low ^ (low >> 1)
         gd = gd ^ (gd >> 2)
-        return (sign * (m - 1 - 2 * gd)).astype(jnp.float32) * scale
+        return (sign * (m - 1 - 2 * gd + (alpha - 1))
+                ).astype(jnp.float32) * scale
 
     re = axis_val(g[..., 0::2])          # even y-bits → I axis
     im = axis_val(g[..., 1::2])          # odd y-bits → Q axis
@@ -131,9 +157,9 @@ def dvb_t_map_symbol(bits):
 
 
 @cjit
-def dvb_t_demap_symbols(syms, v: int):
+def dvb_t_demap_symbols(syms, v: int, alpha: int = 1):
     """Hard nearest-point inverse → (..., n·v) bits."""
-    table = jnp.asarray(DVB_T_AXIS[v] * axis_scale(v))
+    table = jnp.asarray(dvb_t_axis(v, alpha) * axis_scale(v, alpha))
     s = jnp.asarray(syms)
     k = v // 2
     i_idx = jnp.argmin(jnp.abs(s.real[..., None] - table), axis=-1)
@@ -146,10 +172,11 @@ def dvb_t_demap_symbols(syms, v: int):
 
 
 @cjit
-def dvb_t_soft_llrs(syms, v: int):
+def dvb_t_soft_llrs(syms, v: int, alpha: int = 1):
     """Max-log LLRs in y0..y(v−1) order, positive ⇒ bit 0 (ref dvb_t_soft_llr),
-    vectorized over whole frames → (..., n·v) float32."""
-    table = jnp.asarray(DVB_T_AXIS[v] * axis_scale(v))
+    vectorized over whole frames → (..., n·v) float32. ``alpha ≠ 1``
+    evaluates distances against the hierarchical non-uniform grid."""
+    table = jnp.asarray(dvb_t_axis(v, alpha) * axis_scale(v, alpha))
     s = jnp.asarray(syms)
     k = v // 2
     idx = np.arange(len(DVB_T_AXIS[v]))
@@ -479,6 +506,51 @@ class DvbTFrameParams:
         return OfdmConfig(plan0, fs=dvb_t_fs_for_bandwidth(1_000_000.0),
                           constellation=self.link.constellation) \
             .with_dvb_t_scattered(True)
+
+
+@dataclass(frozen=True)
+class DvbTHierLinkParams:
+    """Hierarchical link constants (§4.3.5/§5.1, beyond the reference):
+    non-uniform 16-/64-QAM with two independently-coded transport streams —
+    HP rides the 2 quadrant MSBs (an embedded QPSK), LP the remaining
+    v−2 bits. ``alpha`` ∈ {1, 2, 4} sets quadrant separation (1 = uniform
+    grid, hierarchy by multiplexing only)."""
+    guard: str = "1/32"
+    constellation: str = "qam16"     # qam16 | qam64
+    alpha: int = 2
+    code_rate_hp: str = "1/2"
+    code_rate_lp: str = "3/4"
+
+    def validate(self) -> None:
+        if self.constellation not in ("qam16", "qam64"):
+            raise ValueError("hierarchical DVB-T requires 16- or 64-QAM")
+        if self.alpha not in DVB_T_ALPHAS:
+            raise ValueError(f"alpha must be one of {DVB_T_ALPHAS}")
+
+
+@dataclass(frozen=True)
+class DvbTHierFrameParams:
+    """One hierarchical frame's transmission parameters."""
+    link: DvbTHierLinkParams
+    frame_number: int = 0
+    cell_id: int = 0
+
+    def inner_hp(self):
+        from ..frame.types import InnerFec
+        return InnerFec.convolutional(self.link.code_rate_hp, "dvb_k7")
+
+    def inner_lp(self):
+        from ..frame.types import InnerFec
+        return InnerFec.convolutional(self.link.code_rate_lp, "dvb_k7")
+
+    def tps_word(self):
+        from .dvb_t_tps import TpsWord
+        return TpsWord(frame_number=self.frame_number,
+                       constellation=self.link.constellation,
+                       code_rate_hp=self.link.code_rate_hp,
+                       guard=self.link.guard, cell_id=self.cell_id,
+                       hierarchy=self.link.alpha,
+                       code_rate_lp=self.link.code_rate_lp)
 
 
 DVB_T_FRAMES_PER_SUPER_FRAME = 4

@@ -152,16 +152,24 @@ _RATE_CODE = {"1/2": 0b000, "2/3": 0b001, "3/4": 0b010, "5/6": 0b011,
 _RATE_FROM = {v: k for k, v in _RATE_CODE.items()}
 _GUARD_CODE = {"1/32": 0b00, "1/16": 0b01, "1/8": 0b10, "1/4": 0b11}
 _GUARD_FROM = {v: k for k, v in _GUARD_CODE.items()}
+# s26..s28 hierarchy information (§4.6.2.5): non-hierarchical or α value.
+_HIERARCHY_CODE = {0: 0b000, 1: 0b001, 2: 0b010, 4: 0b011}
+_HIERARCHY_FROM = {v: k for k, v in _HIERARCHY_CODE.items()}
 
 
 @dataclass(frozen=True)
 class TpsWord:
-    """Decoded TPS parameters for one frame (ref TpsWord)."""
+    """Decoded TPS parameters for one frame (ref TpsWord; ``hierarchy`` /
+    ``code_rate_lp`` extend it with §4.6.2.5's hierarchical signalling —
+    hierarchy 0 = non-hierarchical, else the α value, with the LP stream's
+    code rate in s32..s34)."""
     frame_number: int = 0
     constellation: str = "qpsk"
     code_rate_hp: str = "1/2"
     guard: str = "1/32"
     cell_id: int = 0
+    hierarchy: int = 0
+    code_rate_lp: Optional[str] = None
 
     def sync_word(self) -> int:
         return TPS_SYNC_WORD_13 if self.frame_number % 2 == 0 \
@@ -179,10 +187,13 @@ class TpsWord:
         put(16, 6, _TPS_LENGTH_WITH_CELL_ID)               # s17..s22
         put(22, 2, self.frame_number & 0b11)               # s23,s24
         put(24, 2, _CONSTELLATION_CODE.get(self.constellation, 0))
-        put(26, 3, 0)                                      # hierarchy 000
+        put(26, 3, _HIERARCHY_CODE[self.hierarchy])        # s26..s28
         rate = _RATE_CODE[self.code_rate_hp]
         put(29, 3, rate)                                   # HP rate
-        put(32, 3, rate)                                   # LP mirrors HP
+        # LP rate; a non-hierarchical word mirrors HP (wire-identical to the
+        # reference's packing)
+        put(32, 3, _RATE_CODE[self.code_rate_lp]
+            if self.code_rate_lp is not None else rate)
         put(35, 2, _GUARD_CODE[self.guard])
         put(37, 2, 0)                                      # 2K mode = 00
         put(39, 8, self.cell_id & 0xFF)
@@ -206,11 +217,19 @@ class TpsWord:
 
         constellation = _CONSTELLATION_FROM.get(get(24, 2))
         rate = _RATE_FROM.get(get(29, 3))
-        if constellation is None or rate is None:
+        hierarchy = _HIERARCHY_FROM.get(get(26, 3))
+        rate_lp = _RATE_FROM.get(get(32, 3))
+        if constellation is None or rate is None or hierarchy is None \
+                or rate_lp is None:
             return None
+        # a non-hierarchical word whose LP field mirrors HP round-trips to
+        # the reference-compatible default (code_rate_lp=None)
+        if hierarchy == 0 and rate_lp == rate:
+            rate_lp = None
         return cls(frame_number=get(22, 2), constellation=constellation,
                    code_rate_hp=rate, guard=_GUARD_FROM[get(35, 2)],
-                   cell_id=get(39, 8))
+                   cell_id=get(39, 8), hierarchy=hierarchy,
+                   code_rate_lp=rate_lp)
 
 
 # ── DBPSK along the symbol axis ──────────────────────────────────────────────

@@ -1,0 +1,169 @@
+"""Hierarchical DVB-T (EN 300 744 §4.3.5/§5.1) — beyond the reference,
+which implements only the non-hierarchical Figure-9a path
+(waveform/dvb_t.rs:112-268). Non-uniform constellations, TPS hierarchy
+signalling, dual-stream frame roundtrips, and the graceful-degradation
+contract (HP survives noise that kills LP)."""
+
+import numpy as np
+import pytest
+
+from orion_sdr_tpu.waveform.dvb_t import (
+    DVB_T_ALPHAS, DvbTHierLinkParams, DvbTHierFrameParams,
+    dvb_t_axis, axis_scale, dvb_t_map_symbols, dvb_t_demap_symbols,
+    dvb_t_soft_llrs,
+)
+from orion_sdr_tpu.waveform.dvb_t_tps import TpsWord
+from orion_sdr_tpu.modulate.dvb_t_frame import DvbTHierFrameMod
+from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTHierFrameDemod
+
+
+def _payload(n, seed):
+    return np.random.default_rng(seed).integers(0, 256, n).astype(np.uint8)
+
+
+def _awgn(iq, snr_db, seed):
+    rng = np.random.default_rng(seed)
+    sig_p = float(np.mean(np.abs(iq) ** 2))
+    sigma = np.sqrt(sig_p / 10 ** (snr_db / 10) / 2)
+    return iq + ((rng.standard_normal(len(iq)) +
+                  1j * rng.standard_normal(len(iq)))
+                 .astype(np.complex64) * sigma)
+
+
+# ── non-uniform constellation known answers (spec Figures 9b/9c) ─────────────
+
+def test_nonuniform_axis_tables_and_scales():
+    # 16-QAM: axis magnitudes {α, α+2}; normalization 1/√20 (α=2), 1/√52 (α=4)
+    assert np.array_equal(dvb_t_axis(4, 2), np.float32([4, 2, -4, -2]))
+    assert np.array_equal(dvb_t_axis(4, 4), np.float32([6, 4, -6, -4]))
+    assert axis_scale(4, 2) == pytest.approx(1 / np.sqrt(20))
+    assert axis_scale(4, 4) == pytest.approx(1 / np.sqrt(52))
+    # 64-QAM: magnitudes {α, α+2, α+4, α+6}; 1/√60 (α=2), 1/√108 (α=4)
+    assert np.array_equal(dvb_t_axis(6, 2),
+                          np.float32([8, 6, 2, 4, -8, -6, -2, -4]))
+    assert axis_scale(6, 2) == pytest.approx(1 / np.sqrt(60))
+    assert axis_scale(6, 4) == pytest.approx(1 / np.sqrt(108))
+    # α = 1 reproduces the uniform grid exactly
+    assert np.array_equal(dvb_t_axis(4, 1), np.float32([3, 1, -3, -1]))
+    assert axis_scale(4, 1) == pytest.approx(axis_scale(4))
+
+
+def test_nonuniform_alpha_validation():
+    with pytest.raises(ValueError):
+        dvb_t_axis(4, 3)
+    with pytest.raises(ValueError):
+        dvb_t_axis(2, 2)          # no hierarchical QPSK
+    with pytest.raises(ValueError):
+        DvbTHierLinkParams(constellation="qpsk", alpha=2).validate()
+    with pytest.raises(ValueError):
+        DvbTHierLinkParams(constellation="qam16", alpha=3).validate()
+
+
+@pytest.mark.parametrize("v", [4, 6])
+@pytest.mark.parametrize("alpha", DVB_T_ALPHAS)
+def test_nonuniform_map_demap_llr_exhaustive(v, alpha):
+    labels = np.arange(1 << v)
+    bits = ((labels[:, None] >> np.arange(v - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+    syms = dvb_t_map_symbols(bits, v, alpha)
+    # unit mean symbol energy
+    assert float(np.mean(np.abs(np.asarray(syms)) ** 2)) == pytest.approx(
+        1.0, rel=1e-5)
+    assert np.array_equal(
+        np.asarray(dvb_t_demap_symbols(syms, v, alpha)).reshape(-1), bits)
+    llr = np.asarray(dvb_t_soft_llrs(syms, v, alpha)).reshape(-1)
+    assert np.array_equal((llr < 0).astype(np.uint8), bits)
+
+
+def test_nonuniform_quadrants_separate_with_alpha():
+    """Raising α must widen the quadrant (HP) minimum distance and shrink
+    the intra-cluster (LP) spacing — the protection trade hierarchy makes."""
+    def dists(alpha):
+        t = dvb_t_axis(6, alpha) * axis_scale(6, alpha)
+        pos = np.sort(t[t > 0])
+        return 2 * pos[0], pos[1] - pos[0]     # quadrant gap, LP spacing
+    q1, l1 = dists(1)
+    q2, l2 = dists(2)
+    q4, l4 = dists(4)
+    assert q1 < q2 < q4
+    assert l1 > l2 > l4
+
+
+# ── TPS hierarchy signalling (§4.6.2.5) ──────────────────────────────────────
+
+def test_tps_hierarchy_word_roundtrip():
+    w = TpsWord(frame_number=3, constellation="qam64", code_rate_hp="1/2",
+                guard="1/4", cell_id=0xAB, hierarchy=4, code_rate_lp="7/8")
+    assert TpsWord.unpack(w.pack()) == w
+    # α = 1 (hierarchy by multiplexing on the uniform grid) is distinct
+    # from non-hierarchical on the wire
+    w1 = TpsWord(constellation="qam16", hierarchy=1, code_rate_lp="2/3")
+    got = TpsWord.unpack(w1.pack())
+    assert got.hierarchy == 1 and got.code_rate_lp == "2/3"
+
+
+def test_tps_non_hierarchical_wire_compat():
+    """Default words keep the reference's exact packing: hierarchy bits 000,
+    LP rate mirroring HP, and the roundtrip restores code_rate_lp=None."""
+    w = TpsWord(frame_number=2, constellation="qam16", code_rate_hp="2/3",
+                guard="1/16", cell_id=9)
+    bits = w.pack()
+    assert np.array_equal(bits[1 + 26:1 + 29], [0, 0, 0])        # s26..s28
+    assert np.array_equal(bits[1 + 29:1 + 32], bits[1 + 32:1 + 35])
+    got = TpsWord.unpack(bits)
+    assert got == w and got.hierarchy == 0 and got.code_rate_lp is None
+
+
+# ── dual-stream frame roundtrips ─────────────────────────────────────────────
+
+def test_hier_frame_roundtrip_unknown_offset():
+    link = DvbTHierLinkParams(guard="1/8", constellation="qam16", alpha=2,
+                              code_rate_hp="1/2", code_rate_lp="3/4")
+    params = DvbTHierFrameParams(link=link, frame_number=1, cell_id=0x42)
+    hp, lp = _payload(400, 0), _payload(1200, 1)
+    frame = DvbTHierFrameMod(params).modulate(hp, lp)
+    buf = np.concatenate([np.zeros(913, np.complex64), frame.iq,
+                          np.zeros(500, np.complex64)])
+    rx = DvbTHierFrameDemod(params).decode(buf, frame.n_symbols,
+                                           len(hp), len(lp))
+    assert np.array_equal(rx.hp_payload, hp)
+    assert rx.lp_payload is not None and np.array_equal(rx.lp_payload, lp)
+    assert rx.tps.hierarchy == 2 and rx.tps.code_rate_lp == "3/4"
+    assert rx.tps.constellation == "qam16" and rx.tps.cell_id == 0x42
+
+
+def test_hier_frame_qam64_alpha1_multiplexing_only():
+    """α = 1: uniform grid, hierarchy purely by stream multiplexing."""
+    link = DvbTHierLinkParams(guard="1/32", constellation="qam64", alpha=1,
+                              code_rate_hp="2/3", code_rate_lp="2/3")
+    params = DvbTHierFrameParams(link=link)
+    hp, lp = _payload(300, 2), _payload(900, 3)
+    frame = DvbTHierFrameMod(params).modulate(hp, lp)
+    rx = DvbTHierFrameDemod(params).decode(frame.iq, frame.n_symbols,
+                                           len(hp), len(lp))
+    assert np.array_equal(rx.hp_payload, hp)
+    assert np.array_equal(rx.lp_payload, lp)
+
+
+def test_hier_graceful_degradation():
+    """The contract hierarchy exists for: at mid SNR the embedded-QPSK HP
+    stream decodes while the LP stream's FEC fails — the receiver reports
+    the HP payload with lp_payload=None instead of failing the frame.
+    (Measured thresholds for qam64 α=4 HP r1/2 / LP r2/3: both decode at
+    22 dB; LP fails from ~20 dB down; HP holds to ~5 dB.)"""
+    link = DvbTHierLinkParams(guard="1/32", constellation="qam64", alpha=4,
+                              code_rate_hp="1/2", code_rate_lp="2/3")
+    params = DvbTHierFrameParams(link=link)
+    hp, lp = _payload(400, 4), _payload(800, 5)
+    frame = DvbTHierFrameMod(params).modulate(hp, lp)
+    dem = DvbTHierFrameDemod(params)
+
+    rx = dem.decode(_awgn(frame.iq, 24.0, 42), frame.n_symbols,
+                    len(hp), len(lp))
+    assert np.array_equal(rx.hp_payload, hp)
+    assert rx.lp_payload is not None and np.array_equal(rx.lp_payload, lp)
+
+    rx = dem.decode(_awgn(frame.iq, 9.0, 42), frame.n_symbols,
+                    len(hp), len(lp))
+    assert np.array_equal(rx.hp_payload, hp)     # HP rides the wide quadrants
+    assert rx.lp_payload is None                 # LP is gone at 9 dB — by design
