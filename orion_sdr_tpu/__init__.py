@@ -43,6 +43,14 @@ from .modulate.analog import cw_mod, am_mod, ssb_mod, fm_mod, pm_mod
 from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
                                 ssb_demod, fm_demod, pm_demod)
 
+# ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────
+from .modulate.fm_stereo import (fm_stereo_mod, stereo_mpx, rds_manchester,
+                                 FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ)
+from .demodulate.fm_stereo import fm_stereo_demod, FmStereoAudio
+from .codec.rds import (RDS_OFFSETS, rds_crc10, rds_block_encode,
+                        rds_groups_0a, rds_groups_2a, rds_encode_groups,
+                        rds_decode_bits, RdsData)
+
 # ── single-carrier digital (BpskMod/BpskDemod … QamDemod) ────────────────────
 from .modulate.digital import psk_qam_mod, digital_mod
 from .demodulate.digital import psk_qam_demod, digital_demod

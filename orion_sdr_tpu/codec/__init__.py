@@ -19,6 +19,9 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .rds import (RDS_OFFSETS, RDS_GEN, RDS_SYMBOL_RATE, rds_crc10,
+                  rds_block_encode, rds_block_classify, rds_groups_0a,
+                  rds_groups_2a, rds_encode_groups, rds_decode_bits, RdsData)
 
 
 def __getattr__(name):

@@ -4,6 +4,7 @@ from .analog import (
     ssb_demod, SsbDemodState,
     fm_demod, pm_demod, QuadDemodState,
 )
+from .fm_stereo import fm_stereo_demod, FmStereoAudio
 from .digital import psk_qam_demod, digital_demod
 from .psk31 import (
     bpsk31_demod, qpsk31_demod, bpsk31_decide,

@@ -3,7 +3,11 @@ from .analog import (
     am_mod,
     ssb_mod, SsbState,
     fm_mod, FmState,
-    pm_mod,
+)
+from .analog import pm_mod
+from .fm_stereo import (
+    fm_stereo_mod, stereo_mpx, rds_manchester,
+    FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ, FM_STEREO_MIN_FS,
 )
 from .digital import psk_qam_mod, digital_mod
 from .psk31 import (
