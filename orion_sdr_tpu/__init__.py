@@ -46,7 +46,8 @@ from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
 # ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────
 from .modulate.fm_stereo import (fm_stereo_mod, stereo_mpx, rds_manchester,
                                  FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ)
-from .demodulate.fm_stereo import fm_stereo_demod, FmStereoAudio
+from .demodulate.fm_stereo import (fm_stereo_demod, FmStereoAudio,
+                                   fm_band_demod, FmStation)
 from .codec.rds import (RDS_OFFSETS, rds_crc10, rds_block_encode,
                         rds_groups_0a, rds_groups_2a, rds_encode_groups,
                         rds_decode_bits, RdsData)

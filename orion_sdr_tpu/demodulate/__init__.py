@@ -4,7 +4,8 @@ from .analog import (
     ssb_demod, SsbDemodState,
     fm_demod, pm_demod, QuadDemodState,
 )
-from .fm_stereo import fm_stereo_demod, FmStereoAudio
+from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
+                        fm_band_demod, FmStation)
 from .digital import psk_qam_demod, digital_demod
 from .psk31 import (
     bpsk31_demod, qpsk31_demod, bpsk31_decide,

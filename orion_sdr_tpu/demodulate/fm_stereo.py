@@ -145,3 +145,58 @@ def fm_stereo_demod(iq, fs, deviation_hz: float = 75e3,
                          pilot_level=(float(pilot_mag) if z.ndim == 1
                                       else np.asarray(pilot_mag)),
                          rds=rds_data, rds_bits=rds_bits)
+
+
+class FmStation(NamedTuple):
+    """One broadcast station recovered by :func:`fm_band_demod`."""
+    center_hz: float
+    audio: FmStereoAudio
+
+
+def fm_band_demod(iq, fs, stations_hz=None, deviation_hz: float = 75e3,
+                  de_emphasis_us: float = 0.0, decode_rds: bool = False,
+                  scan_threshold_db: float = 10.0,
+                  min_station_bw_hz: float = 100e3) -> list:
+    """Gateway receive of a whole FM broadcast band: scan (or take) station
+    centers, channelize every station out of the wideband capture in ONE
+    batched device program (dsp.Channelizer), then stereo-demodulate all of
+    them together as one batched program. Beyond the reference, whose FM
+    demod is one mono channel at a time.
+
+    ``stations_hz``: offsets from the capture center; None = blind
+    :func:`orion_sdr_tpu.spectrum_scan` keeping segments wider than
+    ``min_station_bw_hz``. Returns [FmStation], strongest first when
+    scanned. Audio comes back at the channel rate fs/m (m chosen so the
+    channel rate lands in [240k, 480k))."""
+    from ..dsp.channelizer import Channelizer
+    z = np.asarray(iq)
+    if z.ndim != 1:
+        raise ValueError("fm_band_demod takes a 1-D wideband capture")
+    if stations_hz is None:
+        from ..util import spectrum_scan
+        segs = spectrum_scan(z, fs, threshold_db=scan_threshold_db,
+                             min_bw_hz=min_station_bw_hz)
+        stations_hz = [s.center_hz for s in segs]
+    stations_hz = list(stations_hz)
+    if not stations_hz:
+        return []
+    m = max(1, int(fs // 240_000.0))
+    ch_fs = fs / m
+    if ch_fs < FM_STEREO_MIN_FS:
+        raise ValueError(f"capture rate {fs} too low for the 57 kHz "
+                         f"composite (channel rate {ch_fs:.0f})")
+    chan = Channelizer(fs, ch_fs, stations_hz, passband_hz=60_000.0)
+    parts = [chan.push(z), chan.flush()]
+    chans = np.concatenate([p for p in parts if p.shape[-1]], axis=-1)
+    out = fm_stereo_demod(chans, ch_fs, deviation_hz=deviation_hz,
+                          de_emphasis_us=de_emphasis_us,
+                          decode_rds=decode_rds)
+    result = []
+    for i, c_hz in enumerate(stations_hz):
+        audio = FmStereoAudio(
+            left=out.left[i], right=out.right[i], mono=out.mono[i],
+            pilot_level=float(out.pilot_level[i]),
+            rds=(out.rds[i] if decode_rds else None),
+            rds_bits=(out.rds_bits[i] if decode_rds else None))
+        result.append(FmStation(center_hz=float(c_hz), audio=audio))
+    return result

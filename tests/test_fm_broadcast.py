@@ -157,6 +157,48 @@ def test_fm_stereo_fs_validation_and_manchester_seam():
     assert wave.shape == (4096,) and np.isfinite(wave).all()
 
 
+def test_fm_band_demod_blind_scan_three_stations():
+    """Gateway receive: 3 stereo+RDS stations in one 2.4 MHz capture, found
+    blind by spectrum_scan, channelized + demodulated in batched device
+    programs."""
+    from orion_sdr_tpu.demodulate.fm_stereo import fm_band_demod
+    from orion_sdr_tpu.dsp.osc import rotate
+    fs_wide = 2_400_000.0
+    n = (1 << 18) * 10
+    t = np.arange(n) / fs_wide
+
+    def station(f_l, f_r, ps, center, gain=1.0):
+        left = (0.8 * np.sin(2 * np.pi * f_l * t)).astype(np.float32)
+        right = (0.8 * np.sin(2 * np.pi * f_r * t)).astype(np.float32)
+        bits = R.rds_encode_groups(R.rds_groups_0a(0x1234, ps_name=ps))
+        iq, _ = fm_stereo_mod(left, right, fs_wide, rds_bits=bits)
+        return gain * np.asarray(rotate(np.asarray(iq), center, fs_wide)[0])
+
+    band = (station(1000, 2500, "ALPHA FM", -800e3)
+            + station(600, 1800, "BETA  FM", 0.0)
+            + station(400, 3000, "GAMMAFM ", 650e3, gain=0.5)
+            ).astype(np.complex64)
+    rng = np.random.default_rng(1)
+    band += ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             .astype(np.complex64) * 0.02)
+    stations = fm_band_demod(band, fs_wide, decode_rds=True)
+    found = {s.audio.rds.ps_name: s for s in stations}
+    assert set(found) == {"ALPHA FM", "BETA  FM", "GAMMAFM "}
+    assert abs(found["ALPHA FM"].center_hz + 800e3) < 5e3
+    assert abs(found["GAMMAFM "].center_hz - 650e3) < 5e3
+    for name, (f_l, f_r) in {"ALPHA FM": (1000, 2500),
+                             "BETA  FM": (600, 1800),
+                             "GAMMAFM ": (400, 3000)}.items():
+        a = found[name].audio
+        assert a.pilot_level == pytest.approx(0.09, rel=0.1)
+        l_amp = _tone_amp(a.left, f_l, fs=240_000.0)
+        leak = _tone_amp(a.right, f_l, fs=240_000.0)
+        assert l_amp == pytest.approx(0.8, rel=0.1)
+        assert 20 * np.log10(l_amp / max(leak, 1e-9)) > 25.0
+        assert _tone_amp(a.right, f_r, fs=240_000.0) == pytest.approx(
+            0.8, rel=0.1)
+
+
 def test_de_emphasis_attenuates_highs():
     n = 1 << 17
     t = np.arange(n) / FS
