@@ -27,5 +27,5 @@ from .iir import (
     LpDcState,
 )
 from .agc import AgcParams, design_agc, agc_rms
-from .channelizer import Channelizer
+from .channelizer import Channelizer, band_compose
 from .resample import resample, resample_taps, Resampler

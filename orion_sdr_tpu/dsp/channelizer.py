@@ -17,7 +17,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from .device import cjit, sanitize_iq
-from .fir import fir_apply, kaiser_lowpass_taps, kaiser_num_taps
+from .fir import (fir_apply, fir_filter_aligned, kaiser_lowpass_taps,
+                  kaiser_num_taps)
 
 _TAU = float(2.0 * np.pi)
 
@@ -44,6 +45,64 @@ def _channelize_block(iq, centers, phase0, fir_state, taps: tuple, m: int,
     y, st = fir_apply(zb, np.asarray(taps, np.float32),
                       state=jnp.asarray(fir_state))
     return y[..., ::m], phase_out, st
+
+
+@cjit
+def _band_compose_block(chans, centers, taps: tuple, m: int, fs_out: float):
+    """Interpolate C channel-rate signals ×m, mix each to its center, sum —
+    one device program (the TX mirror of _channelize_block)."""
+    x = jnp.asarray(chans)
+    c, n = x.shape[-2], x.shape[-1]
+    xz = jnp.zeros(x.shape[:-1] + (n * m,), x.dtype)
+    xz = xz.at[..., ::m].set(x)
+    t = np.asarray(taps, np.float32) * m          # restore zero-stuff power
+    y = fir_filter_aligned(xz, t)
+    f = jnp.asarray(centers, jnp.float32)
+    w = jnp.float32(_TAU / fs_out) * f            # rad/sample, +center mix
+    k = jnp.arange(1, n * m + 1, dtype=jnp.float32)
+    ph = w[:, None] * k
+    return jnp.sum(y * jnp.exp(1j * ph), axis=-2).astype(jnp.complex64)
+
+
+def band_compose(chans, centers_hz, fs_out: float, fs_in: float,
+                 passband_hz: float | None = None,
+                 stopband_db: float = 60.0) -> np.ndarray:
+    """Compose C channel-rate signals into ONE wideband capture: zero-stuff
+    ×(fs_out/fs_in), anti-image lowpass (batched over channels), mix each
+    channel to its center, sum — the TX mirror of :class:`Channelizer` and
+    the gateway transmitter's back end (beyond the reference, which has no
+    multi-signal composition). Group-delay-free: channel sample k lands at
+    wideband sample k·m.
+
+    ``chans``: (C, n) complex at ``fs_in``; ``centers_hz``: (C,) offsets
+    from the output center; ``fs_out`` must be an integer multiple of
+    ``fs_in``. Returns (n·m,) complex64."""
+    x = np.asarray(chans)
+    if x.ndim != 2:
+        raise ValueError("chans must be (C, n)")
+    m = fs_out / fs_in
+    if abs(m - round(m)) > 1e-9 or round(m) < 1:
+        raise ValueError(f"fs_out ({fs_out}) must be an integer multiple "
+                         f"of fs_in ({fs_in})")
+    m = int(round(m))
+    centers = np.asarray(list(centers_hz), np.float32)
+    if centers.shape != (x.shape[0],):
+        raise ValueError("need one center per channel")
+    if np.any(np.abs(centers) >= fs_out / 2.0):
+        raise ValueError("channel centers must sit inside ±fs_out/2")
+    if m == 1:
+        taps = np.ones(1, np.float32)
+    else:
+        if passband_hz is None:
+            passband_hz = 0.4 * fs_in
+        pass_n = float(passband_hz) / fs_out
+        stop_n = 0.5 * fs_in / fs_out
+        trans = max(stop_n - pass_n, 1e-4)
+        taps = kaiser_lowpass_taps(kaiser_num_taps(trans, stopband_db),
+                                   0.5 * (pass_n + stop_n), stopband_db)
+    return np.asarray(_band_compose_block(x.astype(np.complex64), centers,
+                                          tuple(taps.tolist()), m,
+                                          float(fs_out)))
 
 
 class Channelizer:

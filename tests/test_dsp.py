@@ -332,3 +332,68 @@ def test_channelizer_extracts_tones():
     ch2 = Channelizer(fs_wide, fs_out, centers)
     y2 = ch2.push(x)
     np.testing.assert_allclose(y[:, :y2.shape[-1]], y2, atol=1e-5)
+
+
+def test_band_compose_grid_exact_and_mixback():
+    """TX mirror of the channelizer: group-delay-free interpolation (channel
+    sample k lands at wideband sample k·m) and clean center mixing."""
+    from orion_sdr_tpu import dsp
+    fs_in, m = 100_000.0, 8
+    fs_out = fs_in * m
+    n = 2048
+    rng = np.random.default_rng(0)
+    taps_bl = dsp.kaiser_lowpass_taps(63, 0.15, 60.0)
+    x = np.asarray(dsp.fir_filter_aligned(
+        (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64), taps_bl))[None]
+    wide = dsp.band_compose(x, [0.0], fs_out, fs_in)
+    assert wide.shape == (n * m,) and wide.dtype == np.complex64
+    err = np.sqrt(np.mean(np.abs(wide[::m][100:-100] - x[0][100:-100]) ** 2))
+    assert err < 1e-2 * np.sqrt(np.mean(np.abs(x) ** 2))
+    # mixed to a center, mixing back down recovers the channel on the grid
+    c = 300e3
+    wide2 = dsp.band_compose(x, [c], fs_out, fs_in)
+    k = np.arange(1, len(wide2) + 1)
+    down = wide2 * np.exp(-2j * np.pi * c / fs_out * k)
+    err2 = np.sqrt(np.mean(np.abs(down[::m][100:-100] - x[0][100:-100]) ** 2))
+    assert err2 < 2e-2 * np.sqrt(np.mean(np.abs(x) ** 2))
+
+
+def test_band_compose_channelizer_roundtrip():
+    """compose → Channelizer recovers every channel (up to the channelizer's
+    causal group delay and a constant per-channel phase)."""
+    from orion_sdr_tpu import dsp
+    from orion_sdr_tpu.dsp.fir import group_delay
+    fs_in, m = 100_000.0, 8
+    fs_out = fs_in * m
+    n = 4096
+    rng = np.random.default_rng(0)
+    taps_bl = dsp.kaiser_lowpass_taps(63, 0.15, 60.0)
+    chans = np.stack([
+        np.asarray(dsp.fir_filter_aligned(
+            (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64), taps_bl)) for _ in range(3)])
+    centers = [-250e3, 10e3, 300e3]
+    wide = dsp.band_compose(chans, centers, fs_out, fs_in)
+    ch = dsp.Channelizer(fs_out, fs_in, centers, passband_hz=0.2 * fs_in)
+    got = np.concatenate([ch.push(wide), ch.flush()], axis=-1)
+    d = int(round(group_delay(ch.taps) / m))
+    for i in range(3):
+        a = chans[i][200:3600]
+        b = got[i][200 + d:3600 + d]
+        alpha = np.vdot(b, a) / np.vdot(b, b)
+        assert abs(abs(alpha) - 1.0) < 0.02
+        err = np.sqrt(np.mean(np.abs(a - alpha * b) ** 2))
+        assert err < 0.01 * np.sqrt(np.mean(np.abs(a) ** 2)), i
+
+
+def test_band_compose_validation():
+    from orion_sdr_tpu import dsp
+    import pytest as _pytest
+    x = np.zeros((2, 64), np.complex64)
+    with _pytest.raises(ValueError):
+        dsp.band_compose(x, [0.0, 1e3], 300_000.0, 100_000.0 * 1.1)
+    with _pytest.raises(ValueError):
+        dsp.band_compose(x, [0.0], 800_000.0, 100_000.0)
+    with _pytest.raises(ValueError):
+        dsp.band_compose(x, [0.0, 500_000.0], 800_000.0, 100_000.0)
