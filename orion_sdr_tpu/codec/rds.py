@@ -172,38 +172,76 @@ class RdsData:
 _ROLES = (("A",), ("B",), ("C", "C'"), ("D",))
 
 
+def _synd_basis() -> np.ndarray:
+    """(26, 10) GF(2) syndrome of each unit-bit error: the code is linear,
+    so every window's syndrome is one bit-matrix product — this is what
+    lets the sync scan run vectorized over the whole stream."""
+    basis = np.zeros((RDS_BLOCK_BITS, RDS_CHECK_BITS), np.uint8)
+    for j in range(RDS_INFO_BITS):
+        s = rds_crc10(1 << (RDS_INFO_BITS - 1 - j))
+        basis[j] = (s >> np.arange(RDS_CHECK_BITS - 1, -1, -1)) & 1
+    for j in range(RDS_CHECK_BITS):
+        basis[RDS_INFO_BITS + j, j] = 1
+    return basis
+
+
+_BASIS = _synd_basis()
+_P10 = (1 << np.arange(RDS_CHECK_BITS - 1, -1, -1)).astype(np.int64)
+_P16 = (1 << np.arange(RDS_INFO_BITS - 1, -1, -1)).astype(np.int64)
+_ROLE_LUT = np.full(1 << RDS_CHECK_BITS, -1, np.int8)
+for _i, _name in enumerate(("A", "B", "C", "C'", "D")):
+    _ROLE_LUT[RDS_OFFSETS[_name]] = _i
+
+
 def rds_decode_bits(bits) -> RdsData:
-    """Bit stream (any alignment) → RdsData. Finds block sync by scanning
-    for a position where four consecutive 26-bit windows classify CLEAN as
-    A, B, C/C', D; once synced, blocks classify against their expected role
-    with single-bit correction, a group with any unrecovered block is
-    dropped, and sync is abandoned after a fully-dead group."""
+    """Bit stream (any alignment) → RdsData. Every window's syndrome and
+    info word are computed in ONE vectorized pass (windowed bit-matrix
+    product — the code is GF(2)-linear), block sync = the first position
+    whose four consecutive windows classify clean as A, B, C/C', D; the
+    synced walk classifies each block against its expected role with
+    single-bit correction, drops groups with an unrecovered block, and
+    abandons sync after a fully-dead group."""
     b = np.asarray(bits, np.uint8) & 1
     data = RdsData()
-    i = 0
-    synced = False
-    while i + RDS_GROUP_BITS <= len(b):
-        if not synced:
-            names = [rds_block_classify(b[i + 26 * k: i + 26 * (k + 1)])[0]
-                     for k in range(4)]
-            if not all(n is not None and n in r
-                       for n, r in zip(names, _ROLES)):
-                i += 1
-                continue
-            synced = True
-        names, words = [], []
-        for k, roles in enumerate(_ROLES):
-            name, word = _classify_expected(
-                b[i + 26 * k: i + 26 * (k + 1)], roles)
-            names.append(name)
-            words.append(word)
-        n_ok = sum(n is not None for n in names)
+    if len(b) < RDS_GROUP_BITS:
+        return data
+    win = np.lib.stride_tricks.sliding_window_view(b, RDS_BLOCK_BITS)
+    synd = (win @ _BASIS) % 2 @ _P10              # (L−25,) 10-bit syndromes
+    roles = _ROLE_LUT[synd]                       # -1 | A..D per position
+    words = win[:, :RDS_INFO_BITS] @ _P16
+    L = len(roles)
+
+    def next_sync(start: int) -> int:
+        lim = L - 3 * 26
+        if start >= lim:
+            return -1
+        r0 = roles[start:lim]
+        ok = (r0 == 0) & (roles[start + 26:lim + 26] == 1) \
+            & ((roles[start + 52:lim + 52] == 2)
+               | (roles[start + 52:lim + 52] == 3)) \
+            & (roles[start + 78:lim + 78] == 4)
+        hits = np.flatnonzero(ok)
+        return start + int(hits[0]) if hits.size else -1
+
+    i = next_sync(0)
+    while i >= 0 and i + RDS_GROUP_BITS <= len(b):
+        got, ws = [], []
+        for k, role_ids in enumerate(((0,), (1,), (2, 3), (4,))):
+            r = int(roles[i + 26 * k])
+            if r in role_ids:
+                got.append(r)
+                ws.append(int(words[i + 26 * k]))
+            else:                         # role-aware single-bit correction
+                name, word = _classify_expected(
+                    b[i + 26 * k: i + 26 * (k + 1)], _ROLES[k])
+                got.append(None if name is None else k)
+                ws.append(word)
+        n_ok = sum(g is not None for g in got)
         if n_ok == 4:
-            data._apply(*words)
+            data._apply(*ws)
             i += RDS_GROUP_BITS
         elif n_ok >= 2:
-            i += RDS_GROUP_BITS      # hold sync through one damaged group
+            i += RDS_GROUP_BITS          # hold sync through one damaged group
         else:
-            synced = False
-            i += 1
+            i = next_sync(i + 1)
     return data
