@@ -163,6 +163,7 @@ from .demodulate.dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
                                       DvbTHierFrameDemod, DvbTHierRxFrame)
 from .demodulate.dvb_t_super_frame import DvbTSuperFrameDemod, DvbTRxSuperFrame
 from .demodulate.dvb_t_stream import (DvbTFrameStreamDemod,
+                                      DvbTHierFrameStreamDemod,
                                       DvbTBandStreamDemod)
 
 # reference's NB/bandwidth helper surface (python/orion_sdr/__init__.py:65-72)

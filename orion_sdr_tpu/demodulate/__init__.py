@@ -17,4 +17,5 @@ from .dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
 from .dvb_t_super_frame import (
     DvbTSuperFrameDemod, DvbTRxSuperFrame, DvbTRxSuperFrameError,
 )
-from .dvb_t_stream import DvbTFrameStreamDemod
+from .dvb_t_stream import (DvbTFrameStreamDemod,
+                           DvbTHierFrameStreamDemod)

@@ -48,6 +48,9 @@ class DvbTFrameStreamDemod:
     def _frame_samples(self) -> int:
         return self.n_symbols * self.sps
 
+    def _decode_front(self, seg):
+        return self.demod.decode(seg, self.n_symbols, self.payload_len)
+
     def feed(self, iq) -> List[Union[DvbTRxFrame, DvbTRxError]]:
         from ..dsp.device import sanitize_iq
         self._buf = np.concatenate([self._buf, sanitize_iq(iq)])
@@ -94,8 +97,7 @@ class DvbTFrameStreamDemod:
         if consume_to > len(self._buf):
             return None
         try:
-            frame = self.demod.decode(self._buf[start:], self.n_symbols,
-                                      self.payload_len)
+            frame = self._decode_front(self._buf[start:])
             self._short_skips = 0
             return frame, consume_to
         except DvbTRxError as e:
@@ -109,6 +111,33 @@ class DvbTFrameStreamDemod:
                 return e, min(start + self.sps, len(self._buf))
             self._short_skips = 0
             return e, consume_to
+
+
+class DvbTHierFrameStreamDemod(DvbTFrameStreamDemod):
+    """Feed/flush receiver for a run of equal-geometry HIERARCHICAL frames
+    (beyond the reference): same GI-acquire/drain machinery, each frame
+    decoding into a DvbTHierRxFrame (HP payload always, LP or None)."""
+
+    def __init__(self, params, n_symbols: int, hp_payload_len: int,
+                 lp_payload_len: int) -> None:
+        from .dvb_t_frame import DvbTHierFrameDemod
+        params.link.validate()
+        self.demod = DvbTHierFrameDemod(params)
+        self.n_symbols = n_symbols
+        self.hp_payload_len = hp_payload_len
+        self.lp_payload_len = lp_payload_len
+        self.sps = DVB_T_N_FFT + guard_cp_len_2k(params.link.guard)
+        self._buf = np.zeros(0, np.complex64)
+        self._short_skips = 0
+
+    def with_integer_cfo_correction(self, on: bool = True):
+        raise NotImplementedError(
+            "integer-CFO pre-correction is not wired for the hierarchical "
+            "stream; correct CFO upstream (dsp.rotate) if needed")
+
+    def _decode_front(self, seg):
+        return self.demod.decode(seg, self.n_symbols, self.hp_payload_len,
+                                 self.lp_payload_len)
 
 
 class DvbTBandStreamDemod:

@@ -167,3 +167,38 @@ def test_hier_graceful_degradation():
                     len(hp), len(lp))
     assert np.array_equal(rx.hp_payload, hp)     # HP rides the wide quadrants
     assert rx.lp_payload is None                 # LP is gone at 9 dB — by design
+
+
+def test_hier_stream_demod_chunked_two_frames():
+    """Streaming receive of two back-to-back hierarchical frames at unknown
+    offset, chunk-boundary invariant."""
+    from orion_sdr_tpu.demodulate.dvb_t_stream import DvbTHierFrameStreamDemod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import DvbTHierRxFrame
+    link = DvbTHierLinkParams(guard="1/32", constellation="qam16", alpha=2,
+                              code_rate_hp="1/2", code_rate_lp="2/3")
+    params = DvbTHierFrameParams(link=link)
+    hp, lp = _payload(300, 6), _payload(700, 7)
+    mod = DvbTHierFrameMod(params)
+    f1 = mod.modulate(hp, lp)
+    f2 = mod.modulate(hp[::-1].copy(), lp[::-1].copy())
+    stream = np.concatenate([np.zeros(500, np.complex64), f1.iq, f2.iq,
+                             np.zeros(300, np.complex64)])
+
+    def run(chunk):
+        sd = DvbTHierFrameStreamDemod(params, f1.n_symbols, len(hp), len(lp))
+        out = []
+        for i in range(0, len(stream), chunk):
+            out += sd.feed(stream[i:i + chunk])
+        out += sd.flush()
+        return [r for r in out if isinstance(r, DvbTHierRxFrame)]
+
+    for chunk in (40_000, 170_000):
+        frames = run(chunk)
+        assert len(frames) == 2, chunk
+        assert np.array_equal(frames[0].hp_payload, hp)
+        assert np.array_equal(frames[0].lp_payload, lp)
+        assert np.array_equal(frames[1].hp_payload, hp[::-1])
+        assert np.array_equal(frames[1].lp_payload, lp[::-1])
+    with pytest.raises(NotImplementedError):
+        DvbTHierFrameStreamDemod(params, f1.n_symbols, 1, 1) \
+            .with_integer_cfo_correction()
