@@ -188,3 +188,43 @@ def test_band_receiver_resume_matches_continuous(tmp_path):
     got += resumed.flush().get(0, [])
     ok2 = [r for r in got if hasattr(r, "packet")]
     assert ok2 and np.array_equal(ok2[0].packet.payload, payload)
+
+
+def test_hier_dvb_t_stream_resume_mid_frame(tmp_path):
+    """The reflective walker covers the hierarchical stream receiver, and
+    α participates in the config fingerprint."""
+    import orion_sdr_tpu as sdr
+    link = sdr.DvbTHierLinkParams(guard="1/32", constellation="qam16",
+                                  alpha=2, code_rate_hp="1/2",
+                                  code_rate_lp="2/3")
+    params = sdr.DvbTHierFrameParams(link=link)
+    rng = np.random.default_rng(0)
+    hp = rng.integers(0, 256, 300).astype(np.uint8)
+    lp = rng.integers(0, 256, 700).astype(np.uint8)
+    frame = sdr.DvbTHierFrameMod(params).modulate(hp, lp)
+    stream = np.concatenate([np.zeros(500, np.complex64), frame.iq])
+    cut = len(stream) // 2
+
+    def fresh(p=params):
+        return sdr.DvbTHierFrameStreamDemod(p, frame.n_symbols,
+                                            len(hp), len(lp))
+
+    a = fresh()
+    out = a.feed(stream[:cut])
+    resumed = _roundtrip_via_file(tmp_path, a, fresh())
+    out += resumed.feed(stream[cut:]) + resumed.flush()
+    frames = [r for r in out if isinstance(r, sdr.DvbTHierRxFrame)]
+    assert len(frames) == 1
+    assert np.array_equal(frames[0].hp_payload, hp)
+    assert np.array_equal(frames[0].lp_payload, lp)
+
+    # a different alpha is a different config: resume must refuse
+    b = fresh()
+    b.feed(stream[:cut])
+    other = fresh(sdr.DvbTHierFrameParams(link=sdr.DvbTHierLinkParams(
+        guard="1/32", constellation="qam16", alpha=4)))
+    path = str(tmp_path / "hier.npz")
+    from orion_sdr_tpu.checkpoint import save_checkpoint, load_checkpoint
+    save_checkpoint(path, b)
+    with pytest.raises(ValueError):
+        load_checkpoint(path, other)
