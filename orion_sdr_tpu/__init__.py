@@ -41,7 +41,8 @@ from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 # ── analog modes (CwKeyedMod/CwEnvelopeDemod … PmQuadratureDemod) ────────────
 from .modulate.analog import cw_mod, am_mod, ssb_mod, fm_mod, pm_mod
 from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
-                                ssb_demod, fm_demod, pm_demod)
+                                ssb_demod, fm_demod, pm_demod,
+                                am_band_demod, AmStation)
 
 # ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────
 from .modulate.fm_stereo import (fm_stereo_mod, stereo_mpx, rds_manchester,

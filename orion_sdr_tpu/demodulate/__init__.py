@@ -4,6 +4,7 @@ from .analog import (
     ssb_demod, SsbDemodState,
     fm_demod, pm_demod, QuadDemodState,
 )
+from .analog import am_band_demod, AmStation
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
                         fm_band_demod, FmStation)
 from .digital import psk_qam_demod, digital_demod

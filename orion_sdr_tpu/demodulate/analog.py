@@ -94,6 +94,57 @@ def am_demod(iq, fs, audio_bw_hz, method="power_sqrt", abs_k=(0.947543636291, 0.
     return lp_dc_cascade(e, c, r, state=state)
 
 
+class AmStation(NamedTuple):
+    """One AM transmission recovered by :func:`am_band_demod`."""
+    center_hz: float
+    audio: np.ndarray
+    carrier_level: float
+    fs_audio: float
+
+
+def am_band_demod(iq, fs, stations_hz=None, audio_bw_hz: float = 5000.0,
+                  method: str = "power_sqrt",
+                  scan_threshold_db: float = 10.0,
+                  min_station_bw_hz: float = 2000.0) -> list:
+    """Gateway receive of a whole AM band (MW/SW broadcast monitoring):
+    scan (or take) carrier centers, channelize every station out of the
+    wideband capture in ONE batched device program, envelope-demodulate all
+    of them together. Envelope detection is CFO-insensitive, so scan
+    centroid error does not degrade audio. Beyond the reference, whose AM
+    demod is one channel at a time (demodulate/am.rs).
+
+    Returns [AmStation] with audio at fs/m (m chosen so the channel rate
+    lands just above 4·audio_bw)."""
+    from ..dsp.channelizer import Channelizer
+    z = np.asarray(iq)
+    if z.ndim != 1:
+        raise ValueError("am_band_demod takes a 1-D wideband capture")
+    if stations_hz is None:
+        from ..util import spectrum_scan
+        segs = spectrum_scan(z, fs, threshold_db=scan_threshold_db,
+                             min_bw_hz=min_station_bw_hz)
+        stations_hz = [s.center_hz for s in segs]
+    stations_hz = list(stations_hz)
+    if not stations_hz:
+        return []
+    m = max(1, int(fs // (4.0 * audio_bw_hz)))
+    ch_fs = fs / m
+    chan = Channelizer(fs, ch_fs, stations_hz,
+                       passband_hz=audio_bw_hz * 1.2)
+    parts = [chan.push(z), chan.flush()]
+    chans = np.concatenate([p for p in parts if p.shape[-1]], axis=-1)
+    audio, _ = am_demod(chans, ch_fs, audio_bw_hz, method=method)
+    audio = np.asarray(audio)
+    levels = np.mean(np.abs(chans), axis=-1)
+    # blind scans can surface leakage skirts of strong carriers as
+    # segments; an AM station without meaningful carrier power in its own
+    # channel is an artifact (gate at 3% of the strongest station)
+    gate = 0.03 * float(levels.max()) if stations_hz else 0.0
+    return [AmStation(center_hz=float(c), audio=audio[i],
+                      carrier_level=float(levels[i]), fs_audio=ch_fs)
+            for i, c in enumerate(stations_hz) if levels[i] >= gate]
+
+
 class SsbDemodState(NamedTuple):
     filt: LpDcState
     bfo_phase: jnp.ndarray

@@ -209,3 +209,36 @@ def test_de_emphasis_attenuates_highs():
     # 50 µs: |H| at 12 kHz ≈ 1/sqrt(1+(2π·12e3·50e-6)²) ≈ 0.26 of 300 Hz
     ratio = _tone_amp(out.left, 12_000) / _tone_amp(out.left, 300)
     assert ratio < 0.35
+
+
+def test_am_band_demod_blind_scan():
+    """AM band gateway: three carriers found blind, envelope audio correct,
+    leakage-skirt artifacts gated out."""
+    from orion_sdr_tpu.modulate.analog import am_mod
+    from orion_sdr_tpu.demodulate.analog import am_band_demod
+    from orion_sdr_tpu.dsp.osc import rotate
+    fs = 1_000_000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+
+    def station(f_audio, center, gain):
+        audio = (0.6 * np.sin(2 * np.pi * f_audio * t)).astype(np.float32)
+        iq, _ = am_mod(audio, fs)
+        return gain * np.asarray(rotate(np.asarray(iq), center, fs)[0])
+
+    band = (station(800, -300e3, 1.0) + station(1500, 50e3, 0.6)
+            + station(2200, 350e3, 0.3)).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    band += ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             .astype(np.complex64) * 0.01)
+    stations = am_band_demod(band, fs)
+    assert len(stations) == 3
+    got = {}
+    for s in stations:
+        seg = s.audio[4000:]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1 / s.fs_audio)
+        got[round(s.center_hz / 1e3)] = f[np.argmax(spec[5:]) + 5]
+    assert abs(got[-300] - 800) < 5
+    assert abs(got[50] - 1500) < 5
+    assert abs(got[350] - 2200) < 5
