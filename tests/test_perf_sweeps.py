@@ -684,3 +684,70 @@ def test_snr_sweep_ft8_ap():
     assert all(a >= plain for plain, a in results.values()), results
     assert sum(a for _, a in results.values()) > sum(
         p0 for p0, _ in results.values()), results
+
+
+def test_snr_sweep_dvb_t_hierarchical():
+    """Hierarchical DVB-T (beyond-reference): HP/LP decode waterfall —
+    the embedded-QPSK HP stream must hold far below the LP close point."""
+    from orion_sdr_tpu.waveform.dvb_t import (DvbTHierLinkParams,
+                                              DvbTHierFrameParams)
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTHierFrameMod
+    from orion_sdr_tpu.demodulate.dvb_t_frame import (DvbTHierFrameDemod,
+                                                      DvbTRxError)
+    link = DvbTHierLinkParams(guard="1/32", constellation="qam64", alpha=4,
+                              code_rate_hp="1/2", code_rate_lp="2/3")
+    params = DvbTHierFrameParams(link=link)
+    rng0 = np.random.default_rng(0)
+    hp = rng0.integers(0, 256, 400).astype(np.uint8)
+    lp = rng0.integers(0, 256, 800).astype(np.uint8)
+    frame = DvbTHierFrameMod(params).modulate(hp, lp)
+    sig_p = float(np.mean(np.abs(frame.iq) ** 2))
+    print("\n[DVB-T hier qam64 a=4 HP r1/2 LP r2/3] HP/LP waterfall:")
+    for snr in (24.0, 22.0, 16.0, 9.0, 6.0, 4.0):
+        hp_ok = lp_ok = 0
+        trials = 5
+        for seed in range(trials):
+            rng = np.random.default_rng(11 + seed)
+            buf = frame.iq + _awgn(rng, len(frame.iq),
+                                   sig_p / 10 ** (snr / 10))
+            try:
+                rx = DvbTHierFrameDemod(params).decode(
+                    buf, frame.n_symbols, len(hp), len(lp))
+                hp_ok += bool(np.array_equal(rx.hp_payload, hp))
+                lp_ok += bool(rx.lp_payload is not None
+                              and np.array_equal(rx.lp_payload, lp))
+            except DvbTRxError:
+                pass
+        print(f"  {snr:+.0f} dB: HP {hp_ok}/{trials}  LP {lp_ok}/{trials}")
+
+
+def test_snr_sweep_fm_stereo_rds():
+    """FM broadcast (beyond-reference): stereo separation + RDS text vs
+    IQ SNR."""
+    from orion_sdr_tpu.modulate.fm_stereo import fm_stereo_mod
+    from orion_sdr_tpu.demodulate.fm_stereo import fm_stereo_demod
+    from orion_sdr_tpu.codec import rds as R
+    fs, n = 240_000.0, 1 << 19
+    t = np.arange(n) / fs
+    left = (0.8 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    right = (0.8 * np.sin(2 * np.pi * 2500 * t)).astype(np.float32)
+    bits = R.rds_encode_groups(R.rds_groups_0a(0x52A1, ps_name="ORIONFM "))
+    iq = np.asarray(fm_stereo_mod(left, right, fs, rds_bits=bits)[0])
+
+    def tone(x, f):
+        seg = x[20000:-20000]
+        ph = np.exp(-2j * np.pi * f * np.arange(20000, len(x) - 20000) / fs)
+        return 2 * abs(np.mean(seg * ph))
+
+    print("\n[FM stereo+RDS] vs IQ SNR:")
+    for snr in (30.0, 20.0, 15.0, 10.0, 6.0):
+        rng = np.random.default_rng(3)
+        z = iq + ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                  .astype(np.complex64)
+                  * np.sqrt(1.0 / 10 ** (snr / 10) / 2))
+        out = fm_stereo_demod(z, fs, decode_rds=True)
+        sep = 20 * np.log10(tone(out.left, 1000)
+                            / max(tone(out.right, 1000), 1e-9))
+        print(f"  {snr:+.0f} dB: sep={sep:5.1f} dB  pilot="
+              f"{out.pilot_level:.3f}  PS={out.rds.ps_name!r}  "
+              f"groups={len(out.rds.groups)}")
