@@ -44,6 +44,12 @@ from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
                                 ssb_demod, fm_demod, pm_demod,
                                 am_band_demod, AmStation)
 
+# ── AX.25 packet radio over AFSK-1200 (beyond the reference) ─────────────────
+from .codec.ax25 import Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode
+from .modulate.afsk import (afsk1200_mod, ax25_beacon, nrzi_encode,
+                            nrzi_decode, AFSK_BAUD)
+from .demodulate.afsk import afsk1200_demod, ax25_decode
+
 # ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────
 from .modulate.fm_stereo import (fm_stereo_mod, stereo_mpx, rds_manchester,
                                  FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ)

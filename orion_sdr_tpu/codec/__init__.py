@@ -19,6 +19,8 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .ax25 import (Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode,
+                   HDLC_FLAG, AX25_CONTROL_UI, AX25_PID_NONE)
 from .rds import (RDS_OFFSETS, RDS_GEN, RDS_SYMBOL_RATE, rds_crc10,
                   rds_block_encode, rds_block_classify, rds_groups_0a,
                   rds_groups_2a, rds_encode_groups, rds_decode_bits, RdsData)

@@ -5,6 +5,8 @@ from .analog import (
     fm_mod, FmState,
 )
 from .analog import pm_mod
+from .afsk import (afsk1200_mod, ax25_beacon, nrzi_encode, nrzi_decode,
+                   AFSK_BAUD, AFSK_MARK_HZ, AFSK_SPACE_HZ)
 from .fm_stereo import (
     fm_stereo_mod, stereo_mpx, rds_manchester,
     FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ, FM_STEREO_MIN_FS,
