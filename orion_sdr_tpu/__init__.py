@@ -44,6 +44,13 @@ from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
                                 ssb_demod, fm_demod, pm_demod,
                                 am_band_demod, AmStation)
 
+# ── ADS-B 1090ES / Mode S DF17 (beyond the reference) ────────────────────────
+from .codec.adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
+                         adsb_encode_identification, adsb_encode_position,
+                         adsb_encode_velocity, cpr_encode, cpr_decode_global)
+from .modulate.adsb import adsb_mod
+from .demodulate.adsb import adsb_decode_capture
+
 # ── AX.25 packet radio over AFSK-1200 (beyond the reference) ─────────────────
 from .codec.ax25 import Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode
 from .modulate.afsk import (afsk1200_mod, ax25_beacon, nrzi_encode,

@@ -19,6 +19,10 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
+                   adsb_encode_identification, adsb_encode_position,
+                   adsb_encode_velocity, adsb_pair_positions,
+                   cpr_encode, cpr_decode_global)
 from .ax25 import (Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode,
                    HDLC_FLAG, AX25_CONTROL_UI, AX25_PID_NONE)
 from .rds import (RDS_OFFSETS, RDS_GEN, RDS_SYMBOL_RATE, rds_crc10,

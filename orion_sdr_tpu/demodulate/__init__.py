@@ -5,6 +5,7 @@ from .analog import (
     fm_demod, pm_demod, QuadDemodState,
 )
 from .analog import am_band_demod, AmStation
+from .adsb import adsb_decode_capture
 from .afsk import afsk1200_demod, ax25_decode
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
                         fm_band_demod, FmStation)
