@@ -42,7 +42,8 @@ from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 from .modulate.analog import cw_mod, am_mod, ssb_mod, fm_mod, pm_mod
 from .demodulate.analog import (cw_demod, cw_envelope_multi, am_demod,
                                 ssb_demod, fm_demod, pm_demod,
-                                am_band_demod, AmStation)
+                                am_band_demod, AmStation,
+                                ssb_band_demod, SsbStation)
 
 # ── ADS-B 1090ES / Mode S DF17 (beyond the reference) ────────────────────────
 from .codec.adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,

@@ -4,7 +4,8 @@ from .analog import (
     ssb_demod, SsbDemodState,
     fm_demod, pm_demod, QuadDemodState,
 )
-from .analog import am_band_demod, AmStation
+from .analog import (am_band_demod, AmStation, ssb_band_demod,
+                     SsbStation)
 from .adsb import adsb_decode_capture
 from .afsk import afsk1200_demod, ax25_decode
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,

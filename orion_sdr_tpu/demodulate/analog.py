@@ -145,6 +145,53 @@ def am_band_demod(iq, fs, stations_hz=None, audio_bw_hz: float = 5000.0,
             for i, c in enumerate(stations_hz) if levels[i] >= gate]
 
 
+class SsbStation(NamedTuple):
+    """One SSB transmission recovered by :func:`ssb_band_demod`."""
+    center_hz: float
+    audio: np.ndarray
+    fs_audio: float
+
+
+def ssb_band_demod(iq, fs, stations_hz, audio_bw_hz: float = 2700.0,
+                   audio_if_hz: float = 1500.0, usb: bool = True) -> list:
+    """Gateway receive of several SSB voice channels from one wideband
+    capture: channelize every dial frequency in ONE batched device program,
+    then product-detect all channels together (beyond the reference, whose
+    SSB demod is one channel at a time, demodulate/ssb.rs).
+
+    ``stations_hz``: the dial (suppressed-carrier) frequencies relative to
+    the capture center — SSB has no carrier to find blind, so the tuning
+    plan is the caller's (a band plan, or :func:`spectrum_scan` segment
+    edges). ``audio_if_hz``/``usb`` mirror ssb_mod's conventions and are
+    shared by the channel list. Audio at fs/m (m near 4·audio_bw)."""
+    from ..dsp.channelizer import Channelizer
+    z = np.asarray(iq)
+    if z.ndim != 1:
+        raise ValueError("ssb_band_demod takes a 1-D wideband capture")
+    stations_hz = list(stations_hz)
+    if not stations_hz:
+        return []
+    m = max(1, int(fs // (4.0 * audio_bw_hz)))
+    ch_fs = fs / m
+    # a USB signal occupies [dial+if, dial+if+bw]: center the channel on
+    # the middle of that sideband (mirrored for LSB)
+    half = audio_if_hz + audio_bw_hz / 2.0
+    offs = half if usb else -half
+    chan = Channelizer(fs, ch_fs, [c + offs for c in stations_hz],
+                       passband_hz=audio_bw_hz * 0.7)
+    parts = [chan.push(z), chan.flush()]
+    chans = np.concatenate([p for p in parts if p.shape[-1]], axis=-1)
+    if not usb:
+        chans = np.conj(chans)       # an LSB channel conjugates into USB
+    # in-channel the audio tone f sits at if + f − offs ⇒ BFO = if − offs
+    audio, _ = ssb_demod(chans, ch_fs,
+                         bfo_hz=audio_if_hz - abs(offs),
+                         audio_bw_hz=audio_bw_hz)
+    audio = np.asarray(audio)
+    return [SsbStation(center_hz=float(c), audio=audio[i], fs_audio=ch_fs)
+            for i, c in enumerate(stations_hz)]
+
+
 class SsbDemodState(NamedTuple):
     filt: LpDcState
     bfo_phase: jnp.ndarray

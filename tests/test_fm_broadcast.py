@@ -242,3 +242,36 @@ def test_am_band_demod_blind_scan():
     assert abs(got[-300] - 800) < 5
     assert abs(got[50] - 1500) < 5
     assert abs(got[350] - 2200) < 5
+
+
+def test_ssb_band_demod_three_channels():
+    """SSB gateway: three USB voice channels from one capture; LSB sense
+    via channel conjugation."""
+    from orion_sdr_tpu.modulate.analog import ssb_mod
+    from orion_sdr_tpu.demodulate.analog import ssb_band_demod
+    from orion_sdr_tpu.dsp.osc import rotate
+    from tests.helpers import tone_snr_db
+    fs = 480_000.0
+    n = 1 << 17
+    t = np.arange(n) / fs
+
+    def station(f_audio, dial, usb=True):
+        audio = (0.5 * np.sin(2 * np.pi * f_audio * t)).astype(np.float32)
+        iq, _ = ssb_mod(audio, fs, 2800.0, 1500.0, 0.0, usb=usb)
+        return np.asarray(rotate(np.asarray(iq), dial, fs)[0])
+
+    band = (station(1200, -150e3) + station(800, 10e3)
+            + station(500, 120e3)).astype(np.complex64)
+    rng = np.random.default_rng(0)
+    band += ((rng.standard_normal(n) + 1j * rng.standard_normal(n))
+             .astype(np.complex64) * 0.005)
+    stations = ssb_band_demod(band, fs, [-150e3, 10e3, 120e3])
+    assert len(stations) == 3
+    for s, f_a in zip(stations, (1200, 800, 500)):
+        seg = s.audio[int(0.12 * s.fs_audio):]
+        assert tone_snr_db(s.fs_audio, f_a, seg) > 20.0, s.center_hz
+
+    lsb = np.asarray(station(900, -40e3, usb=False), np.complex64)
+    got = ssb_band_demod(lsb, fs, [-40e3], usb=False)
+    seg = got[0].audio[int(0.12 * got[0].fs_audio):]
+    assert tone_snr_db(got[0].fs_audio, 900, seg) > 20.0
