@@ -55,8 +55,9 @@ from .demodulate.adsb import adsb_decode_capture
 # ── AX.25 packet radio over AFSK-1200 (beyond the reference) ─────────────────
 from .codec.ax25 import Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode
 from .modulate.afsk import (afsk1200_mod, ax25_beacon, nrzi_encode,
-                            nrzi_decode, AFSK_BAUD)
-from .demodulate.afsk import afsk1200_demod, ax25_decode
+                            nrzi_decode, AFSK_BAUD, rtty_mod)
+from .demodulate.afsk import afsk1200_demod, ax25_decode, rtty_decode
+from .codec.rtty import baudot_encode, baudot_decode
 
 # ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────
 from .modulate.fm_stereo import (fm_stereo_mod, stereo_mpx, rds_manchester,

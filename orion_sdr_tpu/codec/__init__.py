@@ -19,6 +19,9 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .rtty import (BAUDOT_LETTERS, BAUDOT_FIGURES, baudot_encode,
+                   baudot_decode, rtty_frame_bits, rtty_unframe_bits,
+                   RTTY_BAUD, RTTY_MARK_HZ, RTTY_SPACE_HZ)
 from .adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
                    adsb_encode_identification, adsb_encode_position,
                    adsb_encode_velocity, adsb_pair_positions,

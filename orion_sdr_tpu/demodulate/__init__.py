@@ -7,7 +7,8 @@ from .analog import (
 from .analog import (am_band_demod, AmStation, ssb_band_demod,
                      SsbStation)
 from .adsb import adsb_decode_capture
-from .afsk import afsk1200_demod, ax25_decode
+from .afsk import (afsk1200_demod, ax25_decode, rtty_decode,
+                   fsk2_decision)
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
                         fm_band_demod, FmStation)
 from .digital import psk_qam_demod, digital_demod

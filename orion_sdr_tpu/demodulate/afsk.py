@@ -23,13 +23,14 @@ from ..modulate.afsk import nrzi_decode
 
 
 @_cjit
-def _afsk_decision(audio, fs: float, sps_i: int):
+def fsk2_decision(audio, fs: float, sps_i: int,
+                  mark_hz: float = AFSK_MARK_HZ,
+                  space_hz: float = AFSK_SPACE_HZ):
     """(…, n) audio → (…, n) decision waveform |mark| − |space| (boxcar
-    matched filters, length one bit)."""
+    matched filters, length one bit) — shared by AFSK-1200 and RTTY."""
     x = jnp.asarray(audio, jnp.float32)
     n = x.shape[-1]
     t = jnp.arange(1, n + 1, dtype=jnp.float32)
-    box = jnp.ones(sps_i, jnp.float32) / sps_i
 
     def tone_env(f_hz):
         ph = jnp.float32(TAU * f_hz / fs) * t
@@ -42,8 +43,7 @@ def _afsk_decision(audio, fs: float, sps_i: int):
         im = _conv_valid_f32(bbp.imag, np.ones(sps_i, np.float32) / sps_i)
         return jnp.sqrt(re * re + im * im)
 
-    return (tone_env(AFSK_MARK_HZ) - tone_env(AFSK_SPACE_HZ)
-            ).astype(jnp.float32)
+    return (tone_env(mark_hz) - tone_env(space_hz)).astype(jnp.float32)
 
 
 def afsk1200_demod(audio, fs: float) -> np.ndarray:
@@ -52,7 +52,7 @@ def afsk1200_demod(audio, fs: float) -> np.ndarray:
     a = np.asarray(audio, np.float32)
     sps = fs / AFSK_BAUD
     sps_i = max(int(round(sps)), 2)
-    d = np.asarray(_afsk_decision(a, float(fs), sps_i))
+    d = np.asarray(fsk2_decision(a, float(fs), sps_i))
     n_bits = int(len(d) / sps) - 1
     if n_bits < 8:
         return np.zeros(0, np.uint8)
@@ -72,3 +72,29 @@ def ax25_decode(audio, fs: float) -> List:
     """AFSK-1200 audio → validated AX.25 frames (the TNC receive path)."""
     from ..codec.ax25 import hdlc_decode
     return hdlc_decode(afsk1200_demod(audio, fs))
+
+
+def rtty_decode(audio, fs: float, baud: float = 45.45,
+                mark_hz: float = 2125.0, space_hz: float = 2295.0) -> str:
+    """RTTY receive: 2-FSK audio → text. The dual-tone decision runs on
+    device; bit timing by offset search (best mean |decision| at the baud
+    grid), then async unframing + Baudot page tracking."""
+    from ..codec.rtty import rtty_unframe_bits, baudot_decode
+    a = np.asarray(audio, np.float32)
+    sps = fs / baud
+    sps_i = max(int(round(sps)), 2)
+    d = np.asarray(fsk2_decision(a, float(fs), sps_i, float(mark_hz),
+                                 float(space_hz)))
+    n_bits = int(len(d) / sps) - 1
+    if n_bits < 8:
+        return ""
+    best = None
+    for off in np.arange(0.0, sps, sps / 8.0):
+        centers = (off + sps / 2.0 + np.arange(n_bits) * sps).astype(np.int64)
+        centers = centers[centers < len(d)]
+        vals = d[centers]
+        score = float(np.mean(np.abs(vals)))
+        if best is None or score > best[0]:
+            best = (score, vals)
+    states = (best[1] > 0).astype(np.uint8)
+    return baudot_decode(rtty_unframe_bits(states))

@@ -6,7 +6,7 @@ from .analog import (
 )
 from .analog import pm_mod
 from .adsb import adsb_mod, adsb_frame_chips, ADSB_CHIP_RATE
-from .afsk import (afsk1200_mod, ax25_beacon, nrzi_encode, nrzi_decode,
+from .afsk import (afsk1200_mod, rtty_mod, fsk2_tones, ax25_beacon, nrzi_encode, nrzi_decode,
                    AFSK_BAUD, AFSK_MARK_HZ, AFSK_SPACE_HZ)
 from .fm_stereo import (
     fm_stereo_mod, stereo_mpx, rds_manchester,

@@ -35,13 +35,16 @@ def nrzi_decode(states) -> np.ndarray:
 
 
 @_cjit
-def _afsk_tones(line, fs: float, sps: float, amplitude: float, n: int):
+def fsk2_tones(line, fs: float, sps: float, amplitude: float, n: int,
+               mark_hz: float = AFSK_MARK_HZ,
+               space_hz: float = AFSK_SPACE_HZ):
+    """Per-bit line states (1 = mark) → continuous-phase 2-FSK audio of
+    ``n`` samples — the shared tone engine for AFSK-1200 and RTTY."""
     t_idx = jnp.arange(n, dtype=jnp.float32)
     k = jnp.minimum(jnp.floor(t_idx / sps).astype(jnp.int32),
                     line.shape[-1] - 1)
     sel = jnp.asarray(line)[k]
-    freq = jnp.where(sel == 1, AFSK_MARK_HZ, AFSK_SPACE_HZ
-                     ).astype(jnp.float32)
+    freq = jnp.where(sel == 1, mark_hz, space_hz).astype(jnp.float32)
     phase = jnp.cumsum(jnp.float32(TAU / fs) * freq)
     return (amplitude * jnp.sin(phase)).astype(jnp.float32)
 
@@ -55,8 +58,8 @@ def afsk1200_mod(bits, fs: float, amplitude: float = 0.8) -> np.ndarray:
     line = nrzi_encode(bits)
     sps = fs / AFSK_BAUD
     n = int(round(len(line) * sps))
-    return np.asarray(_afsk_tones(jnp.asarray(line), float(fs), float(sps),
-                                  float(amplitude), n))
+    return np.asarray(fsk2_tones(jnp.asarray(line), float(fs), float(sps),
+                                 float(amplitude), n))
 
 
 def ax25_beacon(frames, fs: float, amplitude: float = 0.8) -> np.ndarray:
@@ -65,3 +68,20 @@ def ax25_beacon(frames, fs: float, amplitude: float = 0.8) -> np.ndarray:
     encoded = [f.encode() if hasattr(f, "encode") else bytes(f)
                for f in frames]
     return afsk1200_mod(hdlc_encode(encoded), fs, amplitude)
+
+
+def rtty_mod(text: str, fs: float, baud: float = 45.45,
+             mark_hz: float = 2125.0, space_hz: float = 2295.0,
+             amplitude: float = 0.8) -> np.ndarray:
+    """RTTY transmit: text → Baudot/ITA2 → async start/stop framing →
+    45.45-baud 2-FSK audio at the 2125/2295 Hz pair (one device program)."""
+    import jax.numpy as jnp
+    from ..codec.rtty import baudot_encode, rtty_frame_bits
+    if fs < 2.5 * max(mark_hz, space_hz):
+        raise ValueError(f"fs too low for the {mark_hz}/{space_hz} Hz pair")
+    line = rtty_frame_bits(baudot_encode(text))
+    sps = fs / baud
+    n = int(round(len(line) * sps))
+    return np.asarray(fsk2_tones(jnp.asarray(line), float(fs), float(sps),
+                                 float(amplitude), n, float(mark_hz),
+                                 float(space_hz)))

@@ -83,3 +83,36 @@ def test_afsk_timing_offset_and_validation():
     with pytest.raises(ValueError):
         afsk1200_mod(np.zeros(64, np.uint8), 4000.0)
     assert afsk1200_demod(np.zeros(50, np.float32), FS).size == 0
+
+
+# ── RTTY (Baudot 45.45-baud FSK over the shared 2-FSK engine) ────────────────
+
+def test_baudot_roundtrip_with_page_shifts():
+    from orion_sdr_tpu.codec.rtty import baudot_encode, baudot_decode
+    msg = "CQ DE W1AW 599 73! (TEST) -./"
+    assert baudot_decode(baudot_encode(msg)) == msg
+
+
+def test_rtty_end_to_end_awgn():
+    from orion_sdr_tpu.modulate.afsk import rtty_mod
+    from orion_sdr_tpu.demodulate.afsk import rtty_decode
+    fs = 11025.0
+    msg = "CQ CQ DE W1AW W1AW K 599 #73!"
+    audio = rtty_mod(msg, fs)
+    assert rtty_decode(audio, fs) == msg
+    rng = np.random.default_rng(0)
+    sig_p = float(np.mean(audio ** 2))
+    noisy = audio + rng.standard_normal(len(audio)).astype(np.float32) \
+        * np.sqrt(sig_p / 10 ** 0.8)                    # 8 dB audio SNR
+    assert rtty_decode(noisy, fs) == msg
+
+
+def test_rtty_framing_resyncs_after_garble():
+    from orion_sdr_tpu.codec.rtty import (baudot_encode, rtty_frame_bits,
+                                          rtty_unframe_bits, baudot_decode)
+    line = rtty_frame_bits(baudot_encode("HELLO WORLD"))
+    # corrupt a whole character's bits mid-stream
+    garbled = line.copy()
+    garbled[8 + 7 * 3: 8 + 7 * 4] ^= 1
+    text = baudot_decode(rtty_unframe_bits(garbled))
+    assert "WORLD" in text        # the stream recovers after the hit
