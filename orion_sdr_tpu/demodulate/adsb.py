@@ -84,15 +84,18 @@ def adsb_decode_capture(iq, fs: float, max_candidates: int = 256,
     data = sums[:, 16:].reshape(len(cand), 112, 2)
     bits = (data[:, :, 0] > data[:, :, 1]).astype(np.uint8)
     out: List[AdsbMessage] = []
-    seen = set()
+    last_pos: dict = {}
     for row, pos in zip(bits, cand):
         msg = adsb_decode_frame(row)
         if msg is None:
             continue
-        key = (row.tobytes(), int(pos) // (m // 2 + 1))
-        if key in seen:
+        # identical bits within one frame duration = the same transmission
+        # detected at adjacent correlation peaks; farther apart = a genuine
+        # repeat (ADS-B repeats messages every ~0.5 s)
+        key = row.tobytes()
+        if key in last_pos and int(pos) - last_pos[key] < FRAME_CHIPS * m:
             continue
-        seen.add(key)
+        last_pos[key] = int(pos)
         out.append(msg)
     adsb_pair_positions(out)
     return out

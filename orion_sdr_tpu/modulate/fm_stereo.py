@@ -63,10 +63,11 @@ def _rds_manchester_device(d, fs: float, n: int, level: float, rate: float,
 
 @_cjit
 def stereo_mpx(left, right, fs, pilot_level: float = 0.09,
-               audio_level: float = 0.9, rds=None, rds_level: float = 0.05,
+               audio_level: float = 0.9, rds=None,
                pilot_phase0: float = 0.0):
     """(…, n) left/right audio → (…, n) stereo composite. ``rds`` is an
-    optional pre-shaped ±1 baseband (see rds_manchester)."""
+    optional pre-shaped baseband, already at its injection level (see
+    rds_manchester's ``level``)."""
     L = jnp.asarray(left, jnp.float32)
     R = jnp.asarray(right, jnp.float32)
     n = L.shape[-1]
