@@ -52,6 +52,11 @@ from .codec.adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
 from .modulate.adsb import adsb_mod
 from .demodulate.adsb import adsb_decode_capture
 
+# ── POCSAG radio paging (beyond the reference) ───────────────────────────────
+from .codec.pocsag import PocsagPage, pocsag_codeword, pocsag_check
+from .modulate.pocsag import pocsag_mod
+from .demodulate.pocsag import pocsag_decode
+
 # ── AX.25 packet radio over AFSK-1200 (beyond the reference) ─────────────────
 from .codec.ax25 import Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode
 from .modulate.afsk import (afsk1200_mod, ax25_beacon, nrzi_encode,

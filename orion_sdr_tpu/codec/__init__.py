@@ -19,6 +19,9 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .pocsag import (PocsagPage, pocsag_codeword, pocsag_check,
+                     pocsag_encode_batches, pocsag_decode_words,
+                     POCSAG_SYNC, POCSAG_IDLE)
 from .rtty import (BAUDOT_LETTERS, BAUDOT_FIGURES, baudot_encode,
                    baudot_decode, rtty_frame_bits, rtty_unframe_bits,
                    RTTY_BAUD, RTTY_MARK_HZ, RTTY_SPACE_HZ)
