@@ -52,6 +52,9 @@ from .codec.adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
 from .modulate.adsb import adsb_mod
 from .demodulate.adsb import adsb_decode_capture
 
+# ── blind modulation classification + band survey (beyond the reference) ─────
+from .classify import classify_signal, band_survey, SignalClass, SurveyEntry
+
 # ── POCSAG radio paging (beyond the reference) ───────────────────────────────
 from .codec.pocsag import PocsagPage, pocsag_codeword, pocsag_check
 from .modulate.pocsag import pocsag_mod

@@ -1,0 +1,90 @@
+"""Blind modulation classification (beyond the reference): the full mode
+matrix through classify_signal, and scan→classify over a mixed band."""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as o
+from orion_sdr_tpu.classify import classify_signal, band_survey
+from orion_sdr_tpu.dsp.osc import rotate
+
+FS = 48_000.0
+N = 1 << 16
+
+
+def _cls(z, fs=FS):
+    return classify_signal(
+        np.ascontiguousarray(np.asarray(z), dtype=np.complex64), fs)
+
+
+def test_classify_mode_matrix():
+    rng = np.random.default_rng(0)
+    t = np.arange(N) / FS
+    key = (np.sin(2 * np.pi * 3.0 * t) > 0).astype(np.float32)
+    cases = {
+        "cw": (o.cw_mod(key, FS, 600.0)[0], FS),
+        "am": (o.am_mod((0.6 * np.sin(2 * np.pi * 1000 * t)
+                         ).astype(np.float32), FS)[0], FS),
+        "ssb": (o.ssb_mod((0.5 * np.sin(2 * np.pi * 800 * t)
+                           + 0.4 * np.sin(2 * np.pi * 1900 * t)
+                           ).astype(np.float32), FS, 2800.0, 1500.0)[0], FS),
+        "fm": (o.fm_mod((0.5 * np.sin(2 * np.pi * 1000 * t)
+                         ).astype(np.float32), FS, 5000.0)[0], FS),
+        "psk31": (o.bpsk31_mod_bits(
+            rng.integers(0, 2, 256).astype(np.uint8), 8000.0)[0], 8000.0),
+        "fsk": (o.pocsag_mod([o.PocsagPage(address=0x123, function=3,
+                                           text="HELLO WORLD PAGE")],
+                             38400.0), 38400.0),
+        "noise": ((rng.standard_normal(N) + 1j * rng.standard_normal(N)
+                   ).astype(np.complex64) * 0.1, FS),
+    }
+    t2 = np.arange(1 << 17) / 240e3
+    cases["fm_stereo"] = (o.fm_stereo_mod(
+        (0.8 * np.sin(2 * np.pi * 1000 * t2)).astype(np.float32),
+        (0.8 * np.sin(2 * np.pi * 2500 * t2)).astype(np.float32),
+        240e3)[0], 240e3)
+    params = o.DvbTFrameParams(o.DvbTLinkParams("1/8", "qpsk", "1/2"))
+    frame = o.DvbTFrameMod(params).modulate(
+        rng.integers(0, 256, 300).astype(np.uint8))
+    cases["ofdm"] = (frame.iq[:1 << 17], 1142857.0)
+
+    for want, (z, fs) in cases.items():
+        got = _cls(z, fs)
+        assert got.label == want, (want, got.label, got.features)
+
+
+def test_classify_validation():
+    with pytest.raises(ValueError):
+        classify_signal(np.zeros(100, np.complex64), FS)
+    silent = classify_signal(np.zeros(8192, np.complex64), FS)
+    assert silent.label == "noise"
+
+
+def test_band_survey_mixed_band():
+    """Scan-then-classify: AM + FM + POCSAG at known centers in one
+    capture; leakage skirts are gated out by relative power."""
+    rng = np.random.default_rng(0)
+    fs = 1_000_000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+
+    def at(z, c):
+        return np.asarray(rotate(np.ascontiguousarray(
+            np.asarray(z)[:n], np.complex64), c, fs)[0])
+
+    band = (at(o.am_mod((0.6 * np.sin(2 * np.pi * 1000 * t)
+                         ).astype(np.float32), fs)[0], -300e3)
+            + at(o.fm_mod((0.5 * np.sin(2 * np.pi * 1000 * t)
+                           ).astype(np.float32), fs, 5000.0)[0], -100e3)
+            + 0.7 * at(o.pocsag_mod(
+                [o.PocsagPage(address=0x123, function=3,
+                              text="HELLO WORLD PAGE FILLER TEXT HERE")] * 6,
+                fs), 150e3)).astype(np.complex64)
+    band = band + (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                   ).astype(np.complex64) * 0.004
+    entries = band_survey(band, fs)
+    got = {round(e.segment.center_hz / 1e3): e.signal.label for e in entries}
+    assert got.get(-300) == "am"
+    assert got.get(-100) == "fm"
+    assert got.get(150) == "fsk"
+    assert len(entries) == 3          # no leakage litter
