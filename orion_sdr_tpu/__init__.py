@@ -53,7 +53,8 @@ from .modulate.adsb import adsb_mod
 from .demodulate.adsb import adsb_decode_capture
 
 # ── blind modulation classification + band survey (beyond the reference) ─────
-from .classify import classify_signal, band_survey, SignalClass, SurveyEntry
+from .classify import (classify_signal, band_survey, band_decode,
+                       SignalClass, SurveyEntry, BandDecodeEntry)
 
 # ── POCSAG radio paging (beyond the reference) ───────────────────────────────
 from .codec.pocsag import PocsagPage, pocsag_codeword, pocsag_check

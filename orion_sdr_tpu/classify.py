@@ -248,3 +248,84 @@ def band_survey(iq, fs: float, channel_pad: float = 1.6,
             sig = SignalClass("unknown", 0.0)
         out.append(SurveyEntry(segment=s, signal=sig))
     return out
+
+
+@dataclass
+class BandDecodeEntry:
+    """One decoded band occupant: the survey entry plus whatever the
+    dispatched receiver recovered (fields None when not applicable)."""
+    segment: SpectrumSegment
+    signal: SignalClass
+    audio: Optional[np.ndarray] = None
+    fs_audio: Optional[float] = None
+    text: Optional[str] = None
+    pages: Optional[list] = None      # POCSAG
+    rds: Optional[object] = None      # FM stereo station data
+
+
+def band_decode(iq, fs: float, **survey_kwargs) -> List[BandDecodeEntry]:
+    """The capstone blind receive: scan → classify → decode every signal
+    in a wideband capture with the right mode receiver, no prior channel
+    plan (beyond the reference, which needs a pre-tuned receiver object
+    per signal)."""
+    from .dsp.channelizer import Channelizer
+    z = np.asarray(iq)
+    out: List[BandDecodeEntry] = []
+    for e in band_survey(z, fs, **survey_kwargs):
+        seg, sig = e.segment, e.signal
+        entry = BandDecodeEntry(segment=seg, signal=sig)
+        label = sig.label
+
+        def channel(min_rate, passband):
+            m = max(1, int(fs // min_rate))
+            ch = Channelizer(fs, fs / m, [seg.center_hz],
+                             passband_hz=passband)
+            y = np.concatenate([ch.push(z), ch.flush()], axis=-1)[0]
+            return y, fs / m
+
+        try:
+            if label == "am":
+                from .demodulate.analog import am_demod
+                y, ch_fs = channel(4 * 5e3, 6e3)
+                entry.audio = np.asarray(am_demod(y, ch_fs, 5e3)[0])
+                entry.fs_audio = ch_fs
+            elif label == "fm":
+                from .demodulate.analog import fm_demod
+                y, ch_fs = channel(max(2.5 * seg.bw_hz, 24e3),
+                                   0.6 * seg.bw_hz + 3e3)
+                entry.audio = np.asarray(
+                    fm_demod(y, ch_fs, seg.bw_hz / 4 + 2.5e3, 5e3)[0])
+                entry.fs_audio = ch_fs
+            elif label == "fm_stereo":
+                from .demodulate.fm_stereo import fm_stereo_demod
+                y, ch_fs = channel(240e3, 110e3)
+                st = fm_stereo_demod(y, ch_fs, decode_rds=True)
+                entry.audio = np.stack([st.left, st.right])
+                entry.fs_audio = ch_fs
+                entry.rds = st.rds
+                if st.rds is not None and getattr(st.rds, "ps_name",
+                                                  "").strip():
+                    entry.text = st.rds.ps_name.strip()
+            elif label == "cw":
+                from .codec.morse import morse_decode
+                y, ch_fs = channel(8e3, 2e3)
+                entry.text = morse_decode(y, ch_fs)
+            elif label == "psk31":
+                from .codec.psk31_stream import psk31_decode_band
+                y, ch_fs = channel(8e3, 1e3)
+                results = psk31_decode_band(y, ch_fs, -500.0, 500.0,
+                                            max_carriers=1)
+                if results:
+                    entry.text = results[0].text
+            elif label == "fsk":
+                from .demodulate.pocsag import pocsag_decode
+                y, ch_fs = channel(16 * 2400.0, 12e3)
+                pages = pocsag_decode(y, ch_fs)
+                if pages:
+                    entry.pages = pages
+                    entry.text = " / ".join(
+                        (p.text or p.digits or "") for p in pages)
+        except Exception:                                 # noqa: BLE001
+            pass          # a failed decoder leaves the classification only
+        out.append(entry)
+    return out

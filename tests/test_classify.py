@@ -88,3 +88,37 @@ def test_band_survey_mixed_band():
     assert got.get(-100) == "fm"
     assert got.get(150) == "fsk"
     assert len(entries) == 3          # no leakage litter
+
+
+def test_band_decode_dispatches_receivers():
+    """The capstone: one call decodes AM audio, POCSAG text, and PSK31
+    text from a blind wideband capture."""
+    from orion_sdr_tpu.classify import band_decode
+    rng = np.random.default_rng(0)
+    fs = 500_000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+
+    def at(z, c, g=1.0):
+        zz = np.ascontiguousarray(np.asarray(z)[:n], np.complex64)
+        if len(zz) < n:
+            zz = np.concatenate([zz, np.zeros(n - len(zz), np.complex64)])
+        return g * np.asarray(rotate(zz, c, fs)[0])
+
+    am = o.am_mod((0.6 * np.sin(2 * np.pi * 800 * t)).astype(np.float32),
+                  fs)[0]
+    pg = o.pocsag_mod([o.PocsagPage(address=0x123, function=3,
+                                    text="PAGE ME NOW")] * 4, fs)
+    band = (at(am, -150e3) + at(pg, 100e3, 0.8)).astype(np.complex64)
+    band = band + (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                   ).astype(np.complex64) * 0.004
+    entries = {round(e.segment.center_hz / 1e3): e
+               for e in band_decode(band, fs)}
+    assert entries[-150].signal.label == "am"
+    audio = entries[-150].audio
+    assert audio is not None
+    spec = np.abs(np.fft.rfft(audio[2000:] * np.hanning(len(audio) - 2000)))
+    f = np.fft.rfftfreq(len(audio) - 2000, 1 / entries[-150].fs_audio)
+    assert abs(f[np.argmax(spec[5:]) + 5] - 800.0) < 10.0
+    assert entries[100].signal.label == "fsk"
+    assert entries[100].text == "PAGE ME NOW"
