@@ -65,7 +65,8 @@ from .demodulate.pocsag import pocsag_decode
 from .codec.ax25 import Ax25Frame, ax25_crc, hdlc_encode, hdlc_decode
 from .modulate.afsk import (afsk1200_mod, ax25_beacon, nrzi_encode,
                             nrzi_decode, AFSK_BAUD, rtty_mod)
-from .demodulate.afsk import afsk1200_demod, ax25_decode, rtty_decode
+from .demodulate.afsk import (afsk1200_demod, ax25_decode,
+                              rtty_decode, Afsk1200Stream)
 from .codec.rtty import baudot_encode, baudot_decode
 
 # ── FM broadcast stereo + RDS (beyond the reference's mono FM pair) ──────────

@@ -137,6 +137,13 @@ def hdlc_encode(frames, lead_flags: int = 8, tail_flags: int = 2,
 def hdlc_decode(bits) -> List[Ax25Frame]:
     """Bit stream → validated AX.25 frames: split on flags, destuff,
     re-pack LSB-first, FCS-check via Ax25Frame.parse."""
+    return [f for f, _ in hdlc_decode_with_pos(bits)]
+
+
+def hdlc_decode_with_pos(bits) -> List[Tuple[Ax25Frame, int]]:
+    """Like hdlc_decode but returns (frame, start_bit_index) pairs — the
+    streaming TNC uses the positions to commit/dedup across chunk
+    boundaries."""
     b = np.asarray(bits, np.uint8) & 1
     # locate flag positions (8-bit pattern 01111110)
     flag_bits = np.unpackbits(np.uint8([HDLC_FLAG]), bitorder="little")
@@ -145,7 +152,7 @@ def hdlc_decode(bits) -> List[Ax25Frame]:
     win = np.lib.stride_tricks.sliding_window_view(b, 8)
     is_flag = np.all(win == flag_bits, axis=-1)
     idx = np.flatnonzero(is_flag)
-    frames: List[Ax25Frame] = []
+    frames: List[Tuple[Ax25Frame, int]] = []
     prev_end = None
     for p in idx:
         if prev_end is not None and p - prev_end >= 8 * 10:
@@ -173,6 +180,6 @@ def hdlc_decode(bits) -> List[Ax25Frame]:
                     frame = np.packbits(d, bitorder="little").tobytes()
                     got = Ax25Frame.parse(frame)
                     if got is not None:
-                        frames.append(got)
+                        frames.append((got, int(prev_end)))
         prev_end = p + 8
     return frames

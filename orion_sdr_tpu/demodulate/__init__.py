@@ -9,6 +9,7 @@ from .analog import (am_band_demod, AmStation, ssb_band_demod,
 from .pocsag import pocsag_decode, pocsag_demod_bits
 from .adsb import adsb_decode_capture
 from .afsk import (afsk1200_demod, ax25_decode, rtty_decode,
+                   Afsk1200Stream,
                    fsk2_decision)
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
                         fm_band_demod, FmStation)

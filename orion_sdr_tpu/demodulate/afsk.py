@@ -98,3 +98,69 @@ def rtty_decode(audio, fs: float, baud: float = 45.45,
             best = (score, vals)
     states = (best[1] > 0).astype(np.uint8)
     return baudot_decode(rtty_unframe_bits(states))
+
+
+class Afsk1200Stream:
+    """Streaming AFSK-1200 TNC: feed audio chunks of any size, get AX.25
+    frames as they complete — the feed/flush contract every other
+    streaming receiver here follows (chunk-boundary invariant,
+    checkpointable).
+
+    Each drain demodulates the whole buffered window but only COMMITS
+    frames that start before the retained overlap (one max-length frame +
+    timing slack), so a frame split across feeds decodes exactly once when
+    its tail arrives."""
+
+    # a full 330-byte AX.25 frame + flags ≈ 2700 bits ≈ 2.3 s at 1200 baud
+    _OVERLAP_S = 2.5
+
+    def __init__(self, fs: float) -> None:
+        self.fs = float(fs)
+        self._buf = np.zeros(0, np.float32)
+        self._base_bits = 0          # absolute bit index of buffer start
+        self._emitted_to = 0         # absolute bit index already committed
+
+    def __len__(self) -> int:
+        return len(self._buf)
+
+    def clear(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+        self._base_bits = 0
+        self._emitted_to = 0
+
+    def feed(self, audio) -> list:
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(audio, np.float32)])
+        return self._drain(final=False)
+
+    def flush(self) -> list:
+        out = self._drain(final=True)
+        return out
+
+    def _drain(self, final: bool) -> list:
+        sps = self.fs / AFSK_BAUD
+        overlap_bits = int(self._OVERLAP_S * AFSK_BAUD)
+        n_bits = int(len(self._buf) / sps) - 1
+        if n_bits < 16:
+            return []
+        from ..codec.ax25 import hdlc_decode_with_pos
+        bits = afsk1200_demod(self._buf, self.fs)
+        commit_end = self._base_bits + (len(bits) if final
+                                        else max(len(bits) - overlap_bits, 0))
+        out = []
+        for frame, pos in hdlc_decode_with_pos(bits):
+            abs_pos = self._base_bits + pos
+            if self._emitted_to <= abs_pos < commit_end:
+                out.append(frame)
+        self._emitted_to = max(self._emitted_to, commit_end)
+        # retain the overlap so split frames finish next feed
+        keep_bits = min(overlap_bits + 16, len(bits))
+        keep_samples = int(keep_bits * sps) + len(self._buf) \
+            - int(len(bits) * sps)
+        keep_samples = min(max(keep_samples, 0), len(self._buf))
+        drop = len(self._buf) - keep_samples
+        self._base_bits += int(round(drop / sps))
+        self._buf = self._buf[drop:]
+        if final:
+            self.clear()
+        return out

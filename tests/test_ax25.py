@@ -116,3 +116,32 @@ def test_rtty_framing_resyncs_after_garble():
     garbled[8 + 7 * 3: 8 + 7 * 4] ^= 1
     text = baudot_decode(rtty_unframe_bits(garbled))
     assert "WORLD" in text        # the stream recovers after the hit
+
+
+def test_afsk_stream_tnc_chunk_invariant_and_checkpoint(tmp_path):
+    from orion_sdr_tpu.demodulate.afsk import Afsk1200Stream
+    from orion_sdr_tpu.checkpoint import save_checkpoint, load_checkpoint
+    f1 = Ax25Frame(dest="APRS", src="W1AW-5", payload=b"frame one")
+    f2 = Ax25Frame(dest="CQ", src="N0CALL", payload=b"frame two here")
+    f3 = Ax25Frame(dest="BEACON", src="K1ABC", payload=b"third")
+    audio = np.concatenate([ax25_beacon([f1], FS),
+                            np.zeros(20000, np.float32),
+                            ax25_beacon([f2], FS),
+                            np.zeros(5000, np.float32),
+                            ax25_beacon([f3], FS)])
+    for chunk in (7777, 30000, len(audio)):
+        tnc = Afsk1200Stream(FS)
+        got = []
+        for i in range(0, len(audio), chunk):
+            got += tnc.feed(audio[i:i + chunk])
+        got += tnc.flush()
+        assert got == [f1, f2, f3], chunk
+    # checkpoint mid-stream: resumed decode equals unbroken decode
+    cut = len(audio) // 2
+    a = Afsk1200Stream(FS)
+    got = a.feed(audio[:cut])
+    p = str(tmp_path / "tnc.npz")
+    save_checkpoint(p, a)
+    b = load_checkpoint(p, Afsk1200Stream(FS))
+    got += b.feed(audio[cut:]) + b.flush()
+    assert got == [f1, f2, f3]
