@@ -56,6 +56,10 @@ from .demodulate.adsb import adsb_decode_capture
 from .classify import (classify_signal, band_survey, band_decode,
                        SignalClass, SurveyEntry, BandDecodeEntry)
 
+# ── SSTV Martin M1 image mode (beyond the reference) ─────────────────────────
+from .modulate.sstv import sstv_mod
+from .demodulate.sstv import sstv_demod, SstvImage
+
 # ── POCSAG radio paging (beyond the reference) ───────────────────────────────
 from .codec.pocsag import PocsagPage, pocsag_codeword, pocsag_check
 from .modulate.pocsag import pocsag_mod

@@ -5,6 +5,7 @@ from .analog import (
     fm_mod, FmState,
 )
 from .analog import pm_mod
+from .sstv import sstv_mod, MARTIN_M1
 from .pocsag import pocsag_mod, POCSAG_PREAMBLE_BITS
 from .adsb import adsb_mod, adsb_frame_chips, ADSB_CHIP_RATE
 from .afsk import (afsk1200_mod, rtty_mod, fsk2_tones, ax25_beacon, nrzi_encode, nrzi_decode,
