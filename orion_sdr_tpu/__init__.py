@@ -56,6 +56,11 @@ from .demodulate.adsb import adsb_decode_capture
 from .classify import (classify_signal, band_survey, band_decode,
                        SignalClass, SurveyEntry, BandDecodeEntry)
 
+# ── capture file IO (beyond the reference) ───────────────────────────────────
+from . import io
+from .io import (write_iq_wav, read_iq_wav, write_audio_wav, read_audio_wav,
+                 write_iq_npy, read_iq_npy)
+
 # ── SSTV Martin M1 image mode (beyond the reference) ─────────────────────────
 from .modulate.sstv import sstv_mod
 from .demodulate.sstv import sstv_demod, SstvImage

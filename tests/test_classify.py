@@ -122,3 +122,51 @@ def test_band_decode_dispatches_receivers():
     assert abs(f[np.argmax(spec[5:]) + 5] - 800.0) < 10.0
     assert entries[100].signal.label == "fsk"
     assert entries[100].text == "PAGE ME NOW"
+
+
+def test_capture_file_io_roundtrip(tmp_path):
+    """WAV/NPZ capture IO: an FM stereo signal written as an IQ WAV reads
+    back and still decodes its RDS text."""
+    from orion_sdr_tpu import io as sio
+    rng = np.random.default_rng(0)
+    z = ((rng.standard_normal(5000) + 1j * rng.standard_normal(5000)) * 0.3
+         ).astype(np.complex64)
+    p = str(tmp_path / "cap.wav")
+    sio.write_iq_wav(p, z, 48000.0)
+    back, fs = sio.read_iq_wav(p)
+    assert fs == 48000.0 and back.shape == z.shape
+    scale = np.vdot(back, z).real / np.vdot(back, back).real
+    assert np.max(np.abs(back * scale - z)) < 2e-3      # 16-bit quantization
+
+    p2 = str(tmp_path / "cap.npz")
+    sio.write_iq_npy(p2, z, 96000.0)
+    z2, fs2 = sio.read_iq_npy(p2)
+    assert fs2 == 96000.0
+    np.testing.assert_array_equal(z2, z)
+
+    audio = (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000.0)
+             ).astype(np.float32)
+    p3 = str(tmp_path / "a.wav")
+    sio.write_audio_wav(p3, audio, 8000.0)
+    a2, afs = sio.read_audio_wav(p3)
+    assert afs == 8000.0
+    corr = np.dot(a2, audio) / np.sqrt(np.dot(a2, a2) * np.dot(audio, audio))
+    assert corr > 0.9999
+
+    # end-to-end through a mode: RDS text survives the 16-bit WAV
+    bits = R_bits()
+    iq = np.asarray(o.fm_stereo_mod(
+        (0.5 * np.sin(2 * np.pi * 1000 * np.arange(1 << 18) / 240e3)
+         ).astype(np.float32),
+        (0.5 * np.sin(2 * np.pi * 2500 * np.arange(1 << 18) / 240e3)
+         ).astype(np.float32), 240e3, rds_bits=bits)[0])
+    p4 = str(tmp_path / "fm.wav")
+    sio.write_iq_wav(p4, iq, 240000.0)
+    ziq, zfs = sio.read_iq_wav(p4)
+    out = o.fm_stereo_demod(ziq, zfs, decode_rds=True)
+    assert out.rds.ps_name == "ORIONFM "
+
+
+def R_bits():
+    from orion_sdr_tpu.codec import rds as R
+    return R.rds_encode_groups(R.rds_groups_0a(0x52A1, ps_name="ORIONFM "))
