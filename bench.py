@@ -514,11 +514,19 @@ def bench_dvb_t():
 
 def main():
     for fn in (bench_fm, bench_psk31, bench_ft8, bench_cofdm, bench_dvb_t):
-        try:
-            fn()
-        except Exception as e:                        # noqa: BLE001
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}),
-                  flush=True)
+        for attempt in (0, 1):
+            try:
+                fn()
+                break
+            except Exception as e:                    # noqa: BLE001
+                if attempt == 0:
+                    # the axon relay intermittently drops (UNAVAILABLE) and
+                    # recovers in ~1-2 min — one cooled-down retry keeps a
+                    # transient outage from blanking the round's record
+                    time.sleep(120)
+                    continue
+                print(json.dumps({"metric": fn.__name__,
+                                  "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
