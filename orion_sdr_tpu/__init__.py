@@ -195,7 +195,8 @@ from .modulate.dvb_t_frame import (DvbTFrameMod, DvbTFrame, DvbTHierFrameMod,
                                    tx_lowpass_for_2k)
 from .modulate.dvb_t_super_frame import DvbTSuperFrameMod, DvbTSuperFrame
 from .demodulate.dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
-                                      DvbTHierFrameDemod, DvbTHierRxFrame)
+                                      DvbTHierFrameDemod, DvbTHierRxFrame,
+                                      dvb_t_blind_decode, DvbTBlindFrame)
 from .demodulate.dvb_t_super_frame import DvbTSuperFrameDemod, DvbTRxSuperFrame
 from .demodulate.dvb_t_stream import (DvbTFrameStreamDemod,
                                       DvbTHierFrameStreamDemod,

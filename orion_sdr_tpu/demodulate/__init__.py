@@ -21,6 +21,7 @@ from .psk31 import (
 )
 from .ft8 import ft8_demod, ft4_demod
 from .dvb_t_frame import (DvbTFrameDemod, DvbTRxFrame, DvbTRxError,
+                          dvb_t_blind_decode, DvbTBlindFrame,
                           DvbTHierFrameDemod, DvbTHierRxFrame)
 from .dvb_t_super_frame import (
     DvbTSuperFrameDemod, DvbTRxSuperFrame, DvbTRxSuperFrameError,

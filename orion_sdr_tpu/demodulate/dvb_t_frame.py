@@ -306,6 +306,163 @@ def _receive_frame(seg, n_symbols: int, cp_len: int, backoff: int, vbits: int,
     return _receive_frame_body(seg, n_symbols, cp_len, backoff, vbits, alpha)
 
 
+@cjit
+def _tps_cells_only(seg, n_symbols: int, cp_len: int):
+    """Light pre-pass: symbol FFT → raw TPS-carrier cells (for blind TPS
+    alignment before the constellation is known)."""
+    freq = symbol_fft(seg, DVB_T_N_FFT, cp_len, n_symbols=n_symbols)
+    return freq[..., jnp.asarray(tps_carrier_bins())]
+
+
+class DvbTBlindFrame(NamedTuple):
+    """Blind receive result: the transport payload (null stuffing
+    stripped; zero padding of the last real packet retained — the TS layer
+    carries no finer length), the signalled parameters, and the LP payload
+    when the TPS announced hierarchy."""
+    payload: np.ndarray
+    tps: TpsWord
+    guard: str
+    n_symbols: int
+    lp_payload: Optional[np.ndarray] = None
+
+
+def _strip_null_packets(ts: np.ndarray) -> np.ndarray:
+    rows = ts.reshape(-1, TS_PACKET_LEN)
+    real = ~((rows[:, 1] == 0x1F) & (rows[:, 2] == 0xFF))
+    keep = rows[real]
+    return keep[:, 1:].reshape(-1).copy()
+
+
+def dvb_t_blind_decode(iq, max_symbols: int = 272) -> DvbTBlindFrame:
+    """Fully blind DVB-T 2K receive (beyond the reference, whose receivers
+    need guard/constellation/rate/length up front): try all four guard
+    intervals on the GI metric, align the TPS block by its sync word,
+    configure the FEC chain from the decoded TPS (including hierarchy),
+    and recover the transport payload — its extent comes from the TS
+    layer itself (null packets stripped)."""
+    from ..waveform.dvb_t import (GUARD_INTERVALS, DvbTHierLinkParams,
+                                  DvbTHierFrameParams,
+                                  dvb_t_fs_for_bandwidth)
+    iq = np.asarray(iq)
+    fs = dvb_t_fs_for_bandwidth(1_000_000.0)
+
+    best = None
+    for guard, cp_len in GUARD_INTERVALS.items():
+        sps = DVB_T_N_FFT + cp_len
+        if len(iq) < sps * 5:
+            continue
+        acq = dvb_t_gi_sync(iq, DVB_T_N_FFT, cp_len, fs, sps)
+        if acq is not None and (best is None or acq.score > best[2].score):
+            best = (guard, cp_len, acq)
+    if best is None:
+        raise DvbTRxError(DvbTRxError.ACQUISITION)
+    guard, cp_len, acq = best
+    sps = DVB_T_N_FFT + cp_len
+    start = acq.start_sample
+    avail = (len(iq) - start) // sps
+    if avail < TPS_SYMBOLS_PER_FRAME:
+        raise DvbTRxError(DvbTRxError.INCOMPLETE)
+
+    # TPS alignment: slide a 68-symbol window until the word decodes
+    probe = min(avail, 2 * TPS_SYMBOLS_PER_FRAME + 4)
+    cells = _tps_cells_only(iq[start: start + probe * sps], probe, cp_len)
+    tps_word, frame_off = None, None
+    for off in range(0, probe - TPS_SYMBOLS_PER_FRAME + 1):
+        bits = tps_decode_frame(cells[off: off + TPS_SYMBOLS_PER_FRAME])
+        tps_word = TpsWord.unpack(bits)
+        if tps_word is not None:
+            frame_off = off
+            break
+    if tps_word is None:
+        raise DvbTRxError(DvbTRxError.TPS_DECODE)
+
+    fstart = start + frame_off * sps
+    n_symbols = (len(iq) - fstart) // sps
+    n_symbols = max((n_symbols // 4) * 4, TPS_SYMBOLS_PER_FRAME)
+    n_symbols = min(n_symbols, max_symbols)
+    if (len(iq) - fstart) // sps < n_symbols:
+        raise DvbTRxError(DvbTRxError.INCOMPLETE)
+
+    vbits = BITS_PER_SYMBOL[tps_word.constellation]
+    seg = iq[fstart: fstart + n_symbols * sps]
+    # capacity candidates: the whole capture (one long frame), else the
+    # largest 68-multiple, else one 68-symbol frame — the capture may hold
+    # several frames whose coded streams each restart, so on a failure the
+    # decode retries over a shorter symbol PREFIX of the same LLR stream
+    cands = []
+    for n in (n_symbols, (n_symbols // TPS_SYMBOLS_PER_FRAME)
+              * TPS_SYMBOLS_PER_FRAME, TPS_SYMBOLS_PER_FRAME):
+        if n >= TPS_SYMBOLS_PER_FRAME and n not in cands:
+            cands.append(n)
+
+    if tps_word.hierarchy:
+        link = DvbTHierLinkParams(
+            guard=guard, constellation=tps_word.constellation,
+            alpha=tps_word.hierarchy, code_rate_hp=tps_word.code_rate_hp,
+            code_rate_lp=tps_word.code_rate_lp or tps_word.code_rate_hp)
+        params = DvbTHierFrameParams(link=link)
+        llrs, _ = _receive_frame(seg, n_symbols, cp_len, 0, vbits,
+                                 link.alpha)
+        per_cell = llrs.reshape(n_symbols, -1, vbits)
+        for n in cands:
+            hp = _blind_stream(
+                np.ascontiguousarray(per_cell[:n, :, :2]).reshape(-1),
+                params.inner_hp(), n * DVB_T_DATA_CARRIERS * 2)
+            if hp is None:
+                continue
+            lp = _blind_stream(
+                np.ascontiguousarray(per_cell[:n, :, 2:]).reshape(-1),
+                params.inner_lp(), n * DVB_T_DATA_CARRIERS * (vbits - 2))
+            return DvbTBlindFrame(payload=hp, tps=tps_word, guard=guard,
+                                  n_symbols=n, lp_payload=lp)
+        raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
+
+    from ..frame.types import InnerFec
+    inner = InnerFec.convolutional(tps_word.code_rate_hp, "dvb_k7")
+    llrs = np.asarray(_receive_frame(seg, n_symbols, cp_len, 0, vbits)[0]
+                      ).reshape(n_symbols, -1)
+    for n in cands:
+        payload = _blind_stream(
+            np.ascontiguousarray(llrs[:n]).reshape(-1), inner,
+            n * DVB_T_DATA_CARRIERS * vbits)
+        if payload is not None:
+            return DvbTBlindFrame(payload=payload, tps=tps_word,
+                                  guard=guard, n_symbols=n)
+    raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
+
+
+def _blind_coded_bits(n_ts: int, inner) -> int:
+    return block_plan(n_ts * TS_PACKET_LEN, "none", dvb_t_frame_outer(),
+                      inner, dvb_t_frame_outer_il(),
+                      InterleaverKind.none()).coded_bits
+
+
+def _blind_stream(llrs: np.ndarray, inner, capacity: int):
+    """Decode the largest whole-packet TS prefix that fits the capacity,
+    un-disperse, validate syncs, strip null packets."""
+    n_ts = 1
+    while _blind_coded_bits(n_ts + 1, inner) <= capacity:
+        n_ts += 1
+    if _blind_coded_bits(n_ts, inner) > capacity:
+        return None
+    plan = block_plan(n_ts * TS_PACKET_LEN, "none", dvb_t_frame_outer(),
+                      inner, dvb_t_frame_outer_il(), InterleaverKind.none())
+    try:
+        ts, ok = decode_chain(
+            llrs[:plan.coded_bits], plan, "none", dvb_t_frame_outer(), inner,
+            dvb_t_frame_outer_il(), InterleaverKind.none(),
+            ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
+    except Exception:                                  # noqa: BLE001
+        return None
+    if not ok or len(ts) < n_ts * TS_PACKET_LEN:
+        return None
+    ts = ts_energy_disperse(ts[: n_ts * TS_PACKET_LEN])
+    rows = np.asarray(ts, np.uint8).reshape(-1, TS_PACKET_LEN)
+    if not np.all(rows[:, 0] == 0x47):
+        return None
+    return _strip_null_packets(np.asarray(ts, np.uint8))
+
+
 class DvbTHierRxFrame(NamedTuple):
     """Hierarchical receive result: HP always present (decode raises if the
     HP stream fails — the frame is then useless); LP is None when its FEC

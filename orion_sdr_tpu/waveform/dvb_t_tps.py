@@ -215,6 +215,14 @@ class TpsWord:
                 v = (v << 1) | int(info[start + j])
             return v
 
+        # the BCH(67,53) t=2 check alone passes ~14% of random words —
+        # the fixed sync word (matched against the frame-number parity) and
+        # the constant length field are the real false-accept guards
+        frame_number = get(22, 2)
+        sync = get(0, 16)
+        want = TPS_SYNC_WORD_13 if frame_number % 2 == 0 else TPS_SYNC_WORD_24
+        if sync != want or get(16, 6) != _TPS_LENGTH_WITH_CELL_ID:
+            return None
         constellation = _CONSTELLATION_FROM.get(get(24, 2))
         rate = _RATE_FROM.get(get(29, 3))
         hierarchy = _HIERARCHY_FROM.get(get(26, 3))

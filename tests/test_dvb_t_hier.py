@@ -202,3 +202,63 @@ def test_hier_stream_demod_chunked_two_frames():
     with pytest.raises(NotImplementedError):
         DvbTHierFrameStreamDemod(params, f1.n_symbols, 1, 1) \
             .with_integer_cfo_correction()
+
+
+def test_blind_decode_no_prior_parameters():
+    """Fully blind receive: guard, constellation, code rate, hierarchy and
+    payload extent all recovered from the signal itself."""
+    from orion_sdr_tpu.demodulate.dvb_t_frame import dvb_t_blind_decode
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    payload = _payload(500, 20)
+    for guard, order, rate in (("1/8", "qpsk", "2/3"),
+                               ("1/32", "qam16", "3/4")):
+        params = DvbTFrameParams(DvbTLinkParams(guard, order, rate), 1, 7)
+        frame = DvbTFrameMod(params).modulate(payload)
+        buf = np.concatenate([np.zeros(1234, np.complex64), frame.iq])
+        out = dvb_t_blind_decode(buf)
+        assert out.guard == guard
+        assert out.tps.constellation == order
+        assert out.tps.code_rate_hp == rate
+        assert np.array_equal(out.payload[:len(payload)], payload)
+
+    # hierarchical, blind
+    link = DvbTHierLinkParams(guard="1/16", constellation="qam16", alpha=2,
+                              code_rate_hp="1/2", code_rate_lp="3/4")
+    hp, lp = _payload(300, 21), _payload(900, 22)
+    frame = DvbTHierFrameMod(DvbTHierFrameParams(link=link)).modulate(hp, lp)
+    out = dvb_t_blind_decode(frame.iq)
+    assert out.tps.hierarchy == 2
+    assert np.array_equal(out.payload[:len(hp)], hp)
+    assert out.lp_payload is not None
+    assert np.array_equal(out.lp_payload[:len(lp)], lp)
+
+
+def test_blind_decode_multi_frame_capture_awgn():
+    """A capture holding two frames at 6 dB: the descending-capacity retry
+    decodes the first frame; the stricter TPS unpack (sync word + length
+    field) rejects noise-region false words."""
+    from orion_sdr_tpu.demodulate.dvb_t_frame import dvb_t_blind_decode
+    from orion_sdr_tpu.waveform.dvb_t import DvbTLinkParams, DvbTFrameParams
+    from orion_sdr_tpu.modulate.dvb_t_frame import DvbTFrameMod
+    payload = _payload(500, 23)
+    params = DvbTFrameParams(DvbTLinkParams("1/8", "qpsk", "1/2"), 2, 3)
+    frame = DvbTFrameMod(params).modulate(payload)
+    sig_p = float(np.mean(np.abs(frame.iq) ** 2))
+    rng = np.random.default_rng(0)
+    buf = np.concatenate([np.zeros(3000, np.complex64), frame.iq, frame.iq])
+    buf = buf + ((rng.standard_normal(len(buf))
+                  + 1j * rng.standard_normal(len(buf))
+                  ).astype(np.complex64) * np.sqrt(sig_p / 10 ** 0.6 / 2))
+    out = dvb_t_blind_decode(buf)
+    assert out.guard == "1/8" and out.n_symbols == 68
+    assert np.array_equal(out.payload[:len(payload)], payload)
+
+
+def test_tps_unpack_rejects_noise_words():
+    from orion_sdr_tpu.waveform.dvb_t_tps import TpsWord, tps_decode_frame
+    for seed in range(100):
+        rng = np.random.default_rng(seed)
+        cells = (rng.standard_normal((68, 17))
+                 + 1j * rng.standard_normal((68, 17))).astype(np.complex64)
+        assert TpsWord.unpack(tps_decode_frame(cells)) is None
