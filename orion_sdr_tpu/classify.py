@@ -142,8 +142,10 @@ def classify_signal(iq, fs: float) -> SignalClass:
         # 2-FSK: the discriminator dwells at exactly two levels with an
         # EMPTY valley between (NRZ switching); tone-FM's sine swing is
         # bimodal too (arcsine density) but fills the valley. The histogram
-        # range adapts to the spread so small deviations still resolve.
-        a = float(min(np.pi, max(3.0 * dstd, 1e-3)))
+        # range adapts ROBUSTLY to the dwell level (a percentile — noise
+        # tails inflate the std 3× on narrow-shift FSK like RTTY).
+        a = float(min(np.pi, max(1.5 * np.percentile(np.abs(disc), 90.0),
+                                 1e-3)))
         hist, _ = np.histogram(disc, bins=32, range=(-a, a))
         h = hist / hist.sum()
         order = np.argsort(h)[::-1]
@@ -325,6 +327,13 @@ def band_decode(iq, fs: float, **survey_kwargs) -> List[BandDecodeEntry]:
                     entry.pages = pages
                     entry.text = " / ".join(
                         (p.text or p.digits or "") for p in pages)
+                else:
+                    from .demodulate.afsk import rtty_decode_fsk
+                    yn, ch_fs_n = channel(8e3, 1.5e3)    # RTTY is narrow
+                    text = rtty_decode_fsk(yn, ch_fs_n)
+                    printable = sum(c.isalnum() for c in text)
+                    if printable >= 6:
+                        entry.text = text
         except Exception:                                 # noqa: BLE001
             pass          # a failed decoder leaves the classification only
         out.append(entry)

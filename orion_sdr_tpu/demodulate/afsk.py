@@ -164,3 +164,22 @@ class Afsk1200Stream:
         if final:
             self.clear()
         return out
+
+
+def rtty_decode_fsk(iq, fs: float, baud: float = 45.45) -> str:
+    """HF-style RTTY: RF frequency-shift keying at IQ baseband (typically
+    170 Hz shift) rather than audio tones. FM-discriminate, integrate per
+    bit with an offset search, try both mark/space polarities, and keep
+    the text with more printable characters."""
+    from ..demodulate.pocsag import pocsag_demod_bits
+    from ..codec.rtty import rtty_unframe_bits, baudot_decode
+    bits = pocsag_demod_bits(np.asarray(iq), fs, baud)
+    if bits.size == 0:
+        return ""
+    best = ""
+    for pol in (0, 1):
+        text = baudot_decode(rtty_unframe_bits(bits ^ pol))
+        printable = sum(c.isprintable() and c != " " for c in text)
+        if printable > sum(c.isprintable() and c != " " for c in best):
+            best = text
+    return best

@@ -170,3 +170,28 @@ def test_capture_file_io_roundtrip(tmp_path):
 def R_bits():
     from orion_sdr_tpu.codec import rds as R
     return R.rds_encode_groups(R.rds_groups_0a(0x52A1, ps_name="ORIONFM "))
+
+
+def test_band_decode_rtty_rf_fsk():
+    """HF-style RTTY (RF frequency-shift, 170 Hz) found blind: classified
+    fsk, POCSAG attempt fails, the RTTY fallback decodes the text."""
+    from orion_sdr_tpu import dsp, band_decode
+    from orion_sdr_tpu.codec.rtty import baudot_encode, rtty_frame_bits
+    rng = np.random.default_rng(0)
+    fsr = 8000.0
+    line = rtty_frame_bits(baudot_encode("CQ DE ORION SDR 599"))
+    sps = fsr / 45.45
+    n = int(len(line) * sps)
+    k = np.minimum((np.arange(n) / sps).astype(int), len(line) - 1)
+    iq = np.exp(1j * np.cumsum(
+        2 * np.pi * np.where(line[k] == 1, -85.0, 85.0) / fsr)
+        ).astype(np.complex64)
+    fs_w = 256_000.0
+    wide = dsp.band_compose(iq[None], [60e3], fs_w, fsr)
+    wide = wide + (rng.standard_normal(len(wide))
+                   + 1j * rng.standard_normal(len(wide))
+                   ).astype(np.complex64) * 0.003
+    entries = band_decode(wide, fs_w)
+    assert len(entries) == 1
+    assert entries[0].signal.label == "fsk"
+    assert entries[0].text == "CQ DE ORION SDR 599"
