@@ -751,3 +751,71 @@ def test_snr_sweep_fm_stereo_rds():
         print(f"  {snr:+.0f} dB: sep={sep:5.1f} dB  pilot="
               f"{out.pilot_level:.3f}  PS={out.rds.ps_name!r}  "
               f"groups={len(out.rds.groups)}")
+
+
+def test_snr_sweep_packet_modes():
+    """Decode floors for the packet/paging/teletype/aviation modes
+    (beyond-reference family): success vs SNR, 5 trials/point."""
+    from orion_sdr_tpu.codec.ax25 import Ax25Frame
+    from orion_sdr_tpu.modulate.afsk import ax25_beacon, rtty_mod
+    from orion_sdr_tpu.demodulate.afsk import ax25_decode, rtty_decode
+    from orion_sdr_tpu.codec.pocsag import PocsagPage
+    from orion_sdr_tpu.modulate.pocsag import pocsag_mod
+    from orion_sdr_tpu.demodulate.pocsag import pocsag_decode
+    from orion_sdr_tpu.codec import adsb as A
+    from orion_sdr_tpu.modulate.adsb import adsb_mod
+    from orion_sdr_tpu.demodulate.adsb import adsb_decode_capture
+
+    fs = 48_000.0
+    frame = Ax25Frame(dest="APRS", src="W1AW-5", payload=b"sweep test")
+    audio = ax25_beacon([frame], fs)
+    sig = float(np.mean(audio ** 2))
+    print("\n[AX.25/AFSK-1200] decode vs audio SNR:")
+    for snr in (10.0, 6.0, 3.0, 0.0):
+        ok = sum(ax25_decode(
+            audio + np.random.default_rng(7 + s).standard_normal(len(audio))
+            .astype(np.float32) * np.sqrt(sig / 10 ** (snr / 10)),
+            fs) == [frame] for s in range(5))
+        print(f"  {snr:+.0f} dB: {ok}/5")
+
+    msg = "CQ CQ DE W1AW K"
+    tty = rtty_mod(msg, 11025.0)
+    sig = float(np.mean(tty ** 2))
+    print("[RTTY 45.45] decode vs audio SNR:")
+    for snr in (8.0, 5.0, 2.0, 0.0):
+        ok = sum(rtty_decode(
+            tty + np.random.default_rng(7 + s).standard_normal(len(tty))
+            .astype(np.float32) * np.sqrt(sig / 10 ** (snr / 10)),
+            11025.0) == msg for s in range(5))
+        print(f"  {snr:+.0f} dB: {ok}/5")
+
+    pages = [PocsagPage(address=0xBEEF, function=3, text="SWEEP PAGE")]
+    iq = pocsag_mod(pages, 38_400.0)
+    print("[POCSAG 1200] decode vs IQ SNR:")
+    for snr in (10.0, 6.0, 3.0, 0.0):
+        ok = 0
+        for s in range(5):
+            rng = np.random.default_rng(7 + s)
+            z = iq + ((rng.standard_normal(len(iq))
+                       + 1j * rng.standard_normal(len(iq))
+                       ).astype(np.complex64)
+                      * np.sqrt(1.0 / 10 ** (snr / 10) / 2))
+            got = pocsag_decode(z, 38_400.0)
+            ok += bool(got and got[0].text == "SWEEP PAGE")
+        print(f"  {snr:+.0f} dB: {ok}/5")
+
+    frames = [A.adsb_encode_identification(0x4840D6, "KLM1023")]
+    iq = adsb_mod(frames, 8_000_000.0)
+    peak = float(np.max(np.abs(iq)))
+    print("[ADS-B 1090ES] decode vs pulse SNR:")
+    for snr in (12.0, 9.0, 6.0, 3.0):
+        ok = 0
+        for s in range(5):
+            rng = np.random.default_rng(7 + s)
+            z = iq + ((rng.standard_normal(len(iq))
+                       + 1j * rng.standard_normal(len(iq))
+                       ).astype(np.complex64)
+                      * peak * np.sqrt(1.0 / 10 ** (snr / 10) / 2))
+            got = adsb_decode_capture(z, 8_000_000.0)
+            ok += any(m.callsign == "KLM1023" for m in got)
+        print(f"  {snr:+.0f} dB: {ok}/5")
