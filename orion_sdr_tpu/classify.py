@@ -308,6 +308,17 @@ def band_decode(iq, fs: float, **survey_kwargs) -> List[BandDecodeEntry]:
                 if st.rds is not None and getattr(st.rds, "ps_name",
                                                   "").strip():
                     entry.text = st.rds.ps_name.strip()
+            elif label == "ssb":
+                from .demodulate.analog import ssb_band_demod
+                # blind dial estimate (voice assumption: audio content
+                # starts ~300 Hz above the suppressed carrier + 1.5 kHz
+                # IF). Absolute pitch carries the estimate's error; tone
+                # RELATIONS are exact — the inherent blind-SSB ambiguity.
+                dial = seg.center_hz - seg.bw_hz / 2.0 - 1800.0
+                st = ssb_band_demod(z, fs, [dial])
+                if st:
+                    entry.audio = st[0].audio
+                    entry.fs_audio = st[0].fs_audio
             elif label == "cw":
                 from .codec.morse import morse_decode
                 y, ch_fs = channel(8e3, 2e3)

@@ -195,3 +195,29 @@ def test_band_decode_rtty_rf_fsk():
     assert len(entries) == 1
     assert entries[0].signal.label == "fsk"
     assert entries[0].text == "CQ DE ORION SDR 599"
+
+
+def test_band_decode_ssb_audio():
+    """Blind SSB: audio recovered with tone RELATIONS exact (absolute
+    pitch carries the blind dial estimate's error — inherent to SSB)."""
+    from orion_sdr_tpu import band_decode
+    fs = 500_000.0
+    n = 1 << 19
+    t = np.arange(n) / fs
+    ssb = o.ssb_mod((0.5 * np.sin(2 * np.pi * 800 * t)
+                     + 0.4 * np.sin(2 * np.pi * 1900 * t)
+                     ).astype(np.float32), fs, 2800.0, 1500.0)[0]
+    band = np.asarray(rotate(np.ascontiguousarray(
+        np.asarray(ssb), np.complex64), -120e3, fs)[0])
+    rng = np.random.default_rng(0)
+    band = band + (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                   ).astype(np.complex64) * 0.002
+    entries = band_decode(band, fs)
+    assert len(entries) == 1 and entries[0].signal.label == "ssb"
+    audio = entries[0].audio
+    assert audio is not None
+    seg = audio[2000:]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1 / entries[0].fs_audio)
+    top2 = np.sort(f[np.argsort(spec)[-2:]])
+    assert abs((top2[1] - top2[0]) - 1100.0) < 20.0   # 1900−800 preserved
