@@ -219,5 +219,9 @@ def test_band_decode_ssb_audio():
     seg = audio[2000:]
     spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
     f = np.fft.rfftfreq(len(seg), 1 / entries[0].fs_audio)
-    top2 = np.sort(f[np.argsort(spec)[-2:]])
-    assert abs((top2[1] - top2[0]) - 1100.0) < 20.0   # 1900−800 preserved
+    p1 = int(np.argmax(spec))
+    guard = spec.copy()
+    guard[max(p1 - 5, 0):p1 + 6] = 0.0    # adjacent leakage of peak 1
+    p2 = int(np.argmax(guard))
+    spacing = abs(f[p2] - f[p1])
+    assert abs(spacing - 1100.0) < 20.0    # 1900−800 preserved
