@@ -28,4 +28,5 @@ from .iir import (
 )
 from .agc import AgcParams, design_agc, agc_rms
 from .channelizer import Channelizer, band_compose
+from .pfb import pfb_channelize, pfb_channel_freqs, pfb_prototype
 from .resample import resample, resample_taps, Resampler

@@ -397,3 +397,42 @@ def test_band_compose_validation():
         dsp.band_compose(x, [0.0], 800_000.0, 100_000.0)
     with _pytest.raises(ValueError):
         dsp.band_compose(x, [0.0, 500_000.0], 800_000.0, 100_000.0)
+
+
+def test_pfb_channelizer_tone_mapping_and_leakage():
+    """Polyphase filter bank: one prototype + one FFT extracts every
+    uniform channel — tones land in their rows at unity gain with the
+    in-channel offset preserved; adjacent leakage sits at the prototype's
+    stopband."""
+    from orion_sdr_tpu.dsp.pfb import pfb_channelize, pfb_channel_freqs
+    fs, C, n = 1_024_000.0, 32, 1 << 17
+    t = np.arange(n) / fs
+    freqs = pfb_channel_freqs(C, fs)
+    x = (np.exp(2j * np.pi * (freqs[5] + 2000.0) * t)
+         + 0.5 * np.exp(2j * np.pi * (freqs[-3] - 1500.0) * t)
+         ).astype(np.complex64)
+    y = pfb_channelize(x, C)
+    pw = np.mean(np.abs(y) ** 2, axis=-1)
+    order = np.argsort(pw)[::-1]
+    assert set(order[:2]) == {5, C - 3}
+    assert abs(np.sqrt(pw[5]) - 1.0) < 0.01
+    assert abs(np.sqrt(pw[C - 3]) - 0.5) < 0.01
+    assert 10 * np.log10(pw[order[2]] / pw[5]) < -60.0
+    # in-channel offset preserved at the decimated rate
+    row = y[5]
+    dphi = np.angle(row[1:] * np.conj(row[:-1]))
+    assert abs(np.median(dphi) * (fs / C) / (2 * np.pi) - 2000.0) < 20.0
+    row2 = y[C - 3]
+    dphi2 = np.angle(row2[1:] * np.conj(row2[:-1]))
+    assert abs(np.median(dphi2) * (fs / C) / (2 * np.pi) + 1500.0) < 20.0
+
+
+def test_pfb_validation():
+    from orion_sdr_tpu.dsp.pfb import pfb_channelize
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pfb_channelize(np.zeros((2, 64), np.complex64), 8)
+    with _pytest.raises(ValueError):
+        pfb_channelize(np.zeros(64, np.complex64), 1)
+    with _pytest.raises(ValueError):
+        pfb_channelize(np.zeros(64, np.complex64), 32)   # shorter than span
