@@ -61,6 +61,10 @@ from . import io
 from .io import (write_iq_wav, read_iq_wav, write_audio_wav, read_audio_wav,
                  write_iq_npy, read_iq_npy)
 
+# ── chirp spread spectrum, LoRa-style (beyond the reference) ─────────────────
+from .modulate.css import css_mod
+from .demodulate.css import css_demod, CssFrame
+
 # ── SSTV Martin M1 image mode (beyond the reference) ─────────────────────────
 from .modulate.sstv import sstv_mod
 from .demodulate.sstv import sstv_demod, SstvImage

@@ -6,6 +6,7 @@ from .analog import (
 )
 from .analog import (am_band_demod, AmStation, ssb_band_demod,
                      SsbStation)
+from .css import css_demod, CssFrame
 from .sstv import sstv_demod, SstvImage
 from .pocsag import pocsag_decode, pocsag_demod_bits
 from .adsb import adsb_decode_capture

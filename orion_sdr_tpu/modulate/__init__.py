@@ -5,6 +5,7 @@ from .analog import (
     fm_mod, FmState,
 )
 from .analog import pm_mod
+from .css import css_mod, css_samples_per_symbol
 from .sstv import sstv_mod, MARTIN_M1
 from .pocsag import pocsag_mod, POCSAG_PREAMBLE_BITS
 from .adsb import adsb_mod, adsb_frame_chips, ADSB_CHIP_RATE
