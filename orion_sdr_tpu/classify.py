@@ -269,7 +269,13 @@ def band_decode(iq, fs: float, **survey_kwargs) -> List[BandDecodeEntry]:
     """The capstone blind receive: scan → classify → decode every signal
     in a wideband capture with the right mode receiver, no prior channel
     plan (beyond the reference, which needs a pre-tuned receiver object
-    per signal)."""
+    per signal).
+
+    Cost note: each segment is channelized twice (once for classification
+    in band_survey, once at the decoder's preferred rate) and segments run
+    sequentially — segments generally need different output rates, which
+    is what keeps this from being one batched program. On the relay
+    backend that is ~2 boundary crossings per segment."""
     from .dsp.channelizer import Channelizer
     z = np.asarray(iq)
     out: List[BandDecodeEntry] = []

@@ -54,8 +54,9 @@ def pocsag_check(cw: int) -> Optional[int]:
             reg ^= _BCH_GEN << (i - 10)
     synd = reg & 0x3FF
     if synd == 0:
-        if bin(cw).count("1") & 1:
-            return None               # parity disagrees with clean BCH
+        # clean BCH with wrong overall parity = the parity bit itself
+        # flipped — still a 1-bit error, the 31 payload+check bits are
+        # intact, so accept
         return cw31
     for bit in range(31):
         flipped = cw31 ^ (1 << bit)

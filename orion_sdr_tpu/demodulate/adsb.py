@@ -68,7 +68,7 @@ def adsb_decode_capture(iq, fs: float, max_candidates: int = 256,
         np.ascontiguousarray(z.imag, np.float32), m)
     env, score = np.asarray(env), np.asarray(score)
     # local maxima of the score above threshold, at most one per half-chip
-    valid_to = len(score) - FRAME_CHIPS * m
+    valid_to = len(score) - FRAME_CHIPS * m + 1
     s = score[:max(valid_to, 0)]
     if s.size == 0:
         return []

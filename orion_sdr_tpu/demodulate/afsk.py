@@ -46,16 +46,13 @@ def fsk2_decision(audio, fs: float, sps_i: int,
     return (tone_env(mark_hz) - tone_env(space_hz)).astype(jnp.float32)
 
 
-def afsk1200_demod(audio, fs: float) -> np.ndarray:
-    """Audio → HDLC bit stream (pre-NRZI bits, feed codec.ax25.hdlc_decode).
-    Bit timing by offset search over one bit period."""
-    a = np.asarray(audio, np.float32)
-    sps = fs / AFSK_BAUD
-    sps_i = max(int(round(sps)), 2)
-    d = np.asarray(fsk2_decision(a, float(fs), sps_i))
+def _best_bit_values(d: np.ndarray, sps: float) -> np.ndarray:
+    """Sample a decision waveform at the baud grid, searching 8 timing
+    offsets for the one maximizing mean |decision| — shared by the AFSK
+    and RTTY paths."""
     n_bits = int(len(d) / sps) - 1
     if n_bits < 8:
-        return np.zeros(0, np.uint8)
+        return np.zeros(0, np.float32)
     best = None
     for off in np.arange(0.0, sps, sps / 8.0):
         centers = (off + sps / 2.0 + np.arange(n_bits) * sps).astype(np.int64)
@@ -64,8 +61,20 @@ def afsk1200_demod(audio, fs: float) -> np.ndarray:
         score = float(np.mean(np.abs(vals)))
         if best is None or score > best[0]:
             best = (score, vals)
-    states = (best[1] > 0).astype(np.uint8)
-    return nrzi_decode(states)
+    return best[1]
+
+
+def afsk1200_demod(audio, fs: float) -> np.ndarray:
+    """Audio → HDLC bit stream (pre-NRZI bits, feed codec.ax25.hdlc_decode).
+    Bit timing by offset search over one bit period."""
+    a = np.asarray(audio, np.float32)
+    sps = fs / AFSK_BAUD
+    sps_i = max(int(round(sps)), 2)
+    d = np.asarray(fsk2_decision(a, float(fs), sps_i))
+    vals = _best_bit_values(d, sps)
+    if vals.size == 0:
+        return np.zeros(0, np.uint8)
+    return nrzi_decode((vals > 0).astype(np.uint8))
 
 
 def ax25_decode(audio, fs: float) -> List:
@@ -85,18 +94,10 @@ def rtty_decode(audio, fs: float, baud: float = 45.45,
     sps_i = max(int(round(sps)), 2)
     d = np.asarray(fsk2_decision(a, float(fs), sps_i, float(mark_hz),
                                  float(space_hz)))
-    n_bits = int(len(d) / sps) - 1
-    if n_bits < 8:
+    vals = _best_bit_values(d, sps)
+    if vals.size == 0:
         return ""
-    best = None
-    for off in np.arange(0.0, sps, sps / 8.0):
-        centers = (off + sps / 2.0 + np.arange(n_bits) * sps).astype(np.int64)
-        centers = centers[centers < len(d)]
-        vals = d[centers]
-        score = float(np.mean(np.abs(vals)))
-        if best is None or score > best[0]:
-            best = (score, vals)
-    states = (best[1] > 0).astype(np.uint8)
+    states = (vals > 0).astype(np.uint8)
     return baudot_decode(rtty_unframe_bits(states))
 
 

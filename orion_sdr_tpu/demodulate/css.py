@@ -96,8 +96,9 @@ def css_demod(iq, sf: int = 7, bw: float = 125_000.0,
     # fine timing: re-scan around the winning coarse offset — a residual
     # sub-symbol error smears the tone across bins and costs ~5 dB
     fine = max(spsym // 64, 1)
-    for doff in range(-coarse // 2, coarse // 2 + 1, fine):
-        off2 = best[1] + doff
+    base_off = best[1]                    # snapshot: the grid must stay
+    for doff in range(-coarse // 2, coarse // 2 + 1, fine):   # anchored on
+        off2 = base_off + doff            # the coarse winner
         if off2 < 0 or doff == 0:
             continue
         cand = scan(off2)
@@ -105,8 +106,18 @@ def css_demod(iq, sf: int = 7, bw: float = 125_000.0,
             best = cand
     _, off, s0, bin0, mag, args = best
 
-    # the two downchirps sit right after the preamble: verify with the
-    # down reference and pin the payload start
+    # verify the two downchirp sync symbols right after the preamble: they
+    # must dechirp strongly against the DOWN reference (a tone-like
+    # interferer that faked the preamble fails here, and a one-symbol
+    # preamble mis-lock shifts them onto data and fails too)
+    dsync0 = s0 + CSS_PREAMBLE_UPCHIRPS
+    dstart = off + dsync0 * spsym
+    if dstart + 2 * spsym > len(z):
+        return None
+    dmag = np.asarray(_dechirp_fft(z[dstart:], dn_re, dn_im, 2, spsym, m))
+    dscore = dmag.max(axis=-1) / (np.median(dmag, axis=-1) + 1e-12)
+    if not np.all(dscore > 5.0):
+        return None
     pay0 = s0 + CSS_PREAMBLE_UPCHIRPS + 2
     n_sym = mag.shape[0]
     if pay0 >= n_sym:

@@ -21,10 +21,12 @@ CSS_PREAMBLE_UPCHIRPS = 8
 
 
 def css_samples_per_symbol(sf: int, bw: float, fs: float) -> int:
-    n = (1 << sf) * fs / bw
-    if abs(n - round(n)) > 1e-6:
-        raise ValueError(f"fs/bw·2^sf must be integer (got {n})")
-    return int(round(n))
+    r = fs / bw
+    if abs(r - round(r)) > 1e-9 or round(r) < 1:
+        raise ValueError(f"fs must be an integer multiple of bw "
+                         f"(fs/bw = {r}) — the dechirp decimates "
+                         f"fs/bw samples per chip")
+    return (1 << sf) * int(round(r))
 
 
 def _chirp_phase(sf: int, bw: float, fs: float, shift: int,
