@@ -52,6 +52,9 @@ from .codec.adsb import (AdsbMessage, adsb_crc24, adsb_decode_frame,
 from .modulate.adsb import adsb_mod
 from .demodulate.adsb import adsb_decode_capture
 
+# ── single-carrier recovery tools (beyond the reference) ─────────────────────
+from .demodulate.digital import estimate_cfo_mpsk, fde_equalize
+
 # ── blind modulation classification + band survey (beyond the reference) ─────
 from .classify import (classify_signal, band_survey, band_decode,
                        SignalClass, SurveyEntry, BandDecodeEntry)
