@@ -72,6 +72,11 @@ from .demodulate.css import css_demod, CssFrame
 from .modulate.sstv import sstv_mod
 from .demodulate.sstv import sstv_demod, SstvImage
 
+# ── AIS marine transponders (beyond the reference) ───────────────────────────
+from .codec.ais import AisPosition
+from .modulate.ais import ais_mod
+from .demodulate.ais import ais_decode
+
 # ── POCSAG radio paging (beyond the reference) ───────────────────────────────
 from .codec.pocsag import PocsagPage, pocsag_codeword, pocsag_check
 from .modulate.pocsag import pocsag_mod

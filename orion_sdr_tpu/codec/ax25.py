@@ -144,6 +144,19 @@ def hdlc_decode_with_pos(bits) -> List[Tuple[Ax25Frame, int]]:
     """Like hdlc_decode but returns (frame, start_bit_index) pairs — the
     streaming TNC uses the positions to commit/dedup across chunk
     boundaries."""
+    out = []
+    for raw, pos in hdlc_frames_raw(bits):
+        got = Ax25Frame.parse(raw)
+        if got is not None:
+            out.append((got, pos))
+    return out
+
+
+def hdlc_frames_raw(bits, check_fcs: bool = True
+                    ) -> List[Tuple[bytes, int]]:
+    """Bit stream → (frame_bytes, start_bit_index) for every flag-delimited,
+    destuffed, FCS-valid frame (FCS included in the returned bytes) —
+    the protocol-agnostic layer AX.25 and AIS share."""
     b = np.asarray(bits, np.uint8) & 1
     # locate flag positions (8-bit pattern 01111110)
     flag_bits = np.unpackbits(np.uint8([HDLC_FLAG]), bitorder="little")
@@ -176,10 +189,11 @@ def hdlc_decode_with_pos(bits) -> List[Tuple[Ax25Frame, int]]:
                     run = 0
             if run >= 0:
                 d = seg[keep]
-                if len(d) % 8 == 0 and len(d):
+                if len(d) % 8 == 0 and len(d) >= 4 * 8:
                     frame = np.packbits(d, bitorder="little").tobytes()
-                    got = Ax25Frame.parse(frame)
-                    if got is not None:
-                        frames.append((got, int(prev_end)))
+                    if not check_fcs or (
+                            len(frame) > 2 and ax25_crc(frame[:-2])
+                            == (frame[-1] << 8) | frame[-2]):
+                        frames.append((frame, int(prev_end)))
         prev_end = p + 8
     return frames
