@@ -60,3 +60,26 @@ tty = sdr.rtty_mod("CQ CQ CQ DE W1AW W1AW K", fs_r)
 tty = tty + rng.standard_normal(len(tty)).astype(np.float32) \
     * np.sqrt(float(np.mean(tty ** 2)) / 10 ** 0.8)
 print("\nRTTY:", repr(sdr.rtty_decode(tty, fs_r)))
+
+# ── 4. AIS: two ships on the harbor channel ──────────────────────────────────
+ships = [sdr.AisPosition(mmsi=211234567, lat=53.5421, lon=9.9845,
+                         sog_kt=12.3, cog_deg=87.5, heading_deg=88),
+         sdr.AisPosition(mmsi=244000111, lat=53.5380, lon=9.9710,
+                         sog_kt=0.2, cog_deg=310.0, msg_type=3)]
+ais_iq = sdr.ais_mod(ships)
+ais_iq = ais_iq + ((rng.standard_normal(len(ais_iq))
+                    + 1j * rng.standard_normal(len(ais_iq)))
+                   .astype(np.complex64) * np.sqrt(0.1 / 2))   # 10 dB
+print("\nAIS (GMSK 9600):")
+for s in sdr.ais_decode(ais_iq, 96_000.0):
+    print(f"  MMSI {s.mmsi}  {s.lat:.4f},{s.lon:.4f}  "
+          f"{s.sog_kt:.1f} kt  COG {s.cog_deg:.1f}°")
+
+# ── 5. CSS (LoRa-style): a sensor beacon below the noise floor ───────────────
+beacon = sdr.css_mod(b"sensor-7: 21.4C 1013hPa", sf=9)
+z = np.concatenate([np.zeros(400, np.complex64), beacon])
+z = z + ((rng.standard_normal(len(z)) + 1j * rng.standard_normal(len(z)))
+         .astype(np.complex64) * np.sqrt(10 ** 0.5 / 2))       # −5 dB!
+frame = sdr.css_demod(z, sf=9)
+print(f"\nCSS @ −5 dB IQ SNR: {frame.payload.decode()!r} "
+      f"(crc_ok={frame.crc_ok})")
