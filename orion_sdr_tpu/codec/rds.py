@@ -98,7 +98,7 @@ def rds_groups_0a(pi: int, pty: int = 0, tp: bool = False,
     ps = (ps_name + " " * 8)[:8]
     out = []
     for seg in range(4):
-        di = (0x4 >> min(seg, 2)) & 0  # DI bits not modelled; send 0
+        di = 0                         # DI bits not modelled
         app = (int(ta) << 4) | (int(ms) << 3) | (di << 2) | seg
         d = (ord(ps[2 * seg]) << 8) | ord(ps[2 * seg + 1])
         out.append((pi & 0xFFFF, _block_b(0, False, tp, pty, app),

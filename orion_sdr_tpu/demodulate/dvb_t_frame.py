@@ -191,25 +191,9 @@ class DvbTFrameDemod:
         if tps_word is None:
             raise DvbTRxError(DvbTRxError.TPS_DECODE)
 
-        # Payload FEC decode for the real-payload packets only.
-        n_ts = max(-(-payload_len // TS_PAYLOAD_LEN), 1)
-        ts_len = n_ts * TS_PACKET_LEN
-        plan = block_plan(ts_len, "none", dvb_t_frame_outer(), params.inner(),
-                          dvb_t_frame_outer_il(), InterleaverKind.none())
-        try:
-            ts, ok = decode_chain(
-                llrs, plan, "none", dvb_t_frame_outer(), params.inner(),
-                dvb_t_frame_outer_il(), InterleaverKind.none(),
-                ScramblerKind.none(), SCRAMBLER_BEFORE_OUTER, 0)
-        except Exception as e:
-            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE) from e
-        if not ok or len(ts) < ts_len:
-            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
-        ts = ts_energy_disperse(ts[:ts_len])
-        payload = ts_depacketize(ts)
-        if payload is None:
-            raise DvbTRxError(DvbTRxError.PAYLOAD_DECODE)
-        return DvbTRxFrame(payload=payload[:payload_len], tps=tps_word)
+        # Payload FEC decode for the real-payload packets only (shared
+        # with decode_batch).
+        return self._decode_payload(llrs, payload_len, tps_word)
 
 
     def decode_batch(self, iq_batch, n_symbols: int, payload_len: int):

@@ -43,8 +43,8 @@ class FmStereoAudio(NamedTuple):
 def _stereo_device(re, im, fs: float, deviation_hz: float,
                    audio_bw_hz: float, audio_level: float, want_rds: bool):
     """Discriminator → pilot phasor → coherent mono/difference (+ RDS
-    complex baseband) in one program. Returns (mono, sub, pilot_mag,
-    rds_re, rds_im)."""
+    baseband) in one program. Returns (mono, sub, pilot_mag, rds_bb) —
+    the RDS baseband is already real (the coherent Re() happens in-jit)."""
     z = re + 1j * im
     prod = _delay_conj_product(z, jnp.ones(z.shape[:-1], jnp.complex64))
     mpx = (jnp.arctan2(prod.imag, prod.real)
@@ -91,8 +91,10 @@ def _rds_bits_from_baseband(rbb: np.ndarray, fs: float) -> np.ndarray:
     t_idx = np.arange(len(rbb))
     best = None
     for off in np.arange(0.0, sps, sps / 16.0):
-        k = ((t_idx - off) / sps).astype(np.int64)
-        half = ((t_idx - off) / sps - k) >= 0.5
+        k = np.floor((t_idx - off) / sps).astype(np.int64)   # floor, not
+        half = ((t_idx - off) / sps - k) >= 0.5              # truncation:
+        # pre-offset samples must land at k = −1 and fail the valid gate,
+        # not pour into bit 0
         valid = (k >= 0) & (k < n_bits)
         first = np.bincount(k[valid & ~half], rbb[valid & ~half],
                             minlength=n_bits)

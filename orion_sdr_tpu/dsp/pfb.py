@@ -41,11 +41,13 @@ def _pfb_run(x, proto, n_channels: int):
     h = jnp.asarray(proto).reshape(-1, c)          # (P, C) phase taps
     p = h.shape[0]
     n_out = x.shape[-1] // c - (p - 1)
-    # frames: out step k uses x[k·C .. k·C + P·C) (newest-first phases)
-    idx = (jnp.arange(n_out)[:, None] * c
-           + jnp.arange(p * c)[None, :])
-    frames = x[idx].reshape(n_out, p, c)
-    acc = jnp.einsum("kpc,pc->kc", frames, h.astype(frames.dtype))
+    # polyphase accumulation as P shifted row-slices of the (rows, C)
+    # reshaped capture — O(1) extra memory (a gathered (n_out, P·C) frame
+    # tensor would hold P copies of the capture)
+    xb = x[: (n_out + p - 1) * c].reshape(n_out + p - 1, c)
+    acc = jnp.zeros((n_out, c), x.dtype)
+    for j in range(p):
+        acc = acc + xb[j: j + n_out] * h[j].astype(x.dtype)[None, :]
     # forward FFT across the phase axis puts the tone at +c·fs/C into
     # row c (fftfreq order); the C-point coherent sum restores unity gain
     y = jnp.fft.fft(acc, axis=-1)
