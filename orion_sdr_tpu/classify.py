@@ -234,22 +234,27 @@ def band_survey(iq, fs: float, channel_pad: float = 1.6,
     if segs:
         top = max(s.power_db for s in segs)
         segs = [s for s in segs if s.power_db >= top - keep_top_db]
-    out: List[SurveyEntry] = []
+    # group segments by their channel rate so each group channelizes in
+    # ONE batched program (a band of same-width stations — the common
+    # case — costs one pass instead of one per segment)
+    groups: dict = {}
     for s in segs:
-        # per-segment rate: wide enough for the signal plus margin, an
-        # integer divisor of fs
         want = max(s.bw_hz * channel_pad, 8000.0)
         m = max(1, int(fs // want))
+        groups.setdefault(m, []).append(s)
+    results: dict = {}
+    for m, group in groups.items():
         ch_fs = fs / m
-        ch = Channelizer(fs, ch_fs, [s.center_hz],
-                         passband_hz=min(0.45 * ch_fs, s.bw_hz * 0.8))
-        y = np.concatenate([ch.push(z), ch.flush()], axis=-1)[0]
-        try:
-            sig = classify_signal(y, ch_fs)
-        except ValueError:
-            sig = SignalClass("unknown", 0.0)
-        out.append(SurveyEntry(segment=s, signal=sig))
-    return out
+        pb = min(0.45 * ch_fs, max(s.bw_hz for s in group) * 0.8)
+        ch = Channelizer(fs, ch_fs, [s.center_hz for s in group],
+                         passband_hz=pb)
+        y = np.concatenate([ch.push(z), ch.flush()], axis=-1)
+        for i, s in enumerate(group):
+            try:
+                results[id(s)] = classify_signal(y[i], ch_fs)
+            except ValueError:
+                results[id(s)] = SignalClass("unknown", 0.0)
+    return [SurveyEntry(segment=s, signal=results[id(s)]) for s in segs]
 
 
 @dataclass
