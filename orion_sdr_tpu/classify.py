@@ -202,8 +202,10 @@ def classify_signal(iq, fs: float) -> SignalClass:
         if bw < 150.0:
             return made("cw", 0.7)
         return made("fm", 0.7)
-    if carrier_frac > 0.4 and off_frac > 0.15:
-        return made("cw", 0.8)              # keyed dominating carrier
+    if carrier_frac > 0.25 and off_frac > 0.3:
+        return made("cw", 0.8)              # keyed carrier: rests near zero
+                                            # a third of the time — no AM
+                                            # envelope does that
     if carrier_frac > 0.25 and sym > 0.5:
         return made("am", min(1.0, carrier_frac * 2 + sym - 0.5))
     if sym < 0.45 and feats["peak_over_floor_db"] > 6.0:

@@ -225,3 +225,23 @@ def test_band_decode_ssb_audio():
     p2 = int(np.argmax(guard))
     spacing = abs(f[p2] - f[p1])
     assert abs(spacing - 1100.0) < 20.0    # 1900−800 preserved
+
+
+def test_band_decode_cw_morse_text():
+    """CW station found blind, classified by its keyed-carrier envelope,
+    text decoded by morse_decode."""
+    from orion_sdr_tpu import band_decode
+    fs = 250_000.0
+    n = 1 << 20
+    env = np.asarray(o.MorseEncoder(fs, 30.0).encode_text("CQ TEST K"),
+                     np.float32)
+    env = np.pad(env, (0, max(0, n - len(env))))[:n]
+    cw, _ = o.cw_mod(env, fs, 0.0)
+    z = np.asarray(rotate(np.ascontiguousarray(np.asarray(cw), np.complex64),
+                          80e3, fs)[0])
+    rng = np.random.default_rng(1)
+    z = z + (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * 0.01
+    entries = band_decode(z, fs)
+    assert len(entries) == 1 and entries[0].signal.label == "cw"
+    assert entries[0].text == "CQ TEST K"
