@@ -819,3 +819,44 @@ def test_snr_sweep_packet_modes():
             got = adsb_decode_capture(z, 8_000_000.0)
             ok += any(m.callsign == "KLM1023" for m in got)
         print(f"  {snr:+.0f} dB: {ok}/5")
+
+
+def test_snr_sweep_ais_css():
+    """AIS (GMSK 9600) and CSS (LoRa-style SF9) decode floors."""
+    from orion_sdr_tpu.codec.ais import AisPosition
+    from orion_sdr_tpu.modulate.ais import ais_mod
+    from orion_sdr_tpu.demodulate.ais import ais_decode
+    from orion_sdr_tpu.modulate.css import css_mod
+    from orion_sdr_tpu.demodulate.css import css_demod
+
+    ships = [AisPosition(mmsi=211234567, lat=53.5421, lon=9.9845),
+             AisPosition(mmsi=244000111, lat=-33.8568, lon=151.2153,
+                         msg_type=3)]
+    iq = ais_mod(ships)
+    print("\n[AIS GMSK 9600] both-ship decode vs IQ SNR:")
+    for snr in (15.0, 10.0, 7.0, 5.0):
+        ok = 0
+        for s in range(5):
+            rng = np.random.default_rng(s)
+            z = iq + ((rng.standard_normal(len(iq))
+                       + 1j * rng.standard_normal(len(iq))
+                       ).astype(np.complex64)
+                      * np.sqrt(1.0 / 10 ** (snr / 10) / 2))
+            ok += len(ais_decode(z, 96_000.0)) == 2
+        print(f"  {snr:+.0f} dB: {ok}/5")
+
+    msg = b"hello chirp world"
+    burst = css_mod(msg, sf=9)
+    print("[CSS SF9 125k] decode vs IQ SNR (below the noise floor):")
+    for snr in (0.0, -5.0, -8.0, -10.0):
+        ok = 0
+        for s in range(5):
+            rng = np.random.default_rng(s)
+            z = np.concatenate([np.zeros(300, np.complex64), burst])
+            z = z + ((rng.standard_normal(len(z))
+                      + 1j * rng.standard_normal(len(z))
+                      ).astype(np.complex64)
+                     * np.sqrt(1.0 / 10 ** (snr / 10) / 2))
+            out = css_demod(z, sf=9)
+            ok += bool(out and out.payload == msg and out.crc_ok)
+        print(f"  {snr:+.0f} dB: {ok}/5")
