@@ -53,7 +53,10 @@ from .modulate.adsb import adsb_mod
 from .demodulate.adsb import adsb_decode_capture
 
 # ── single-carrier recovery tools (beyond the reference) ─────────────────────
-from .demodulate.digital import estimate_cfo_mpsk, fde_equalize
+from .demodulate.digital import (estimate_cfo_mpsk, fde_equalize,
+                                 burst_demod, symbol_sync_gardner,
+                                 symbol_sync_energy, carrier_sync_dd)
+from .modulate.digital import burst_mod, burst_preamble, rrc_taps
 
 # ── blind modulation classification + band survey (beyond the reference) ─────
 from .classify import (classify_signal, band_survey, band_decode,

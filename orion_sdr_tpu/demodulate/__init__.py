@@ -16,7 +16,9 @@ from .afsk import (afsk1200_demod, ax25_decode, rtty_decode,
                    fsk2_decision)
 from .fm_stereo import (fm_stereo_demod, FmStereoAudio,
                         fm_band_demod, FmStation)
-from .digital import estimate_cfo_mpsk, fde_equalize, psk_qam_demod, digital_demod
+from .digital import (estimate_cfo_mpsk, fde_equalize, burst_demod,
+                      symbol_sync_gardner, symbol_sync_energy,
+                      carrier_sync_dd, psk_qam_demod, digital_demod)
 from .psk31 import (
     bpsk31_demod, qpsk31_demod, bpsk31_decide,
     hard_decide_dbpsk, hard_decide_dqpsk,

@@ -16,7 +16,8 @@ from .fm_stereo import (
     fm_stereo_mod, stereo_mpx, rds_manchester,
     FM_STEREO_PILOT_HZ, RDS_CARRIER_HZ, FM_STEREO_MIN_FS,
 )
-from .digital import psk_qam_mod, digital_mod
+from .digital import (psk_qam_mod, digital_mod, burst_mod,
+                      burst_preamble, rrc_taps)
 from .psk31 import (
     PSK31_BAUD, PSK31_SPS_8000, PSK31_SPS_12000,
     PSK31_PREAMBLE_BITS, PSK31_POSTAMBLE_BITS,

@@ -137,3 +137,55 @@ def test_fde_equalize_deep_isi():
     assert ber(eq[512:7000], 512) < 0.001
     with pytest.raises(ValueError):
         fde_equalize(y, x[:4])
+
+
+def test_burst_modem_qam_orders():
+    """Single-carrier burst modem (beyond the reference): RRC shaping,
+    polyphase-energy timing, CFO-tolerant segmented preamble search,
+    data-aided phase-ramp fit, DD tracking — error-free through unknown
+    delay + 0.21%-of-baud CFO + 1.1 rad phase + 34 dB SNR for every
+    order."""
+    from orion_sdr_tpu.modulate.digital import burst_mod, burst_preamble
+    from orion_sdr_tpu.demodulate.digital import burst_demod
+    from orion_sdr_tpu.dsp.osc import rotate
+    rng = np.random.default_rng(0)
+    sps = 8
+    pre = burst_preamble(32)
+    for order, nb in (("qpsk", 512), ("qam16", 1024), ("qam64", 1536),
+                      ("qam256", 2048)):
+        bits = rng.integers(0, 2, nb).astype(np.uint8)
+        iq = burst_mod(bits, order, sps, preamble_syms=pre)
+        z = np.concatenate([np.zeros(37, np.complex64), iq,
+                            np.zeros(50, np.complex64)])
+        z, _ = rotate(z, 0.0021 * sps, float(sps))
+        z = np.asarray(z) * np.exp(1j * 1.1)
+        z = z + 0.02 * (rng.standard_normal(len(z))
+                        + 1j * rng.standard_normal(len(z))
+                        ).astype(np.complex64)
+        got, _ = burst_demod(z, order, sps, pre)
+        n = min(len(got), len(bits))
+        assert np.mean(got[:n] != bits[:n]) == 0.0, order
+    with pytest.raises(ValueError):
+        burst_demod(np.zeros(64, np.complex64), "qpsk", sps, pre)
+
+
+def test_symbol_sync_gardner_tracks_offset():
+    """The Gardner loop (for streaming use) locks a half-sample timing
+    offset on a QPSK stream."""
+    from orion_sdr_tpu.modulate.digital import burst_mod, burst_preamble
+    from orion_sdr_tpu.demodulate.digital import symbol_sync_gardner
+    rng = np.random.default_rng(1)
+    sps = 8
+    bits = rng.integers(0, 2, 2048).astype(np.uint8)
+    iq = burst_mod(bits, "qpsk", sps)
+    from orion_sdr_tpu.modulate.digital import rrc_taps
+    from orion_sdr_tpu.dsp.fir import fir_filter_aligned
+    import jax.numpy as jnp
+    zf = np.asarray(fir_filter_aligned(jnp.asarray(iq), rrc_taps(sps)))
+    syms, _ = symbol_sync_gardner(zf, sps + 0.0, len(zf) // sps - 10,
+                                  mu0=3.0)   # off-peak but not the
+                                             # metastable half-symbol point
+    syms = np.asarray(syms)[200:]        # past acquisition
+    # locked symbols cluster at the QPSK points (normalized stream)
+    mags = np.abs(syms)
+    assert float(np.std(mags)) < 0.25 * float(np.mean(mags))
