@@ -16,8 +16,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
-import numpy as np
-
 POCSAG_SYNC = 0x7CD215D8
 POCSAG_IDLE = 0x7A89C197
 _BCH_GEN = 0b11101101001          # g(x), degree 10

@@ -10,7 +10,7 @@ standard 2125/2295 Hz audio pair.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..dsp.device import cjit as _cjit
 
-from ..constellation import decide, soft_llr
+from ..constellation import decide
 from ..dsp.osc import rotate
 
 
@@ -178,7 +178,7 @@ def carrier_sync_dd(syms, order: str, loop_bw: float = 0.03):
     point). Returns derotated symbols."""
     import jax
     from ..dsp.device import cjit as _cjit
-    from ..constellation import map_bits, BITS_PER_SYMBOL, decide
+    from ..constellation import map_bits, decide
 
     @_cjit
     def _run(re, im, order: str, loop_bw: float):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..dsp.device import cjit as _cjit
 
-from ..constellation import map_bits, BITS_PER_SYMBOL
+from ..constellation import map_bits
 from ..dsp.osc import rotate
 
 
