@@ -75,6 +75,12 @@ from .demodulate.css import css_demod, CssFrame
 from .modulate.sstv import sstv_mod
 from .demodulate.sstv import sstv_demod, SstvImage
 
+# ── WSPR-style weak-signal beacon + sequential FEC (beyond the reference) ────
+from .fec.sequential import conv_encode_long, stack_decode
+from .codec.wspr import WsprMessage, wspr_pack, wspr_unpack
+from .modulate.wspr import wspr_mod
+from .demodulate.wspr import wspr_demod
+
 # ── AIS marine transponders (beyond the reference) ───────────────────────────
 from .codec.ais import AisPosition
 from .modulate.ais import ais_mod

@@ -19,6 +19,8 @@ from .ft8 import (
 )
 from .morse import (MorseEncoder, MORSE_TABLE, MORSE_REVERSE, char_to_morse,
                     MorseBandResult, morse_decode, morse_decode_band)
+from .wspr import (WsprMessage, wspr_pack, wspr_unpack, wspr_symbols,
+                   wspr_decode_symbols)
 from .ais import (AisPosition, ais_encode_position, ais_parse,
                   ais_frames_to_bits, ais_bits_to_positions)
 from .pocsag import (PocsagPage, pocsag_codeword, pocsag_check,

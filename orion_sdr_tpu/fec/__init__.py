@@ -18,4 +18,6 @@ from .interleave import (
 )
 from .scrambler import pn_sequence, scramble, PnScramblerStream, DVB_TAPS
 from .crc import crc16, crc32
+from .sequential import (conv_encode_long, stack_decode, LL_POLY1,
+                         LL_POLY2)
 from .bch_device import bch_decode_batch_device, rs_decode_batch_device

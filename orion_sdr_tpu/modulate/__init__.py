@@ -7,6 +7,7 @@ from .analog import (
 from .analog import pm_mod
 from .css import css_mod, css_samples_per_symbol
 from .sstv import sstv_mod, MARTIN_M1
+from .wspr import wspr_mod
 from .ais import ais_mod, AIS_BAUD
 from .pocsag import pocsag_mod, POCSAG_PREAMBLE_BITS
 from .adsb import adsb_mod, adsb_frame_chips, ADSB_CHIP_RATE
