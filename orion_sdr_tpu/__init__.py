@@ -79,7 +79,7 @@ from .demodulate.sstv import sstv_demod, SstvImage
 from .fec.sequential import conv_encode_long, stack_decode
 from .codec.wspr import WsprMessage, wspr_pack, wspr_unpack
 from .modulate.wspr import wspr_mod
-from .demodulate.wspr import wspr_demod
+from .demodulate.wspr import wspr_demod, wspr_decode_band
 
 # ── AIS marine transponders (beyond the reference) ───────────────────────────
 from .codec.ais import AisPosition

@@ -8,7 +8,7 @@ from .analog import (am_band_demod, AmStation, ssb_band_demod,
                      SsbStation)
 from .css import css_demod, CssFrame
 from .sstv import sstv_demod, SstvImage
-from .wspr import wspr_demod
+from .wspr import wspr_demod, wspr_decode_band
 from .ais import ais_decode, ais_demod_bits
 from .pocsag import pocsag_decode, pocsag_demod_bits
 from .adsb import adsb_decode_capture

@@ -74,3 +74,71 @@ def wspr_demod(iq, fs: float = WSPR_FS, base_hz: float = 1500.0,
     score = (insync - (total - insync)).sum(axis=-1)
     fi, di = np.unravel_index(np.argmax(score), score.shape)
     return wspr_decode_symbols(eg[fi, di])
+
+
+@cjit
+def _spectrogram(re, im, n_hops: int, hop: int):
+    """Quarter-symbol-hopped symbol-length FFTs: bin spacing = the tone
+    spacing exactly, so every (time, frequency) sync candidate in the
+    whole band reads straight out of one program's output."""
+    z = re + 1j * im
+    idx = (jnp.arange(n_hops)[:, None] * hop
+           + jnp.arange(WSPR_SPS)[None, :])
+    segs = z[idx]
+    spec = jnp.fft.fft(segs, axis=-1)
+    return (jnp.abs(spec) ** 2).astype(jnp.float32)
+
+
+def wspr_decode_band(iq, fs: float = WSPR_FS, base_hz: float = 1400.0,
+                     width_hz: float = 200.0, max_decodes: int = 8,
+                     min_score_sigma: float = 5.0) -> List[WsprMessage]:
+    """Decode EVERY beacon in a band (the real WSPR band is 200 Hz wide):
+    one spectrogram program covers all (time, frequency) candidates, the
+    known sync chips score each, and the top distinct candidates decode
+    through the stack decoder. Mirrors the FT8 batched-window design."""
+    z = np.asarray(iq, np.complex64)
+    hop = WSPR_SPS // 4
+    n_hops = (len(z) - WSPR_SPS) // hop + 1
+    if n_hops < 4 * WSPR_SYMBOLS:
+        return []
+    spec = np.asarray(_spectrogram(
+        np.ascontiguousarray(z.real, np.float32),
+        np.ascontiguousarray(z.imag, np.float32), int(n_hops), hop))
+    df = fs / WSPR_SPS
+    b0 = int(round(base_hz / df))
+    nb = int(round(width_hz / df))
+    s = WSPR_SYNC.astype(np.int64)
+    i4 = np.arange(WSPR_SYMBOLS) * 4
+    n_t0 = n_hops - 4 * WSPR_SYMBOLS + 1
+    scores = np.full((n_t0, nb), -np.inf, np.float32)
+    for t0 in range(n_t0):
+        rows = spec[t0 + i4]                    # (162, nfft)
+        for b in range(nb):
+            cols = b0 + b + s                   # sync tone bin per symbol
+            insync = rows[np.arange(WSPR_SYMBOLS), cols] \
+                + rows[np.arange(WSPR_SYMBOLS), cols + 2]
+            other = rows[np.arange(WSPR_SYMBOLS),
+                         b0 + b + (1 - s)] \
+                + rows[np.arange(WSPR_SYMBOLS), b0 + b + (3 - 2 * s)]
+            scores[t0, b] = float(np.sum(insync - other))
+    # robust stats: strong beacons inflate the std and would mask weak ones
+    mu = float(np.median(scores))
+    sd = float(np.median(np.abs(scores - mu))) * 1.4826 + 1e-12
+    out: List[WsprMessage] = []
+    work = scores.copy()
+    for _ in range(4 * max_decodes):
+        t0, b = np.unravel_index(int(np.argmax(work)), work.shape)
+        if (work[t0, b] - mu) / sd < min_score_sigma:
+            break
+        # suppress the whole peak plateau (a strong beacon spans many
+        # adjacent time/frequency cells) whether or not it decodes
+        work[max(t0 - 8, 0): t0 + 9, max(b - 4, 0): b + 5] = -np.inf
+        rows = spec[t0 + i4]
+        e = np.stack([rows[np.arange(WSPR_SYMBOLS), b0 + b + k]
+                      for k in range(4)], axis=-1)
+        m = wspr_decode_symbols(e)
+        if m is not None:
+            out.append(m)
+        if len(out) >= max_decodes:
+            break
+    return out

@@ -75,3 +75,27 @@ def test_beacon_deep_below_noise():
     m = wspr_demod(z)
     assert m is not None
     assert (m.callsign, m.grid, m.dbm) == ("K1ABC", "FN42", 30)
+
+
+def test_band_decode_three_beacons():
+    """Whole-band receive (mirrors the FT8 window design): three beacons
+    at different offsets/powers/starts in one 200 Hz band, all decoded
+    from one spectrogram program."""
+    from orion_sdr_tpu.demodulate.wspr import wspr_decode_band
+    rng = np.random.default_rng(0)
+    b1 = np.asarray(wspr_mod("K1ABC", "FN42", 30, base_hz=1420.0))
+    b2 = np.asarray(wspr_mod("W1AW", "FN31", 37, base_hz=1500.0)) * 0.5
+    b3 = np.asarray(wspr_mod("DL2XYZ", "JO62", 23, base_hz=1570.0)) * 0.25
+    n = len(b1) + 30000
+    band = np.zeros(n, np.complex64)
+    band[:len(b1)] += b1
+    band[8000:8000 + len(b2)] += b2
+    band[20000:20000 + len(b3)] += b3
+    band += (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) * 0.05
+    got = {m.callsign: (m.grid, m.dbm) for m in wspr_decode_band(band)}
+    assert got == {"K1ABC": ("FN42", 30), "W1AW": ("FN31", 37),
+                   "DL2XYZ": ("JO62", 23)}
+    # silence produces nothing
+    assert wspr_decode_band(np.zeros(WSPR_SYMBOLS * 8192 + 40000,
+                                     np.complex64) ) == []
