@@ -69,12 +69,11 @@ def wspr_pack(callsign: str, grid: str, dbm: int) -> np.ndarray:
     if len(cs) != 6:
         raise ValueError("callsign too long")
 
-    def cv(ch, allow_alpha=True, allow_digit=True, allow_space=True):
-        i = _CALL_CHARS.index(ch)
-        return i
-
-    n = cv(cs[0])
-    n = n * 36 + _CALL_CHARS.index(cs[1]) % 36
+    n = _CALL_CHARS.index(cs[0])                 # 0-9, A-Z, space
+    c1 = _CALL_CHARS.index(cs[1])
+    if c1 >= 36:
+        raise ValueError("callsign char 2 cannot be a space")
+    n = n * 36 + c1
     n = n * 10 + int(cs[2])
     for j in (3, 4, 5):
         c = cs[j]

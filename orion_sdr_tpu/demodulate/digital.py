@@ -39,16 +39,18 @@ def estimate_cfo_mpsk(iq, fs: float, m: int = 4) -> float:
     from the phase ramp of z^M. Capture range ±fs/(2M).
 
     Vectorized: one elementwise power + one delay-conjugate mean."""
-    @_cjit
-    def _est(re, im, m: int):
-        z = (re + 1j * im) ** m
-        prod = jnp.sum(z[..., 1:] * jnp.conj(z[..., :-1]), axis=-1)
-        return jnp.arctan2(prod.imag, prod.real).astype(jnp.float32)
-
     z = np.asarray(iq)
-    ang = float(_est(np.ascontiguousarray(z.real, np.float32),
-                     np.ascontiguousarray(z.imag, np.float32), int(m)))
+    ang = float(_cfo_est_kernel(np.ascontiguousarray(z.real, np.float32),
+                                np.ascontiguousarray(z.imag, np.float32),
+                                int(m)))
     return ang * fs / (2.0 * np.pi * m)
+
+
+@_cjit
+def _cfo_est_kernel(re, im, m: int):
+    z = (re + 1j * im) ** m
+    prod = jnp.sum(z[..., 1:] * jnp.conj(z[..., :-1]), axis=-1)
+    return jnp.arctan2(prod.imag, prod.real).astype(jnp.float32)
 
 
 def fde_equalize(iq, training, block: int = 256, noise_var: float = 1e-3):
@@ -66,42 +68,44 @@ def fde_equalize(iq, training, block: int = 256, noise_var: float = 1e-3):
     if n_t < 8 or len(z) < n_t:
         raise ValueError("training must be ≥8 samples and fit the capture")
     L = min(block, 1 << int(np.floor(np.log2(n_t))))
+    out = _fde_kernel(np.ascontiguousarray(z.real, np.float32),
+                      np.ascontiguousarray(z.imag, np.float32),
+                      np.ascontiguousarray(t.real, np.float32),
+                      np.ascontiguousarray(t.imag, np.float32),
+                      int(L), int(n_t), float(noise_var))
+    return np.asarray(out)[:len(z)]
 
-    @_cjit
-    def _run(zr, zi, tr, ti, L: int, n_t: int, noise_var: float):
-        zz = zr + 1j * zi
-        tt = tr + 1j * ti
-        # channel estimate: average the per-block spectral ratio over the
-        # training region (regularized least squares per bin)
-        nb_t = n_t // L
-        rxb = zz[: nb_t * L].reshape(nb_t, L)
-        txb = tt[: nb_t * L].reshape(nb_t, L)
-        rf = jnp.fft.fft(rxb, axis=-1)
-        tf = jnp.fft.fft(txb, axis=-1)
-        h = (jnp.sum(rf * jnp.conj(tf), axis=0)
-             / (jnp.sum(jnp.abs(tf) ** 2, axis=0) + 1e-9))
-        # MMSE weight, applied overlap-save with 50% overlap
-        w = jnp.conj(h) / (jnp.abs(h) ** 2 + noise_var)
-        n = zz.shape[-1]
-        hop = L // 2
-        nblk = (n - L) // hop + 1
-        idx = jnp.arange(nblk)[:, None] * hop + jnp.arange(L)[None, :]
-        blocks = zz[idx]
-        eq = jnp.fft.ifft(jnp.fft.fft(blocks, axis=-1) * w, axis=-1)
-        # keep each block's central half (discard circular edges)
-        q = L // 4
-        core = eq[:, q:q + hop].reshape(-1)
-        head = eq[0, :q]
-        tail = eq[-1, q + hop:]
-        out = jnp.concatenate([head, core, tail])
-        return out[:n]
 
-    out = _run(np.ascontiguousarray(z.real, np.float32),
-               np.ascontiguousarray(z.imag, np.float32),
-               np.ascontiguousarray(t.real, np.float32),
-               np.ascontiguousarray(t.imag, np.float32),
-               int(L), int(n_t), float(noise_var))
-    return np.asarray(out)
+@_cjit
+def _fde_kernel(zr, zi, tr, ti, L: int, n_t: int, noise_var: float):
+    zz = zr + 1j * zi
+    tt = tr + 1j * ti
+    # channel estimate: average the per-block spectral ratio over the
+    # training region (regularized least squares per bin)
+    nb_t = n_t // L
+    rxb = zz[: nb_t * L].reshape(nb_t, L)
+    txb = tt[: nb_t * L].reshape(nb_t, L)
+    rf = jnp.fft.fft(rxb, axis=-1)
+    tf = jnp.fft.fft(txb, axis=-1)
+    h = (jnp.sum(rf * jnp.conj(tf), axis=0)
+         / (jnp.sum(jnp.abs(tf) ** 2, axis=0) + 1e-9))
+    # MMSE weight, applied overlap-save with 50% overlap; zero-pad so the
+    # block grid covers the whole capture (the output keeps same-length)
+    w = jnp.conj(h) / (jnp.abs(h) ** 2 + noise_var)
+    n = zz.shape[-1]
+    hop = L // 2
+    nblk = -(-(n - L) // hop) + 1 if n > L else 1
+    total = (nblk - 1) * hop + L
+    zz = jnp.concatenate([zz, jnp.zeros(total - n, zz.dtype)])
+    idx = jnp.arange(nblk)[:, None] * hop + jnp.arange(L)[None, :]
+    blocks = zz[idx]
+    eq = jnp.fft.ifft(jnp.fft.fft(blocks, axis=-1) * w, axis=-1)
+    # keep each block's central half (discard circular edges)
+    q = L // 4
+    core = eq[:, q:q + hop].reshape(-1)
+    head = eq[0, :q]
+    tail = eq[-1, q + hop:]
+    return jnp.concatenate([head, core, tail])
 
 
 def symbol_sync_gardner(x, sps: float, n_out: int, loop_bw: float = 0.02,
@@ -112,11 +116,18 @@ def symbol_sync_gardner(x, sps: float, n_out: int, loop_bw: float = 0.02,
     reference, which has no timing recovery for single-carrier bursts).
 
     Returns (symbols[n_out], final_position)."""
-    import jax
-    from ..dsp.device import cjit as _cjit
+    x = np.asarray(x)
+    return _gardner_kernel(np.ascontiguousarray(x.real, np.float32),
+                           np.ascontiguousarray(x.imag, np.float32),
+                           float(sps), int(n_out), float(loop_bw),
+                           float(mu0))
 
-    @_cjit
-    def _run(re, im, sps: float, n_out: int, loop_bw: float, mu0: float):
+
+@_cjit
+def _gardner_kernel(re, im, sps: float, n_out: int, loop_bw: float,
+                    mu0: float):
+    import jax
+    if True:
         z = re + 1j * im
         # normalize: the Gardner error term is amplitude-squared — the
         # loop gain (and the ±1 error clip) assume unit-RMS symbols
@@ -150,11 +161,6 @@ def symbol_sync_gardner(x, sps: float, n_out: int, loop_bw: float = 0.02,
                                                   length=n_out)
         return syms, _pos
 
-    x = np.asarray(x)
-    return _run(np.ascontiguousarray(x.real, np.float32),
-                np.ascontiguousarray(x.imag, np.float32),
-                float(sps), int(n_out), float(loop_bw), float(mu0))
-
 
 def symbol_sync_energy(x, sps: int):
     """Burst timing by polyphase energy: after matched filtering, the RRC
@@ -176,12 +182,17 @@ def carrier_sync_dd(syms, order: str, loop_bw: float = 0.03):
     """Decision-directed carrier phase/frequency PLL over recovered
     symbols (scan; error = angle of y against its nearest constellation
     point). Returns derotated symbols."""
-    import jax
-    from ..dsp.device import cjit as _cjit
-    from ..constellation import map_bits, decide
+    s = np.asarray(syms)
+    return np.asarray(_dd_pll_kernel(
+        np.ascontiguousarray(s.real, np.float32),
+        np.ascontiguousarray(s.imag, np.float32), order, float(loop_bw)))
 
-    @_cjit
-    def _run(re, im, order: str, loop_bw: float):
+
+@_cjit
+def _dd_pll_kernel(re, im, order: str, loop_bw: float):
+    import jax
+    from ..constellation import map_bits, decide
+    if True:
         z = re + 1j * im
         kp = loop_bw
         ki = loop_bw * loop_bw / 4.0
@@ -198,18 +209,15 @@ def carrier_sync_dd(syms, order: str, loop_bw: float = 0.03):
         _, out = jax.lax.scan(step, (jnp.float32(0), jnp.float32(0)), z)
         return out
 
-    s = np.asarray(syms)
-    return np.asarray(_run(np.ascontiguousarray(s.real, np.float32),
-                           np.ascontiguousarray(s.imag, np.float32),
-                           order, float(loop_bw)))
-
 
 def burst_demod(iq, order: str, sps: int, preamble_syms, beta: float = 0.35,
                 span: int = 8, cfo_sps_max: float = 0.01):
     """Single-carrier burst receiver (beyond the reference): matched RRC →
-    coarse 4th-power CFO removal → Gardner timing → DD carrier PLL →
-    preamble correlation (start + the constellation's 90°·k ambiguity) →
-    payload bits. The burst must begin with ``preamble_syms`` (see
+    polyphase-energy symbol timing → CFO-tolerant segmented preamble
+    search → data-aided phase-ramp fit on the known preamble (absolute
+    phase + residual CFO; no 90°·k ambiguity, which dense QAM's DD loop
+    cannot resolve alone) → light DD tracking over the payload → bits.
+    The burst must begin with ``preamble_syms`` (see
     modulate.digital.burst_preamble)."""
     from ..modulate.digital import rrc_taps
     from ..dsp.fir import fir_filter_aligned

@@ -110,18 +110,15 @@ def wspr_decode_band(iq, fs: float = WSPR_FS, base_hz: float = 1400.0,
     s = WSPR_SYNC.astype(np.int64)
     i4 = np.arange(WSPR_SYMBOLS) * 4
     n_t0 = n_hops - 4 * WSPR_SYMBOLS + 1
-    scores = np.full((n_t0, nb), -np.inf, np.float32)
-    for t0 in range(n_t0):
-        rows = spec[t0 + i4]                    # (162, nfft)
-        for b in range(nb):
-            cols = b0 + b + s                   # sync tone bin per symbol
-            insync = rows[np.arange(WSPR_SYMBOLS), cols] \
-                + rows[np.arange(WSPR_SYMBOLS), cols + 2]
-            other = rows[np.arange(WSPR_SYMBOLS),
-                         b0 + b + (1 - s)] \
-                + rows[np.arange(WSPR_SYMBOLS), b0 + b + (3 - 2 * s)]
-            scores[t0, b] = float(np.sum(insync - other))
-    # robust stats: strong beacons inflate the std and would mask weak ones
+    # the whole (t0, b) sync-score grid in one vectorized gather —
+    # in-sync tones are {s, s+2}, the other two {1−s, 3−s}
+    trow = np.arange(n_t0)[:, None, None] + i4[None, None, :]  # (n_t0,1,162)
+    bcol = b0 + np.arange(nb)[None, :, None]                   # (1,nb,1)
+    insync = spec[trow, bcol + s[None, None, :]] \
+        + spec[trow, bcol + s[None, None, :] + 2]
+    other = spec[trow, bcol + (1 - s)[None, None, :]] \
+        + spec[trow, bcol + (3 - s)[None, None, :]]
+    scores = (insync - other).sum(axis=-1).astype(np.float32)
     mu = float(np.median(scores))
     sd = float(np.median(np.abs(scores - mu))) * 1.4826 + 1e-12
     out: List[WsprMessage] = []
