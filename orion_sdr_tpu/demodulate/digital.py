@@ -127,39 +127,38 @@ def symbol_sync_gardner(x, sps: float, n_out: int, loop_bw: float = 0.02,
 def _gardner_kernel(re, im, sps: float, n_out: int, loop_bw: float,
                     mu0: float):
     import jax
-    if True:
-        z = re + 1j * im
-        # normalize: the Gardner error term is amplitude-squared — the
-        # loop gain (and the ±1 error clip) assume unit-RMS symbols
-        z = z / jnp.sqrt(jnp.mean(jnp.abs(z) ** 2) + 1e-12)
-        n = z.shape[-1]
-        kp = loop_bw
-        ki = loop_bw * loop_bw / 4.0
+    z = re + 1j * im
+    # normalize: the Gardner error term is amplitude-squared — the
+    # loop gain (and the ±1 error clip) assume unit-RMS symbols
+    z = z / jnp.sqrt(jnp.mean(jnp.abs(z) ** 2) + 1e-12)
+    n = z.shape[-1]
+    kp = loop_bw
+    ki = loop_bw * loop_bw / 4.0
 
-        def interp(pos):
-            i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
-            frac = pos - i
-            return z[i] * (1 - frac) + z[i + 1] * frac
+    def interp(pos):
+        i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+        frac = pos - i
+        return z[i] * (1 - frac) + z[i + 1] * frac
 
-        def step(carry, _):
-            pos, rate, prev = carry
-            y = interp(pos)
-            y_mid = interp(pos - rate / 2.0)
-            # NEGATIVE sign: with this interpolator's conventions the
-            # raw Gardner term pushes AWAY from the symbol peak (verified
-            # against a host reference loop — +sign parks at the
-            # metastable midpoint)
-            e = -((y - prev) * jnp.conj(y_mid)).real
-            e = jnp.clip(e, -1.0, 1.0)
-            rate2 = jnp.clip(rate + ki * e, sps * 0.95, sps * 1.05)
-            pos2 = pos + rate2 + kp * e
-            return (pos2, rate2, y), y
+    def step(carry, _):
+        pos, rate, prev = carry
+        y = interp(pos)
+        y_mid = interp(pos - rate / 2.0)
+        # NEGATIVE sign: with this interpolator's conventions the
+        # raw Gardner term pushes AWAY from the symbol peak (verified
+        # against a host reference loop — +sign parks at the
+        # metastable midpoint)
+        e = -((y - prev) * jnp.conj(y_mid)).real
+        e = jnp.clip(e, -1.0, 1.0)
+        rate2 = jnp.clip(rate + ki * e, sps * 0.95, sps * 1.05)
+        pos2 = pos + rate2 + kp * e
+        return (pos2, rate2, y), y
 
-        carry0 = (jnp.float32(sps * 1.0 + mu0), jnp.float32(sps),
-                  jnp.complex64(0))
-        (_pos, _rate, _prev), syms = jax.lax.scan(step, carry0, None,
-                                                  length=n_out)
-        return syms, _pos
+    carry0 = (jnp.float32(sps * 1.0 + mu0), jnp.float32(sps),
+              jnp.complex64(0))
+    (_pos, _rate, _prev), syms = jax.lax.scan(step, carry0, None,
+                                              length=n_out)
+    return syms, _pos
 
 
 def symbol_sync_energy(x, sps: int):
@@ -192,22 +191,21 @@ def carrier_sync_dd(syms, order: str, loop_bw: float = 0.03):
 def _dd_pll_kernel(re, im, order: str, loop_bw: float):
     import jax
     from ..constellation import map_bits, decide
-    if True:
-        z = re + 1j * im
-        kp = loop_bw
-        ki = loop_bw * loop_bw / 4.0
+    z = re + 1j * im
+    kp = loop_bw
+    ki = loop_bw * loop_bw / 4.0
 
-        def step(carry, zk):
-            phase, freq = carry
-            y = zk * jnp.exp(-1j * phase)
-            ref = map_bits(decide(y[None], order), order)[0]
-            err = jnp.angle(y * jnp.conj(ref))
-            freq2 = freq + ki * err
-            phase2 = phase + freq2 + kp * err
-            return (phase2, freq2), y
+    def step(carry, zk):
+        phase, freq = carry
+        y = zk * jnp.exp(-1j * phase)
+        ref = map_bits(decide(y[None], order), order)[0]
+        err = jnp.angle(y * jnp.conj(ref))
+        freq2 = freq + ki * err
+        phase2 = phase + freq2 + kp * err
+        return (phase2, freq2), y
 
-        _, out = jax.lax.scan(step, (jnp.float32(0), jnp.float32(0)), z)
-        return out
+    _, out = jax.lax.scan(step, (jnp.float32(0), jnp.float32(0)), z)
+    return out
 
 
 def burst_demod(iq, order: str, sps: int, preamble_syms, beta: float = 0.35,
