@@ -512,7 +512,33 @@ def bench_dvb_t():
           "Msps/chip", 13.0, bound="lower" if rx_cl else None)
 
 
+def _relay_alive(timeout_s: float = 300.0) -> bool:
+    """Probe the TPU in a SUBPROCESS with a hard timeout: when the axon
+    relay is down, device calls HANG rather than error (observed outages
+    of hours), which would hang the whole bench run. A dead probe lets the
+    bench fail fast with honest per-metric error records instead."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((64,64)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _relay_alive():
+        for name in ("fm_demod_chain_throughput", "psk31_roundtrip_throughput",
+                     "ft8_batched_receive_throughput",
+                     "cofdm_frame_decode_throughput",
+                     "dvb_t_decode_chain_throughput"):
+            print(json.dumps({"metric": name,
+                              "error": "TPU relay unreachable (probe hung)"}),
+                  flush=True)
+        return
     for fn in (bench_fm, bench_psk31, bench_ft8, bench_cofdm, bench_dvb_t):
         for attempt in (0, 1):
             try:
