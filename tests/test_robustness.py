@@ -149,3 +149,33 @@ def test_psk31_stream_nan_then_text():
     iq = np.asarray(sdr.bpsk31_mod_text("CQ CQ DE K5TPU", 8000.0))
     text = s.feed(iq) + s.feed(np.zeros(4000, np.complex64))
     assert "CQ CQ DE K5TPU" in text
+
+
+def test_new_mode_receivers_handle_silence_and_tiny_inputs():
+    """Every new-mode receiver returns empty/None (or a documented
+    ValueError) on silence and on captures shorter than one frame —
+    never an unhandled crash."""
+    import orion_sdr_tpu as sdr
+    import numpy as np
+    silence = np.zeros(60_000, np.complex64)
+    tiny = np.zeros(64, np.complex64)
+
+    assert sdr.pocsag_decode(silence, 38_400.0) == []
+    assert sdr.pocsag_decode(tiny, 38_400.0) == []
+    assert sdr.ais_decode(silence, 96_000.0) == []
+    assert sdr.ais_decode(tiny, 96_000.0) == []
+    assert sdr.adsb_decode_capture(silence, 8_000_000.0) == []
+    assert sdr.css_demod(silence, sf=7) is None
+    assert sdr.css_demod(tiny, sf=7) is None
+    assert sdr.wspr_demod(silence) is None
+    assert sdr.ax25_decode(np.zeros(60_000, np.float32), 48_000.0) == []
+    assert sdr.rtty_decode(np.zeros(60_000, np.float32), 11_025.0) == ""
+    assert sdr.rds_decode_bits(np.zeros(50, np.uint8)).pi is None
+    out = sdr.fm_stereo_demod(silence[:1 << 15], 240_000.0,
+                              decode_rds=True)
+    assert out.pilot_level < 0.01
+    bands = sdr.band_decode(
+        (np.random.default_rng(0).standard_normal(1 << 16)
+         + 1j * np.random.default_rng(1).standard_normal(1 << 16)
+         ).astype(np.complex64) * 1e-3, 500_000.0)
+    assert isinstance(bands, list)
