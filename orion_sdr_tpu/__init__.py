@@ -81,6 +81,10 @@ from .codec.wspr import WsprMessage, wspr_pack, wspr_unpack
 from .modulate.wspr import wspr_mod
 from .demodulate.wspr import wspr_demod, wspr_decode_band
 
+# ── GPS L1 C/A acquisition + tracking (beyond the reference) ─────────────────
+from .gnss import (GPS_NAV_PREAMBLE, GpsAcquisition, GpsTrack, gps_ca_code,
+                   gps_ca_mod, gps_acquire, gps_track, gps_nav_frame_sync)
+
 # ── AIS marine transponders (beyond the reference) ───────────────────────────
 from .codec.ais import AisPosition
 from .modulate.ais import ais_mod

@@ -34,6 +34,9 @@ def test_flat_namespace_covers_reference_surface():
         "dft_precode", "dft_deprecode",
         # spectrum scanning (beyond the reference)
         "spectrum_scan", "SpectrumSegment",
+        # GNSS (beyond the reference)
+        "gps_ca_code", "gps_ca_mod", "gps_acquire", "gps_track",
+        "gps_nav_frame_sync", "GpsAcquisition", "GpsTrack",
         # frame layer
         "FramePacket", "McsTable", "OfdmFrameMod", "OfdmFrameDemod",
         "OfdmFrameStreamDemod", "RxError",

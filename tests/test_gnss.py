@@ -1,0 +1,139 @@
+"""GPS L1 C/A tests: published code known-answers, Gold-code structure,
+acquisition over a multi-satellite capture, tracking + nav-bit recovery.
+(Beyond the reference's mode set — no counterpart in /root/reference.)"""
+
+import numpy as np
+import pytest
+
+import orion_sdr_tpu as sdr
+from orion_sdr_tpu.gnss import (GPS_CA_LEN, GPS_CA_RATE, _ca_pm_sampled,
+                                gps_ca_code, gps_ca_mod)
+
+FS = 2.048e6
+
+
+class TestCaCode:
+    def test_published_first_chip_octals(self):
+        # IS-GPS-200 table: first 10 chips as octal words
+        for prn, want in [(1, 0o1440), (2, 0o1620), (3, 0o1710),
+                          (4, 0o1744)]:
+            c = gps_ca_code(prn)
+            got = int("".join(map(str, c[:10])), 2)
+            assert got == want, f"PRN{prn}: {oct(got)} != {oct(want)}"
+
+    def test_length_and_balance(self):
+        for prn in (1, 7, 17, 32):
+            c = gps_ca_code(prn)
+            assert len(c) == GPS_CA_LEN
+            assert int(c.sum()) == 512          # Gold codes: 512 ones
+
+    def test_gold_three_valued_crosscorrelation(self):
+        a = (1.0 - 2.0 * gps_ca_code(5)).astype(np.float64)
+        b = (1.0 - 2.0 * gps_ca_code(22)).astype(np.float64)
+        xc = np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(b))).real
+        vals = set(np.round(xc).astype(int).tolist())
+        assert vals <= {-65, -1, 63}
+        ac = np.fft.ifft(np.fft.fft(a) * np.conj(np.fft.fft(a))).real
+        assert int(round(ac[0])) == GPS_CA_LEN
+        assert set(np.round(ac[1:]).astype(int).tolist()) <= {-65, -1, 63}
+
+    def test_all_prns_distinct(self):
+        codes = {gps_ca_code(p).tobytes() for p in range(1, 33)}
+        assert len(codes) == 32
+
+    def test_bad_prn_raises(self):
+        with pytest.raises(ValueError):
+            gps_ca_code(0)
+        with pytest.raises(ValueError):
+            gps_ca_code(33)
+
+
+def _multi_sv_capture(n_ms, noise=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    svs = [(7, 1200.0, 101.7, 1.0),       # (prn, doppler, chips, amp)
+           (13, -2600.0, 512.2, 0.7),
+           (28, 350.0, 900.9, 0.55)]
+    n = int(FS * 1e-3) * n_ms
+    z = (noise / np.sqrt(2) * (rng.standard_normal(n)
+                               + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    for prn, dopp, chips, amp in svs:
+        z += gps_ca_mod(prn, FS, n_ms, dopp, chips, amplitude=amp,
+                        carrier_phase=rng.uniform(0, 2 * np.pi))
+    return z, svs
+
+
+class TestAcquire:
+    def test_finds_every_satellite(self):
+        z, svs = _multi_sv_capture(8)
+        hits = sdr.gps_acquire(z, FS)
+        got = {h.prn: h for h in hits}
+        assert set(got) == {prn for prn, *_ in svs}
+        for prn, dopp, chips, _ in svs:
+            h = got[prn]
+            assert abs(h.doppler_hz - dopp) <= 250.0
+            want_samp = chips * FS / GPS_CA_RATE
+            spms = int(FS * 1e-3)
+            err = (h.code_phase_samples - want_samp + spms / 2) % spms \
+                - spms / 2
+            assert abs(err) <= 1.5
+
+    def test_absent_prn_not_reported(self):
+        z, _ = _multi_sv_capture(8)
+        hits = sdr.gps_acquire(z, FS, prns=[3, 19, 31])
+        assert hits == []
+
+    def test_noise_only_is_silent(self):
+        rng = np.random.default_rng(9)
+        n = int(FS * 1e-3) * 8
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64) / np.sqrt(2)
+        assert sdr.gps_acquire(z, FS) == []
+
+    def test_input_contract(self):
+        with pytest.raises(ValueError):
+            sdr.gps_acquire(np.zeros((2, 4096), np.complex64), FS)
+        with pytest.raises(ValueError):
+            sdr.gps_acquire(np.zeros(64, np.complex64), FS)
+
+
+class TestTrack:
+    def test_track_recovers_nav_bits(self):
+        rng = np.random.default_rng(3)
+        nav = rng.integers(0, 2, 40).astype(np.uint8)
+        n_ms = len(nav) * 20 + 30
+        dopp, chips = 1840.0, 300.4
+        z = gps_ca_mod(5, FS, n_ms, dopp, chips, nav_bits=nav)
+        n = len(z)
+        z = (z + 0.7 / np.sqrt(2) * (rng.standard_normal(n)
+                                     + 1j * rng.standard_normal(n))
+             ).astype(np.complex64)
+        acq = sdr.gps_acquire(z, FS, prns=[5])
+        assert acq and acq[0].prn == 5
+        # start 150 Hz off the acquired bin: the PLL must pull in
+        tr = sdr.gps_track(z, FS, 5, acq[0].doppler_hz + 150.0,
+                           acq[0].code_phase_samples)
+        assert tr.lock > 2.0
+        assert abs(float(tr.doppler_hz[-20:].mean()) - dopp) < 25.0
+        got = tr.nav_bits
+        # polarity-ambiguous: compare against both senses over the
+        # overlap (drop possibly-partial first/last recovered bits)
+        core = got[1:-1]
+        ok = False
+        for cand in (core, 1 - core):
+            for off in range(max(1, len(nav) - len(core) + 1)):
+                if np.array_equal(nav[off: off + len(core)], cand):
+                    ok = True
+        assert ok, (nav.tolist(), got.tolist())
+
+    def test_nav_frame_sync(self):
+        bits = np.concatenate([np.array([1, 1, 0], np.uint8),
+                               sdr.GPS_NAV_PREAMBLE,
+                               np.array([0, 1] * 12, np.uint8)])
+        assert sdr.gps_nav_frame_sync(bits) == 3
+        assert sdr.gps_nav_frame_sync(1 - bits) == 3
+        assert sdr.gps_nav_frame_sync(np.zeros(40, np.uint8)) is None
+
+    def test_track_input_contract(self):
+        with pytest.raises(ValueError):
+            sdr.gps_track(np.zeros(100, np.complex64), FS, 1, 0.0, 0)
