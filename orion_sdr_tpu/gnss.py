@@ -200,7 +200,16 @@ class GpsTrack(NamedTuple):
 def _track_scan(z, code_pm, start, f0_hz, fs: float,
                 n_epochs: int, k_pll_f: float, k_pll_p: float,
                 k_dll: float):
-    """Scan E/P/L correlator epochs with Costas PLL + envelope DLL."""
+    """Scan E/P/L correlator epochs with Costas PLL + envelope DLL.
+
+    The code NCO carries an epoch-relative position — an int32 epoch-start
+    base plus an f32 fraction kept in [-0.5, 0.5] by folding its rounded
+    part into the base each epoch — never an absolute f32 sample position,
+    whose ulp past ~4M samples (~2 s at 2.048 MHz) would exceed the
+    per-epoch carrier-aiding (~0.01 samples) and DLL corrections and
+    silently dead-zone the NCO on multi-second captures. The carrier phase
+    is likewise wrapped mod 2pi every epoch.
+    """
     z = jnp.asarray(z)
     spms = code_pm.shape[-1]
     samp_per_chip = fs / GPS_CA_RATE
@@ -209,11 +218,10 @@ def _track_scan(z, code_pm, start, f0_hz, fs: float,
     w0 = jnp.float32(TAU / fs)
 
     def epoch(carry, _):
-        pos, carr_ph, carr_f = carry       # sample pos (f32), rad, Hz
-        ip = jnp.int32(jnp.round(pos))
-        seg_e = jax.lax.dynamic_slice(z, (ip - d_el,), (spms,))
-        seg_p = jax.lax.dynamic_slice(z, (ip,), (spms,))
-        seg_l = jax.lax.dynamic_slice(z, (ip + d_el,), (spms,))
+        base, frac, carr_ph, carr_f = carry   # i32 samples, f32, rad, Hz
+        seg_e = jax.lax.dynamic_slice(z, (base - d_el,), (spms,))
+        seg_p = jax.lax.dynamic_slice(z, (base,), (spms,))
+        seg_l = jax.lax.dynamic_slice(z, (base + d_el,), (spms,))
         wipe = jnp.exp(-1j * (carr_ph + w0 * carr_f * k))
         e = jnp.vdot(code_pm.astype(jnp.complex64), seg_e * wipe)
         p = jnp.vdot(code_pm.astype(jnp.complex64), seg_p * wipe)
@@ -225,18 +233,25 @@ def _track_scan(z, code_pm, start, f0_hz, fs: float,
                           jnp.maximum(jnp.abs(p.real), 1e-12))
         ae, al = jnp.abs(e), jnp.abs(l)
         dll = (ae - al) / jnp.maximum(ae + al, 1e-12)   # >0 => code late
+        # advance phase with the frequency this epoch's wipe actually
+        # applied (pre-update carr_f), THEN update the frequency branch
+        carr_ph = jnp.mod(carr_ph + w0 * carr_f * spms
+                          + jnp.float32(k_pll_p) * pll, jnp.float32(TAU))
         carr_f = carr_f + jnp.float32(k_pll_f) * pll
-        carr_ph = carr_ph + w0 * carr_f * spms + jnp.float32(k_pll_p) * pll
-        # code-rate carrier aiding + DLL correction (in samples)
-        adv = spms * (1.0 - carr_f / jnp.float32(GPS_L1_HZ))
-        pos = pos + adv - jnp.float32(k_dll) * dll * samp_per_chip
-        return (pos, carr_ph, carr_f), (p, carr_f, pos)
+        # code-rate carrier aiding + DLL correction, as a DELTA from the
+        # nominal one-epoch advance (stays ~1e-2 samples, full f32 ulp)
+        frac = (frac - spms * (carr_f / jnp.float32(GPS_L1_HZ))
+                - jnp.float32(k_dll) * dll * samp_per_chip)
+        shift = jnp.round(frac)
+        base = base + spms + jnp.int32(shift)
+        frac = frac - shift
+        return (base, frac, carr_ph, carr_f), (p, carr_f, base, frac)
 
-    init = (jnp.asarray(start, jnp.float32), jnp.float32(0.0),
-            jnp.asarray(f0_hz, jnp.float32))
-    _, (prompts, freqs, poss) = jax.lax.scan(epoch, init, None,
-                                             length=n_epochs)
-    return prompts, freqs, poss
+    init = (jnp.asarray(start, jnp.int32), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.asarray(f0_hz, jnp.float32))
+    _, (prompts, freqs, bases, fracs) = jax.lax.scan(epoch, init, None,
+                                                     length=n_epochs)
+    return prompts, freqs, bases, fracs
 
 
 def gps_track(iq, fs: float, prn: int, doppler_hz: float,
@@ -258,14 +273,16 @@ def gps_track(iq, fs: float, prn: int, doppler_hz: float,
     n_epochs = (len(z) - start - spms - d_el) // spms
     if n_epochs < 2:
         raise ValueError("capture too short to track")
-    # loop gains: proportional+frequency Costas (per-epoch discrete)
+    # loop gains: proportional+frequency Costas (per-epoch discrete),
+    # both branches scaled from pll_bw (defaults reproduce 0.4*18 / 0.9)
     k_pll_f = 0.4 * pll_bw          # Hz per rad of phase error
-    k_pll_p = 0.9                   # rad per rad
+    k_pll_p = 0.05 * pll_bw         # rad per rad
     code = _ca_pm_sampled(prn, fs)
-    prompts, freqs, poss = _track_scan(z, code, np.float32(start),
-                                       np.float32(doppler_hz), float(fs),
-                                       int(n_epochs), float(k_pll_f),
-                                       float(k_pll_p), float(dll_gain))
+    prompts, freqs, bases, fracs = _track_scan(
+        z, code, np.int32(start), np.float32(doppler_hz), float(fs),
+        int(n_epochs), float(k_pll_f), float(k_pll_p), float(dll_gain))
+    poss = (np.asarray(bases, np.float64)
+            + np.asarray(fracs, np.float64))    # exact epoch positions
     prompts = np.asarray(prompts)
     signs = np.sign(prompts.real).astype(np.float32)
     # settle: ignore the first 40 epochs when scoring bit-edge coherence
@@ -291,13 +308,24 @@ def gps_track(iq, fs: float, prn: int, doppler_hz: float,
 
 def gps_nav_frame_sync(bits) -> Optional[int]:
     """Index of the first TLM preamble (10001011) in a nav bit stream,
-    testing both polarities; None if absent."""
+    testing both polarities together (the EARLIEST hit of either wins);
+    None if absent.
+
+    An 8-bit pattern false-alarms at ~1/128 per offset per polarity, so on
+    streams long enough to contain a second subframe the search prefers
+    hits that RECUR at the 300-bit subframe spacing (one preamble per
+    subframe, IS-GPS-200 20.3.3); isolated hits are only returned when no
+    recurring hit exists."""
     b = np.asarray(bits).astype(np.uint8) % 2
     if len(b) < 8:
         return None
+    w = np.lib.stride_tricks.sliding_window_view(b, 8)
+    hits: set = set()
     for pat in (GPS_NAV_PREAMBLE, 1 - GPS_NAV_PREAMBLE):
-        w = np.lib.stride_tricks.sliding_window_view(b, 8)
-        hits = np.nonzero((w == pat).all(axis=1))[0]
-        if len(hits):
-            return int(hits[0])
-    return None
+        hits.update(np.nonzero((w == pat).all(axis=1))[0].tolist())
+    if not hits:
+        return None
+    recurring = sorted(h for h in hits if (h + 300) in hits)
+    if recurring:
+        return int(recurring[0])
+    return int(min(hits))

@@ -126,6 +126,38 @@ class TestTrack:
                     ok = True
         assert ok, (nav.tolist(), got.tolist())
 
+    def test_track_holds_over_multi_second_capture(self):
+        # regression: the code NCO used to carry an ABSOLUTE f32 sample
+        # position, whose ulp past ~4M samples (~2 s here) exceeded the
+        # per-epoch aiding/DLL corrections — prompt power collapsed to
+        # noise after ~2 s and nav bits went random. The epoch-relative
+        # int32+fraction carry must hold lock to the end of a 6 s capture.
+        rng = np.random.default_rng(11)
+        n_bits = 300                         # 6 s of 50 bps nav data
+        nav = rng.integers(0, 2, n_bits).astype(np.uint8)
+        n_ms = n_bits * 20 + 25
+        dopp, chips = -2300.0, 700.25
+        z = gps_ca_mod(5, FS, n_ms, dopp, chips, nav_bits=nav)
+        tr = sdr.gps_track(z, FS, 5, dopp + 100.0,
+                           int(round(chips * FS / GPS_CA_RATE)))
+        p = tr.prompt
+        # prompt power in the LAST second within 3 dB of the first
+        a0 = float(np.mean(np.abs(p[200:1200])))
+        a1 = float(np.mean(np.abs(p[-1000:])))
+        assert a1 > 0.7 * a0, (a0, a1)
+        assert tr.lock > 4.0
+        # the recovered bit stream (possibly with partial edge bits)
+        # appears contiguously in the sent nav data, either polarity —
+        # ALL ~290 interior bits exact, including the final seconds
+        core = tr.nav_bits[5:-5]
+        ns = "".join(map(str, nav.tolist()))
+        assert ("".join(map(str, core.tolist())) in ns
+                or "".join(map(str, (1 - core).tolist())) in ns)
+        # epoch positions advance ~1 ms/epoch with sub-sample residuals
+        dp = np.diff(tr.code_phase)
+        spms = int(FS * 1e-3)
+        assert np.all(np.abs(dp - spms) <= 2.0)
+
     def test_nav_frame_sync(self):
         bits = np.concatenate([np.array([1, 1, 0], np.uint8),
                                sdr.GPS_NAV_PREAMBLE,
