@@ -1,12 +1,16 @@
-"""WSPR-style weak-signal beacon (beyond the reference). The message
-layer (callsign/grid/power → 50 bits), the K=32 FEC + bit-reversal
-interleave, and the 4-FSK numerology follow the published WSPR design;
-the 162-chip sync vector here is FRAMEWORK-SPECIFIC (seeded xorshift), so
-off-air WSPR transmissions are NOT decodable — wire compatibility is not
-claimed (unlike this repo's FT8/FT4, which are WSJT-X-compatible).
+"""WSPR weak-signal beacon, wire-compatible with the published protocol
+(beyond the reference's mode set — /root/reference has no WSPR). Every
+layer follows the standard coding process (G4JNT, "The WSPR Coding
+Process"; WSJT-X): callsign/grid/power → 50 bits, rate-1/2 K=32
+convolution with the Layland–Lushbaugh polynomials 0xF2D05351/0xE4613C47,
+bit-reversed-address interleaving, and the PUBLISHED 162-chip pseudo-random
+sync vector, so standard WSPR transmissions encode/decode byte-exactly.
+Decoding uses this framework's K=32 SEQUENTIAL (stack) decoder
+(fec/sequential.py) instead of WSJT-X's Fano decoder — same code, a
+different search.
 
 Physical layer: 162 symbols, 4 tones at fs/8192 spacing, 8192 samples per
-symbol at 12 kHz (≈110.6 s); tone = sync_chip + 2·coded_bit.
+symbol at 12 kHz (≈110.6 s); tone = sync_chip + 2·coded_bit (standard).
 """
 
 from __future__ import annotations
@@ -25,21 +29,20 @@ WSPR_FS = 12_000.0
 
 _CALL_CHARS = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ "
 
-
-def _sync_vector() -> np.ndarray:
-    """162 pseudo-random sync chips (framework-specific; xorshift32 seeded
-    with 0x57535052 = 'WSPR')."""
-    x = 0x57535052
-    out = np.empty(WSPR_SYMBOLS, np.uint8)
-    for i in range(WSPR_SYMBOLS):
-        x ^= (x << 13) & 0xFFFFFFFF
-        x ^= x >> 17
-        x ^= (x << 5) & 0xFFFFFFFF
-        out[i] = x & 1
-    return out
-
-
-WSPR_SYNC = _sync_vector()
+# The published 162-symbol WSPR synchronisation vector (G4JNT "The WSPR
+# Coding Process" §Synchronisation; identical table in WSJT-X and the
+# independent encoder implementations). A spec wire constant, like the
+# FT8 LDPC tables — keep bit-exact; test_wspr.py guards it.
+WSPR_SYNC = np.array([
+    1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 1, 0,
+    0, 1, 0, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 1,
+    0, 0, 0, 0, 0, 0, 1, 0, 1, 1, 0, 0, 1, 1, 0, 1, 0, 0, 0, 1,
+    1, 0, 1, 0, 0, 0, 0, 1, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 0, 1,
+    0, 0, 1, 0, 1, 1, 0, 0, 0, 1, 1, 0, 1, 0, 1, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1, 1, 1, 0, 1, 1, 0, 0, 1, 1,
+    0, 1, 0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 1, 0, 1, 0, 0, 1, 1,
+    0, 0, 0, 0, 0, 0, 0, 1, 1, 0, 1, 0, 1, 1, 0, 0, 0, 1, 1, 0,
+    0, 0], np.uint8)
 
 
 def _interleave_map() -> np.ndarray:

@@ -1,5 +1,6 @@
-"""WSPR-style beacon receiver: joint coarse time/frequency search on the
-known sync chips, then per-symbol 4-tone energies → sequential decode.
+"""WSPR beacon receiver (wire-compatible — codec/wspr.py): joint coarse
+time/frequency search on the published sync chips, then per-symbol 4-tone
+energies → sequential decode.
 
 TPU design: the WHOLE search grid's tone energies come from one batched
 program — mix the capture by each frequency candidate, slice each time

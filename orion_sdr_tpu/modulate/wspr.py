@@ -1,6 +1,6 @@
-"""WSPR-style beacon transmitter (see codec/wspr.py for the honest
-wire-compat statement): 162 × 4-FSK continuous-phase tones, fs/8192
-spacing, 8192 samples/symbol."""
+"""WSPR beacon transmitter, wire-compatible with the published protocol
+(codec/wspr.py carries the full coding-process provenance): 162 × 4-FSK
+continuous-phase tones, fs/8192 spacing, 8192 samples/symbol."""
 
 from __future__ import annotations
 

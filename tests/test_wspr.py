@@ -1,16 +1,50 @@
-"""WSPR-style beacon + sequential decoding (beyond the reference; wire
-compat with real WSPR NOT claimed — the sync vector is ours). K=32 FEC
-with a stack decoder, message packing, 4-FSK with joint time/freq sync,
-−28 dB (2.5 kHz ref) floor."""
+"""WSPR beacon + sequential decoding, wire-compatible with the published
+protocol (beyond the reference's mode set). K=32 FEC with a stack
+decoder, standard message packing / interleaving / sync vector, 4-FSK
+with joint time/freq sync, −28 dB (2.5 kHz ref) floor."""
 
 import numpy as np
 import pytest
 
 from orion_sdr_tpu.fec.sequential import conv_encode_long, stack_decode
 from orion_sdr_tpu.codec.wspr import (wspr_pack, wspr_unpack, wspr_symbols,
-                                      wspr_decode_symbols, WSPR_SYMBOLS)
+                                      wspr_decode_symbols, WSPR_SYMBOLS,
+                                      WSPR_SYNC)
 from orion_sdr_tpu.modulate.wspr import wspr_mod
 from orion_sdr_tpu.demodulate.wspr import wspr_demod
+
+
+def test_published_sync_vector_guard():
+    """The 162-chip sync vector is the published spec constant (G4JNT
+    "The WSPR Coding Process"; same table in WSJT-X and independent
+    encoders) — guard it bit-exactly like the FT8 LDPC tables."""
+    assert WSPR_SYNC.shape == (162,)
+    assert int(WSPR_SYNC.sum()) == 63
+    assert WSPR_SYNC[:20].tolist() == [1, 1, 0, 0, 0, 0, 0, 0, 1, 0,
+                                       0, 0, 1, 1, 1, 0, 0, 0, 1, 0]
+    assert WSPR_SYNC[-12:].tolist() == [1, 0, 1, 1, 0, 0, 0, 1, 1, 0, 0, 0]
+    # spec: tone = sync + 2*data, so sync chips are the tone LSBs
+    syms = wspr_symbols("K1ABC", "FN42", 37)
+    assert np.array_equal(syms & 1, WSPR_SYNC)
+
+
+def test_wire_format_regression_vector():
+    """Full-chain channel symbols for one message, frozen. Locks the wire
+    format (packing → K=32 Layland–Lushbaugh encode → bit-reversal
+    interleave → +sync): any silent change to any layer breaks this."""
+    b = wspr_pack("K1ABC", "FN42", 37)
+    assert int("".join(map(str, b.tolist())), 2) == 0x3DC308E2C3465
+    syms = wspr_symbols("K1ABC", "FN42", 37)
+    want = [3, 3, 0, 0, 2, 0, 0, 0, 1, 0, 2, 0, 1, 3, 1, 2, 2, 2, 1, 0,
+            0, 3, 2, 3, 1, 3, 3, 2, 2, 0, 2, 0, 0, 0, 3, 2, 0, 1, 2, 3,
+            2, 2, 0, 0, 2, 2, 3, 2, 1, 1, 0, 2, 3, 3, 2, 1, 0, 2, 2, 1,
+            3, 2, 1, 2, 2, 2, 0, 3, 3, 0, 3, 0, 3, 0, 1, 2, 1, 0, 2, 1,
+            2, 0, 3, 2, 1, 3, 2, 0, 0, 3, 3, 2, 3, 0, 3, 2, 2, 0, 3, 0,
+            2, 0, 2, 0, 1, 0, 2, 3, 0, 2, 1, 1, 1, 2, 3, 3, 0, 2, 3, 1,
+            2, 1, 2, 2, 2, 1, 3, 3, 2, 0, 0, 0, 0, 1, 0, 3, 2, 0, 1, 3,
+            2, 2, 2, 2, 2, 0, 2, 3, 3, 2, 3, 2, 3, 3, 2, 0, 0, 3, 1, 2,
+            2, 2]
+    assert syms.tolist() == want
 
 
 def test_stack_decoder_corrects_soft_errors():
