@@ -117,20 +117,28 @@ _USE_TOEPLITZ = False
 
 
 def _fft_overlap_save(x, taps):
-    """VALID correlation via FFT overlap-save (long-tap path)."""
+    """VALID correlation via FFT overlap-save (long-tap path).
+
+    Block size adapts down for short inputs (power of two ≥ 4·T) so the
+    padding waste stays bounded; for long inputs it is ``_FFT_BLOCK``."""
     t = jnp.asarray(np.asarray(taps, np.float32))
     T = t.shape[-1]
     n_out = x.shape[-1] - (T - 1)
-    hop = _FFT_BLOCK - T + 1
+    block = min(_FFT_BLOCK,
+                max(2048, 1 << int(np.ceil(np.log2(4 * T))),
+                    1 << int(np.ceil(np.log2(max(x.shape[-1], 2))))))
+    if block <= T:                               # taps longer than _FFT_BLOCK/4
+        block = 1 << int(np.ceil(np.log2(2 * T)))
+    hop = block - T + 1
     nblk = -(-n_out // hop)
     total = nblk * hop + T - 1
     pad = total - x.shape[-1]
     xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(pad, 0))])
-    idx = np.arange(nblk)[:, None] * hop + np.arange(_FFT_BLOCK)[None, :]
+    idx = np.arange(nblk)[:, None] * hop + np.arange(block)[None, :]
     blocks = xb[..., idx]                        # (..., nblk, BLOCK)
-    H = jnp.fft.rfft(t[::-1], _FFT_BLOCK)        # correlation = conv w/ reversed taps
+    H = jnp.fft.rfft(t[::-1], block)             # correlation = conv w/ reversed taps
     Y = jnp.fft.rfft(blocks, axis=-1) * H
-    y = jnp.fft.irfft(Y, _FFT_BLOCK, axis=-1)[..., T - 1:]
+    y = jnp.fft.irfft(Y, block, axis=-1)[..., T - 1:]
     return y.reshape(x.shape[:-1] + (-1,))[..., :n_out].astype(jnp.float32)
 
 
@@ -157,7 +165,12 @@ def _conv_valid_f32(x, taps):
     t = np.asarray(taps, dtype=np.float32)
     T = len(t)
     n_out = x.shape[-1] - (T - 1)
-    if T >= _FFT_MIN_TAPS and n_out >= 4 * _FFT_BLOCK:
+    # Long taps ALWAYS take the FFT path, regardless of input length: the
+    # XLA conv lowering's compile time explodes with kernel size on the TPU
+    # backend (measured on-chip: T=255 first call 160 s, T=967 stalls 40+
+    # min — the round-3 FM stereo/RDS chip stall; the overlap-save program
+    # compiles+runs the same shapes in ~3 s).
+    if T >= _FFT_MIN_TAPS and n_out > 0:
         return _fft_overlap_save(x, t)
     # Toeplitz-matmul path: measured SLOWER than the XLA conv on v5e at every
     # tested tap count (the tile is (B+T−1)/T× redundant), kept opt-in for
