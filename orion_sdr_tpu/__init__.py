@@ -84,6 +84,10 @@ from .demodulate.wspr import wspr_demod, wspr_decode_band
 # ── GPS L1 C/A acquisition + tracking (beyond the reference) ─────────────────
 from .gnss import (GPS_NAV_PREAMBLE, GpsAcquisition, GpsTrack, gps_ca_code,
                    gps_ca_mod, gps_acquire, gps_track, gps_nav_frame_sync)
+from .gnss_nav import (GpsEphemeris, GpsNavFrame, GpsSubframe,
+                       nav_word_encode, nav_word_check,
+                       nav_subframes_encode, nav_subframes_decode,
+                       eph_sat_pos, gps_fix, gps_decode_ephemeris)
 
 # ── AIS marine transponders (beyond the reference) ───────────────────────────
 from .codec.ais import AisPosition

@@ -146,7 +146,8 @@ _SKIP_TRACEBACK = False   # probe-only: time the forward pass alone
 
 
 def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
-                 renorm_every: int = 1, lx_bf16: bool = False):
+                 renorm_every: int = 1, lx_bf16: bool = False,
+                 n_states: int = 64):
     """Radix-2 ACS + traceback kernel body (v3: stacked-operator form —
     see _stacked_tables). ``zero_start``: pm pinned at state 0 and
     traceback starts at state 0 (zero-tail termination). Otherwise initial
@@ -157,10 +158,10 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
     def kernel(*refs):
         if zero_start:
             (lx_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
-             bits_ref, dec_ref, pm_ref, oh_ref) = refs
+             bits_ref, dec_ref, pm_ref) = refs
         else:
             (lx_ref, pm0_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
-             bits_ref, dec_ref, pm_ref, oh_ref) = refs
+             bits_ref, dec_ref, pm_ref) = refs
         T2 = lx_ref.shape[0] // 8
         bias = bias_ref[:]                          # (S_pad, 1)
         s_pad = pm_ref.shape[0]
@@ -229,50 +230,62 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
 
             jax.lax.fori_loop(0, T2, fwd, 0)
 
+        # ── traceback v4: bit-plane state walk ────────────────────────────
+        # prev(ns, z) = ((ns & (S/2−1)) << 1) | z (fec/conv.py:58-67) is a
+        # REGISTER RENAME on the state's bit planes — carry the state as
+        # n_bits (1, B) 0/1 planes and stepping back is just reassignment
+        # plus inserting z at the bottom. Reading the packed decision at
+        # the current state is a log2(S)-step halving SELECT over the
+        # decision slab (top bit picks the half, and so on) — ~6 dependent
+        # VPU selects instead of v3's two dependent (2S, S) MXU matmuls
+        # per composite phase, which were the traceback's latency chain.
+        # The decoded bit is the state's top plane, read off for free.
+        n_bits = max((n_states - 1).bit_length(), 2)    # log2(S)
+
         if zero_start:
-            oh_ref[:] = jnp.where(state == 0, 1.0, 0.0)
+            planes0 = tuple(jnp.zeros((1, lanes), jnp.float32)
+                            for _ in range(n_bits))
         else:
             # per-lane argmax start (lowest index on ties = jnp.argmax)
             pm = pm_ref[:]
             m = jnp.max(pm, axis=0, keepdims=True)
             idx_val = jnp.where(pm == m, state.astype(jnp.float32),
                                 jnp.float32(1e9))
-            mn = jnp.min(idx_val, axis=0, keepdims=True)
-            oh_ref[:] = (idx_val == mn).astype(jnp.float32)
+            s0 = jnp.min(idx_val, axis=0, keepdims=True)    # (1, B) index
+            planes = []
+            for i in range(n_bits - 1, -1, -1):             # msb..lsb
+                hi = jnp.floor(s0 / float(1 << i))
+                planes.append(hi)
+                s0 = s0 - hi * float(1 << i)
+            planes0 = tuple(planes[::-1])                   # lsb-first
 
-        def bwd(i, _):
+        def bwd(i, st):
             t = T2 - 1 - i
-            oh = oh_ref[:]
-            d = dec_ref[t].astype(jnp.float32)      # packed 2·z2 + z1
-            z2v = jnp.floor(d * 0.5)
-            z1v = d - 2.0 * z2v
-            # one K=S_pad matmul gives prev(·,0)/prev(·,1) candidates AND
-            # the decoded bit (msb row of the stacked pt operator)
-            both = jnp.dot(pt, oh, preferred_element_type=jnp.float32)
-            bits_ref[pl.ds(2 * t + 1, 1), :] = both[2 * s_pad:2 * s_pad + 1]
-            # both decisions are stored per composite-step FINAL state, so
-            # both gathers contract against oh — not the intermediate state
-            z2 = jnp.sum(oh * z2v, axis=0, keepdims=True)   # (1, B)
-            z1 = jnp.sum(oh * z1v, axis=0, keepdims=True)
-            ms_oh = both[:s_pad] * (1.0 - z2) \
-                + both[s_pad:2 * s_pad] * z2
-            both2 = jnp.dot(pt, ms_oh, preferred_element_type=jnp.float32)
-            bits_ref[pl.ds(2 * t, 1), :] = both2[2 * s_pad:2 * s_pad + 1]
-            oh_ref[:] = both2[:s_pad] * (1.0 - z1) \
-                + both2[s_pad:2 * s_pad] * z1
-            return 0
+            d = dec_ref[t].astype(jnp.float32)      # (S_pad, B) 2·z2 + z1
+            if n_states < s_pad:                    # pad rows never reached
+                d = d[:n_states]
+            # halving select: st[n_bits-1] is the msb plane
+            for k in range(n_bits - 1, -1, -1):
+                half = d.shape[0] // 2
+                d = jnp.where(st[k] > 0.5, d[half:], d[:half])
+            z2 = jnp.floor(d * 0.5)                 # (1, B)
+            z1 = d - 2.0 * z2
+            bits_ref[pl.ds(2 * t + 1, 1), :] = st[n_bits - 1]
+            bits_ref[pl.ds(2 * t, 1), :] = st[n_bits - 2]
+            # two renames: ns → ms = prev(ns, z2) → prev(ms, z1)
+            return (z1, z2) + st[:n_bits - 2]
 
         if not _SKIP_TRACEBACK:
-            jax.lax.fori_loop(0, T2, bwd, 0)
+            jax.lax.fori_loop(0, T2, bwd, planes0)
 
     return kernel
 
 
 @lru_cache(maxsize=None)
 def _kernel_for(zero_start: bool, lanes: int, renorm_every: int,
-                lx_bf16: bool, skip_tb: bool):
+                lx_bf16: bool, skip_tb: bool, n_states: int):
     # skip_tb participates in the cache key so probe variants don't collide
-    return _make_kernel(zero_start, lanes, renorm_every, lx_bf16)
+    return _make_kernel(zero_start, lanes, renorm_every, lx_bf16, n_states)
 
 
 def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
@@ -324,7 +337,7 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
 
     bits = pl.pallas_call(
         _kernel_for(pm0 is None, lanes, renorm_every, lx_bf16,
-                    _SKIP_TRACEBACK),
+                    _SKIP_TRACEBACK, S),
         grid=(l_pad // lanes,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, lanes), lambda i: (0, i),
@@ -333,7 +346,6 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
         scratch_shapes=[
             pltpu.VMEM((T // 2, s_pad, lanes), jnp.int8),  # packed 2·z2+z1
             pltpu.VMEM((s_pad, lanes), jnp.float32),   # pm
-            pltpu.VMEM((s_pad, lanes), jnp.float32),   # traceback one-hot
         ],
         interpret=interpret,
     )(*args)
