@@ -259,16 +259,28 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
                 s0 = s0 - hi * float(1 << i)
             planes0 = tuple(planes[::-1])                   # lsb-first
 
+        # constant (8, 1) iota-bit masks for the final 3-bit one-hot
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        masks8 = [((sub8 >> k) & 1).astype(jnp.float32) for k in range(3)]
+
         def bwd(i, st):
             t = T2 - 1 - i
             d = dec_ref[t].astype(jnp.float32)      # (S_pad, B) 2·z2 + z1
             if n_states < s_pad:                    # pad rows never reached
                 d = d[:n_states]
-            # halving select: st[n_bits-1] is the msb plane
-            for k in range(n_bits - 1, -1, -1):
+            # halving fold down to 8 sublanes (arithmetic select — Mosaic
+            # has no sublane-broadcast `where`, but (1, B) broadcasts fine
+            # in + and ×, cf. the renorm line above)
+            for k in range(n_bits - 1, 2, -1):
                 half = d.shape[0] // 2
-                d = jnp.where(st[k] > 0.5, d[half:], d[:half])
-            z2 = jnp.floor(d * 0.5)                 # (1, B)
+                d = d[:half] + st[k] * (d[half:] - d[:half])
+            # contract the last 3 bits against a constant-iota one-hot
+            oh8 = jnp.ones((8, lanes), jnp.float32)
+            for k in range(3):
+                mk = masks8[k]                      # (8, 1) constant
+                oh8 = oh8 * (mk * st[k] + (1.0 - mk) * (1.0 - st[k]))
+            d = jnp.sum(oh8 * d, axis=0, keepdims=True)     # (1, B)
+            z2 = jnp.floor(d * 0.5)
             z1 = d - 2.0 * z2
             bits_ref[pl.ds(2 * t + 1, 1), :] = st[n_bits - 1]
             bits_ref[pl.ds(2 * t, 1), :] = st[n_bits - 2]
