@@ -594,13 +594,13 @@ def bench_families():
         from orion_sdr_tpu.demodulate.wspr import _energy_grid
         from orion_sdr_tpu.codec.wspr import WSPR_SPS, WSPR_SYMBOLS, WSPR_FS
         n = WSPR_SYMBOLS * WSPR_SPS + 4 * WSPR_SPS
-        dts = np.arange(-4, 5) * (WSPR_SPS // 8)
+        dts = tuple(int(d) for d in np.arange(-4, 5) * (WSPR_SPS // 8))
         dfs = np.linspace(-2.0, 2.0, 7)
         re = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         im = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         make = _roll_body(
-            lambda r, i: jnp.sum(_energy_grid(r, i, dts, dfs,
-                                              WSPR_FS, 1500.0)),
+            lambda r, i: jnp.sum(_energy_grid.__wrapped__(
+                r, i, dts, dfs, WSPR_FS, 1500.0)),
             re, im)
         emit("wspr_energy_grid_throughput", n,
              _marginal_s(make, n_long=5, trials=3, full=True))

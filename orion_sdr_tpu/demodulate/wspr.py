@@ -23,30 +23,61 @@ from ..codec.wspr import (WSPR_SYMBOLS, WSPR_SPS, WSPR_FS, WSPR_SYNC,
 
 @cjit
 def _energy_grid(re, im, dts, dfs, fs: float, base_hz: float):
-    """(n,) capture → (F, D, 162, 4) tone energies for every (df, dt)."""
+    """(n,) capture → (F, D, 162, 4) tone energies for every (df, dt).
+
+    Gather-free (round 4: the old per-(df, dt) fancy-index gathered
+    162×8192 elements 63 times — ~129 ms on chip): ``dts`` are STATIC
+    eighth-symbol-aligned offsets (a tuple — cjit treats non-arrays as
+    static). The capture decomposes into eighth-symbol blocks, per-block
+    tone correlations come from one einsum per df, window correlations
+    are 8 static shifted adds, and every (dt, symbol) energy is a static
+    strided slice. Samples outside the capture read as zeros (the old
+    path clamped to the edge sample — both are edge garbage in a sync
+    metric)."""
     z = re + 1j * im
     n = z.shape[-1]
-    t = jnp.arange(1, n + 1, dtype=jnp.float32)
-    df_tone = fs / WSPR_SPS
-    # tone phasors for one symbol window
-    k = jnp.arange(WSPR_SPS, dtype=jnp.float32)
-    tones = jnp.exp(-1j * jnp.float32(TAU / fs)
-                    * (base_hz + jnp.arange(4, dtype=jnp.float32)[:, None]
-                       * df_tone) * k[None, :])           # (4, sps)
+    nb = WSPR_SPS // 8
+    dts = tuple(int(d) for d in dts)
+    if any(d % nb for d in dts):
+        raise ValueError("dt offsets must be eighth-symbol aligned")
     need = WSPR_SYMBOLS * WSPR_SPS
-    sym_idx = (jnp.arange(WSPR_SYMBOLS)[:, None] * WSPR_SPS
-               + jnp.arange(WSPR_SPS)[None, :])
+    pad_front = max(0, -min(dts))
+    total = max(dts) + pad_front + need
+    total = max(total, n + pad_front)
+    total = -(-total // nb) * nb
+    zp = jnp.pad(z, (pad_front, total - n - pad_front))
+    nq = total // nb
+    q = zp.reshape(nq, nb)
+    k = jnp.arange(nb, dtype=jnp.float32)
+    df_tone = fs / WSPR_SPS
+    f_tone = (jnp.float32(base_hz)
+              + jnp.arange(4, dtype=jnp.float32) * df_tone)     # (4,)
+    tones = jnp.exp(-1j * jnp.float32(TAU / fs)
+                    * f_tone[:, None] * k[None, :])             # (4, nb)
+    b_time = (jnp.arange(nq, dtype=jnp.float32) * nb
+              - jnp.float32(pad_front))                         # block t0
 
     def for_df(df):
-        zz = z * jnp.exp(-1j * jnp.float32(TAU / fs) * df * t)
+        w = jnp.exp(-1j * jnp.float32(TAU / fs) * df * k)
+        c = jnp.einsum("qk,tk->qt", q, tones * w[None, :])      # (nq, 4)
+        # df wipe at block start (constant global phase per df drops in
+        # the magnitude)
+        return c * jnp.exp(-1j * jnp.float32(TAU / fs)
+                           * df * b_time)[:, None]
 
-        def for_dt(dt):
-            seg = zz[jnp.clip(sym_idx + dt, 0, n - 1)]    # (162, sps)
-            c = jnp.einsum("sk,tk->st", seg, tones)       # (162, 4)
-            return (jnp.abs(c) ** 2).astype(jnp.float32)
-        return jax.vmap(for_dt)(jnp.asarray(dts))
-
-    return jax.vmap(for_df)(jnp.asarray(dfs, jnp.float32))
+    C = jax.vmap(for_df)(jnp.asarray(dfs, jnp.float32))         # (F, nq, 4)
+    # tone phase advance of block j within its window
+    pj = jnp.exp(-1j * jnp.float32(TAU / fs) * f_tone[None, :]
+                 * (jnp.arange(8, dtype=jnp.float32)[:, None] * nb))
+    M = nq - 7
+    corr = sum(C[:, j: j + M, :] * pj[j][None, None, :]
+               for j in range(8))                               # (F, M, 4)
+    outs = []
+    for dt in dts:
+        m0 = (dt + pad_front) // nb
+        sl = corr[:, m0: m0 + 8 * WSPR_SYMBOLS: 8, :]           # (F, 162, 4)
+        outs.append((jnp.abs(sl) ** 2).astype(jnp.float32))
+    return jnp.stack(outs, axis=1)                              # (F, D, ...)
 
 
 def wspr_demod(iq, fs: float = WSPR_FS, base_hz: float = 1500.0,
@@ -66,7 +97,7 @@ def wspr_demod(iq, fs: float = WSPR_FS, base_hz: float = 1500.0,
     eg = np.asarray(_energy_grid(
         np.ascontiguousarray(z.real, np.float32),
         np.ascontiguousarray(z.imag, np.float32),
-        dts, dfs, float(fs), float(base_hz)))
+        tuple(int(d) for d in dts), dfs, float(fs), float(base_hz)))
     # sync score: energy in the two sync-consistent tones minus the rest
     s = WSPR_SYNC.astype(np.int64)
     i162 = np.arange(WSPR_SYMBOLS)
@@ -81,11 +112,22 @@ def wspr_demod(iq, fs: float = WSPR_FS, base_hz: float = 1500.0,
 def _spectrogram(re, im, n_hops: int, hop: int):
     """Quarter-symbol-hopped symbol-length FFTs: bin spacing = the tone
     spacing exactly, so every (time, frequency) sync candidate in the
-    whole band reads straight out of one program's output."""
+    whole band reads straight out of one program's output.
+
+    Gather-free when the hop divides the symbol (it does at the call
+    site): decompose into hop-length blocks and build every window from
+    ``sps // hop`` static row slices."""
     z = re + 1j * im
-    idx = (jnp.arange(n_hops)[:, None] * hop
-           + jnp.arange(WSPR_SPS)[None, :])
-    segs = z[idx]
+    r = WSPR_SPS // hop
+    if r * hop == WSPR_SPS:
+        nq = n_hops + r - 1
+        zq = z[: nq * hop].reshape(nq, hop)
+        segs = jnp.concatenate(
+            [zq[j: j + n_hops] for j in range(r)], axis=-1)
+    else:                                   # non-divisor hop: old gather
+        idx = (jnp.arange(n_hops)[:, None] * hop
+               + jnp.arange(WSPR_SPS)[None, :])
+        segs = z[idx]
     spec = jnp.fft.fft(segs, axis=-1)
     return (jnp.abs(spec) ** 2).astype(jnp.float32)
 

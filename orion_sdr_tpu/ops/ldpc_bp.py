@@ -305,22 +305,28 @@ def _ms_kernel_factory(max_iter: int, D: int, mp: int, scale: float,
             return jnp.concatenate(ext_slabs, axis=1)
 
         def check_ext_sp(msg, valid):
-            # invalid slots: t=1 → log|t|=0, sign=+1 — neutral in the sums
+            # invalid slots: t=1 — neutral in the products. Leave-one-out
+            # PRODUCT via prefix/suffix slab products — the same shape as
+            # the jnp path's _loo_prod (fec/ldpc.py:268) and min-sum's
+            # prefix/suffix mins above. (The former log-domain form paid a
+            # log AND an exp per edge per iteration for nothing: the
+            # product of ≤D−1 tanh values cannot overflow, and underflow
+            # to 0 is exactly the extrinsic the log form produced too.)
             t = jnp.where(valid, _fast_tanh(msg * 0.5), 1.0)
-            a_full = jnp.log(jnp.maximum(jnp.abs(t), 1e-12))
-            s_full = jnp.where(t < 0.0, -1.0, 1.0)
-            a = [a_full[:, j * mp:(j + 1) * mp] for j in range(D)]
-            s = [s_full[:, j * mp:(j + 1) * mp] for j in range(D)]
-            total_a = a[0]
-            total_s = s[0]
-            for j in range(1, D):
-                total_a = total_a + a[j]
-                total_s = total_s * s[j]
-            ext_slabs = []
+            ts = [t[:, j * mp:(j + 1) * mp] for j in range(D)]
+            left = [None] * D
+            right = [None] * D
+            acc = jnp.ones_like(ts[0])
             for j in range(D):
-                prod = (total_s * s[j]) * jnp.exp(total_a - a[j])
-                ext_slabs.append(2.0 * _fast_atanh(
-                    jnp.clip(prod, -0.9999999, 0.9999999)))
+                left[j] = acc
+                acc = acc * ts[j]
+            acc = jnp.ones_like(ts[0])
+            for j in range(D - 1, -1, -1):
+                right[j] = acc
+                acc = acc * ts[j]
+            ext_slabs = [2.0 * _fast_atanh(jnp.clip(
+                left[j] * right[j], -0.9999999, 0.9999999))
+                for j in range(D)]
             return jnp.concatenate(ext_slabs, axis=1)
 
         check_ext = check_ext_sp if rule == "sum_product" else check_ext_min

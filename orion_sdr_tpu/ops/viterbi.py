@@ -157,10 +157,10 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
 
     def kernel(*refs):
         if zero_start:
-            (lx_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
+            (lx_ref, qqpm_ref, qql_ref, bias_ref,
              bits_ref, dec_ref, pm_ref) = refs
         else:
-            (lx_ref, pm0_ref, qqpm_ref, qql_ref, pt_ref, bias_ref, msb_ref,
+            (lx_ref, pm0_ref, qqpm_ref, qql_ref, bias_ref,
              bits_ref, dec_ref, pm_ref) = refs
         T2 = lx_ref.shape[0] // 8
         bias = bias_ref[:]                          # (S_pad, 1)
@@ -174,7 +174,6 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
 
         qq_pm = qqpm_ref[:]                         # (4·S_pad, S_pad)
         qq_l = qql_ref[:]                           # (4·S_pad, 8)
-        pt = pt_ref[:]                              # (2·S_pad+8, S_pad)
 
         def step(t, pm, renorm):
             lx = lx_ref[pl.ds(8 * t, 8)]            # (8, B) aligned read
@@ -343,7 +342,7 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
         args.append(pm0.T)                           # (S_pad, L_pad)
         in_specs.append(pl.BlockSpec((s_pad, lanes), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
-    tables = [qq_pm, qq_l, pt, bias, msb]
+    tables = [qq_pm, qq_l, bias]
     args += [jnp.asarray(t) for t in tables]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(tables)
 

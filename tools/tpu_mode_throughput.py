@@ -92,13 +92,13 @@ def bench_wspr():
     row(f"WSPR band spectrogram ({n_hops} hops)", n,
         _marginal_s(make_spec, n_long=9))
 
-    dts = np.arange(-4, 5) * (WSPR_SPS // 8)
+    dts = tuple(int(d) for d in np.arange(-4, 5) * (WSPR_SPS // 8))
     dfs = np.linspace(-2.0, 2.0, 7)
 
     def make_grid():
         def body(carry):
             r, i, acc = carry
-            g = _energy_grid(r, i, dts, dfs, WSPR_FS, 1500.0)
+            g = _energy_grid.__wrapped__(r, i, dts, dfs, WSPR_FS, 1500.0)
             acc = acc + jnp.sum(g)
             return (jnp.roll(r, 1) + 1e-12 * acc, jnp.roll(i, 1), acc)
         return body, (re, im, jnp.float32(0))

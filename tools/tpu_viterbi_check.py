@@ -1,4 +1,4 @@
-"""TPU check + hardened marginal for the v3 Viterbi kernel (round 3).
+"""TPU check + hardened marginal for the Viterbi kernel (v4: bit-plane traceback).
 
 Bit-exactness vs the jnp chunked path on integer-ish LLRs, then the 48-rep
 marginal at the DVB-T operating point (128 lanes x 1216-step trellis).
