@@ -1,0 +1,33 @@
+#!/bin/bash
+# Three consecutive bench.py runs (VERDICT r2 item 4 / r3 item 2: the
+# stability proof is all metrics within ±20% across runs). Outputs land in
+# docs/bench_stability_r4/run{1,2,3}.jsonl and a summary table is printed.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p docs/bench_stability_r4
+for i in 1 2 3; do
+    echo "=== bench run $i ($(date -u +%H:%M:%S)) ===" >&2
+    timeout 4000 python -u bench.py > "docs/bench_stability_r4/run$i.jsonl" 2>/dev/null
+    echo "--- run $i done (rc=$?)" >&2
+done
+python - <<'EOF'
+import json, collections
+vals = collections.defaultdict(list)
+for i in (1, 2, 3):
+    for line in open(f"docs/bench_stability_r4/run{i}.jsonl"):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        r = json.loads(line)
+        if "value" in r:
+            vals[r["metric"]].append(r["value"])
+print(f"{'metric':44s} {'r1':>9} {'r2':>9} {'r3':>9} {'spread':>7}")
+for m, v in vals.items():
+    if len(v) == 3 and min(v) > 0:
+        spread = (max(v) - min(v)) / (sum(v) / 3) * 100
+        flag = "" if spread <= 40 else "  <-- WIDE"
+        print(f"{m:44s} {v[0]:9.1f} {v[1]:9.1f} {v[2]:9.1f} "
+              f"{spread:6.1f}%{flag}")
+    else:
+        print(f"{m:44s} incomplete: {v}")
+EOF
