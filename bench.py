@@ -532,8 +532,8 @@ def bench_dvb_t():
 _FAMILY_FLOORS = {
     "pfb_channelizer_throughput": 9000.0,
     "css_dechirp_throughput": 2300.0,
-    "wspr_energy_grid_throughput": 11.0,
-    "fm_stereo_rds_throughput": 12.0,
+    "wspr_energy_grid_throughput": 1000.0,   # gather-free rewrite: was 10.5
+    "fm_stereo_rds_throughput": 40.0,     # FIR-bank fusion: was 11.9
     "fsk2_engine_throughput": 670.0,
     "gnss_acquisition_throughput": 900.0,
     "burst_modem_throughput": 30.0,

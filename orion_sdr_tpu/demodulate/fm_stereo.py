@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..dsp.device import cjit as _cjit
 from ..dsp.fir import (kaiser_lowpass_taps, kaiser_num_taps,
-                       fir_filter_aligned)
+                       fir_filter_aligned, fir_filter_aligned_bank)
 from ..dsp.osc import TAU
 from ..dsp.recurrence import first_order
 from ..modulate.fm_stereo import FM_STEREO_PILOT_HZ, FM_STEREO_MIN_FS
@@ -58,21 +58,26 @@ def _stereo_device(re, im, fs: float, deviation_hz: float,
     # relative cutoffs a 240 kHz composite needs.
     pil_taps = kaiser_lowpass_taps(kaiser_num_taps(900.0 / fs, 60.0),
                                    500.0 / fs, 60.0)
-    p = fir_filter_aligned(mpx * e1, pil_taps)
-    u = p / jnp.maximum(jnp.abs(p), 1e-12)
-    pilot_mag = 2.0 * jnp.mean(jnp.abs(p), axis=-1)
-
     aud_taps = kaiser_lowpass_taps(kaiser_num_taps(5000.0 / fs, 60.0),
                                    (audio_bw_hz + 1000.0) / fs, 60.0)
-    mono = fir_filter_aligned(mpx, aud_taps) / audio_level
-    v = fir_filter_aligned(mpx * (e1 * e1), aud_taps)
+    rds_taps = kaiser_lowpass_taps(kaiser_num_taps(2400.0 / fs, 50.0),
+                                   2100.0 / fs, 50.0)
+    # all four long FIRs fuse into ONE overlap-save bank program: a
+    # single-channel call is latency-bound (~1.5-3 ms each on chip; the
+    # four summed to ~10.9 ms — profiled round 4), the fused bank runs
+    # them as one batched FFT triple
+    pairs = [(mpx * e1, pil_taps), (mpx, aud_taps),
+             (mpx * (e1 * e1), aud_taps)]
+    if want_rds:
+        pairs.append((mpx * (e1 * e1 * e1), rds_taps))
+    outs = fir_filter_aligned_bank(pairs)
+    p, mono, v = outs[0], outs[1] / audio_level, outs[2]
+    u = p / jnp.maximum(jnp.abs(p), 1e-12)
+    pilot_mag = 2.0 * jnp.mean(jnp.abs(p), axis=-1)
     sub = 2.0 * (v * jnp.conj(u * u)).real / audio_level
 
     if want_rds:
-        rds_taps = kaiser_lowpass_taps(kaiser_num_taps(2400.0 / fs, 50.0),
-                                       2100.0 / fs, 50.0)
-        r = fir_filter_aligned(mpx * (e1 * e1 * e1), rds_taps)
-        rbb = 2.0 * (r * jnp.conj(u * u * u)).real
+        rbb = 2.0 * (outs[3] * jnp.conj(u * u * u)).real
     else:
         rbb = jnp.zeros_like(mono)
     return (mono.astype(jnp.float32), sub.astype(jnp.float32),

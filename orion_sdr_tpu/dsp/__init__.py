@@ -11,6 +11,7 @@ from .fir import (
     group_delay,
     fir_apply,
     fir_filter_aligned,
+    fir_filter_aligned_bank,
     fir_decimate,
 )
 from .iir import (

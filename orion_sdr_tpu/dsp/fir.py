@@ -142,6 +142,80 @@ def _fft_overlap_save(x, taps):
     return y.reshape(x.shape[:-1] + (-1,))[..., :n_out].astype(jnp.float32)
 
 
+def _fft_overlap_save_bank(x, w):
+    """Batched VALID correlation with PER-CHANNEL kernels: ``x`` (C, N),
+    ``w`` (C, K) numpy → (C, N−K+1). One rfft/irfft triple for the whole
+    bank — a single-channel overlap-save call is latency-bound on TPU
+    (~1.5 ms regardless of size), so C separate calls cost C× that."""
+    w = np.asarray(w, np.float32)
+    K = w.shape[-1]
+    n_out = x.shape[-1] - (K - 1)
+    block = min(_FFT_BLOCK,
+                max(2048, 1 << int(np.ceil(np.log2(4 * K))),
+                    1 << int(np.ceil(np.log2(max(x.shape[-1], 2))))))
+    if block <= K:
+        block = 1 << int(np.ceil(np.log2(2 * K)))
+    hop = block - K + 1
+    nblk = -(-n_out // hop)
+    total = nblk * hop + K - 1
+    xb = jnp.pad(x, ((0, 0), (0, max(total - x.shape[-1], 0))))
+    idx = np.arange(nblk)[:, None] * hop + np.arange(block)[None, :]
+    blocks = xb[:, idx]                          # (C, nblk, BLOCK)
+    H = jnp.fft.rfft(jnp.asarray(w[:, ::-1].copy()), block)     # (C, nf)
+    Y = jnp.fft.rfft(blocks, axis=-1) * H[:, None, :]
+    y = jnp.fft.irfft(Y, block, axis=-1)[..., K - 1:]
+    return y.reshape(x.shape[0], -1)[:, :n_out].astype(jnp.float32)
+
+
+def fir_filter_aligned_bank(pairs):
+    """Aligned same-length filtering of several signals, EACH with its own
+    taps, fused into one overlap-save program.
+
+    ``pairs``: list of (x, taps) with every ``x`` (n,) real or complex and
+    every ``taps`` odd-length numpy. Returns the list of filtered signals,
+    each exactly ``fir_filter_aligned(x, taps)`` up to FFT rounding.
+    Complex signals ride as two real channels. Used by composite receivers
+    (FM stereo+RDS: 4 long FIRs → one program, ~10.9 → ~2 ms)."""
+    xs = [jnp.asarray(x) for x, _ in pairs]
+    n = xs[0].shape[-1]
+    taps = [np.asarray(t, np.float32) for _, t in pairs]
+    gds = [group_delay(t) for t in taps]
+    G = max(gds)
+    L = max(len(t) - 1 - gd for t, gd in zip(taps, gds))
+    K = G + L + 1
+    chans, kerns, spec = [], [], []
+    r0 = 0
+    for x, t, gd in zip(xs, taps, gds):
+        # aligned output y[i] = Σ_j t[j]·x[i+gd−j]  →  VALID correlation
+        # of x left-padded by G / right-padded by L with kernel
+        # w[G+gd−j] = t[j]
+        w = np.zeros(K, np.float32)
+        w[G + gd - np.arange(len(t))] = t
+        lead = x.shape[:-1]
+        rows = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        if jnp.iscomplexobj(x):
+            chans += [x.real.reshape(rows, n), x.imag.reshape(rows, n)]
+            kerns.append(np.broadcast_to(w, (2 * rows, K)))
+            spec.append(("c", r0, rows, lead))
+            r0 += 2 * rows
+        else:
+            chans.append(x.reshape(rows, n))
+            kerns.append(np.broadcast_to(w, (rows, K)))
+            spec.append(("r", r0, rows, lead))
+            r0 += rows
+    X = jnp.pad(jnp.concatenate(chans, axis=0), ((0, 0), (G, L)))
+    Y = _fft_overlap_save_bank(X, np.concatenate(kerns, axis=0))
+    out = []
+    for kind, r, rows, lead in spec:
+        if kind == "c":
+            y = (Y[r:r + rows] + 1j * Y[r + rows:r + 2 * rows]
+                 ).astype(jnp.complex64)
+        else:
+            y = Y[r:r + rows]
+        out.append(y.reshape(lead + (n,)) if lead else y[0])
+    return out
+
+
 def _toeplitz_weight(taps, block: int) -> np.ndarray:
     """W[k, j] = taps[T−1−k+j] — causal-FIR block matmul weight
     ((block+T−1) × block)."""

@@ -124,6 +124,25 @@ class TestFir:
         assert abs(corr) > 0.999
         assert np.angle(corr) == pytest.approx(0.0, abs=1e-2)
 
+    def test_filter_aligned_bank_matches_individual_calls(self):
+        # the fused bank (one overlap-save program for C channels with
+        # per-channel taps) must equal per-channel fir_filter_aligned
+        rng = np.random.default_rng(3)
+        n = 5000
+        xr = rng.standard_normal(n).astype(np.float32)
+        xc = (rng.standard_normal(n)
+              + 1j * rng.standard_normal(n)).astype(np.complex64)
+        t1 = dsp.kaiser_lowpass_taps(967, 0.002, 60.0)
+        t2 = dsp.kaiser_lowpass_taps(175, 0.07, 60.0)
+        t3 = dsp.kaiser_lowpass_taps(293, 0.009, 50.0)
+        outs = dsp.fir_filter_aligned_bank(
+            [(xc, t1), (xr, t2), (xc, t3)])
+        for out, (x, t) in zip(outs, [(xc, t1), (xr, t2), (xc, t3)]):
+            want = np.asarray(dsp.fir_filter_aligned(x, t))
+            scale = max(np.max(np.abs(want)), 1e-9)
+            np.testing.assert_allclose(np.asarray(out) / scale,
+                                       want / scale, atol=3e-5)
+
     def test_decimate(self):
         x = sdr.gen_complex_tone(FS, 100.0, 4096)
         taps = dsp.fir_lowpass_design(FS, 3000.0, 1000.0)
