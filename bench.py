@@ -264,8 +264,9 @@ def bench_cofdm():
     batch = 4
     rng = np.random.default_rng(3)
 
-    REPS = 32  # in-scan reps: the true marginals are sub-ms, so they must
-               # tower over the ~1-2 ms relay jitter
+    REPS = 64  # in-scan reps: the true marginals are sub-ms, so they must
+               # tower over the ~1-2 ms relay jitter (32 left the min-sum
+               # diff ~4 ms and the r4 stability spread at 45%)
 
     def make_demap(n_sym):
         n = n_sym * sps
@@ -432,7 +433,10 @@ def bench_dvb_t():
             return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
         return f, (re, im)
 
-    per_sym_rx, rx_cl = _size_marginal_s(make_rx, 68, 612, trials=17)
+    # 1156-symbol span (~6.3 ms at the honest rate): the 544-symbol
+    # span left the diff at ~2.9 ms, and +-1 ms relay jitter swung the
+    # composite 736-1117 across the round-4 stability runs
+    per_sym_rx, rx_cl = _size_marginal_s(make_rx, 68, 1224, trials=25)
     rx_rate = B * sps / per_sym_rx                   # samples/s
 
     # chunked Pallas Viterbi: 256 chunk lanes × 1216-step trellis (a frame
@@ -651,7 +655,7 @@ def bench_families():
             re, im)
         cells = n_prn * int(dopp.shape[0]) * spms
         emit("gnss_acquisition_throughput", cells,
-             _marginal_s(make, n_long=9, trials=3, full=True))
+             _marginal_s(make, n_long=33, trials=5, full=True))
 
     def fam_burst():
         from orion_sdr_tpu.modulate.digital import rrc_taps
@@ -696,7 +700,7 @@ def bench_families():
                 return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
             return f, (re, im)
 
-        per_sym, cl = _size_marginal_s(make, 68, 612, trials=9)
+        per_sym, cl = _size_marginal_s(make, 68, 1224, trials=17)
         rate = Bc * sps / per_sym / 1e6
         _emit("dvb_t_hier_receive_throughput", rate, "Msps/chip",
               _FAMILY_FLOORS["dvb_t_hier_receive_throughput"],
