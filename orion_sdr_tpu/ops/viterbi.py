@@ -42,13 +42,15 @@ _VMEM_BUDGET = 14 << 20   # decision plane + LLR/bit planes must fit VMEM
                           # compile-verified on chip)
 
 
-def _max_vmem_steps(s_pad: int, lanes: int = _B_LANES) -> int:
-    # per trellis step per lane: s_pad/2 B packed decisions (one int8 per
-    # composite step) + 8 B bf16 interleaved LLR plane + 4 B bits out
-    return _VMEM_BUDGET // (lanes * (s_pad // 2 + 12))
+def _max_vmem_steps(s_pad: int, lanes: int = _B_LANES,
+                    radix: int = 2) -> int:
+    # per trellis step per lane: s_pad/radix B packed decisions (one int8
+    # per composite phase) + 8 B bf16 interleaved LLR plane + 4 B bits out
+    return _VMEM_BUDGET // (lanes * (s_pad // radix + 12))
 
 
-def _pick_lanes(n_steps: int, s_pad: int, n_lanes: int) -> int | None:
+def _pick_lanes(n_steps: int, s_pad: int, n_lanes: int,
+                radix: int = 2) -> int | None:
     """Widest lane count whose whole trellis fits VMEM. 256 lanes measured
     1.57× the per-lane-bit throughput of 128 (the sequential phases'
     ~250 ns fixed cost amortizes over twice the work — the kernel is
@@ -57,7 +59,7 @@ def _pick_lanes(n_steps: int, s_pad: int, n_lanes: int) -> int | None:
     for lanes in (256, 128):
         if lanes > 128 and n_lanes <= 128:
             continue
-        if n_steps <= _max_vmem_steps(s_pad, lanes):
+        if n_steps <= _max_vmem_steps(s_pad, lanes, radix):
             return lanes
     return None
 
@@ -140,6 +142,55 @@ def _stacked_tables(code: str):
         [p0.T, p1.T, msb.T,
          np.zeros((7, s_pad), np.float32)], axis=0).astype(np.float32)
     return K, S, s_pad, qq_pm, qq_l, pt, bias, msb
+
+
+@lru_cache(maxsize=None)
+def _stacked_tables4(code: str):
+    """Radix-4 stacked operators (v5): FOUR trellis steps per composite
+    phase. The 16 path candidates' Q matrices stack on sublanes in
+    z1-fastest order (idx = z1 + 2·z2 + 4·z3 + 8·z4) → ``qq_pm
+    (16·S_pad, S_pad)``; their branch-sign columns (each gathered through
+    the right intermediate state) + bias stack into ``qq_l (16·S_pad,
+    16)`` matching per-phase LLR rows [l0(4g), l1(4g), …, l0(4g+3),
+    l1(4g+3), 1, 0×7]. Halves the number of sequential forward phases —
+    the fwd dependency chain was the remaining bound after the v4
+    traceback — at 2× the MXU work per trellis step (the MXU was ~idle)."""
+    K, S, top, _, _, prev, sign0, sign1 = _tables(code)
+    s_pad = max(S, 32)
+    P = [np.zeros((s_pad, s_pad), np.float32) for _ in range(2)]
+    for ns in range(S):
+        for z in range(2):
+            P[z][ns, prev[ns, z]] = 1.0
+    bias = np.where(np.arange(s_pad) < S, 0.0, _NEG
+                    ).astype(np.float32)[:, None]
+
+    def col(v):
+        return np.concatenate(
+            [v, np.zeros(s_pad - S)]).astype(np.float32)[:, None]
+
+    qq_pm = []
+    qq_l = []
+    idx_s = np.arange(S)
+    for z4 in range(2):
+        for z3 in range(2):
+            for z2 in range(2):
+                for z1 in range(2):
+                    ms3 = prev[idx_s, z4]
+                    ms2 = prev[ms3, z3]
+                    ms1 = prev[ms2, z2]
+                    qq_pm.append((P[z4] @ P[z3] @ P[z2] @ P[z1]
+                                  ).astype(np.float32))
+                    cols = [
+                        col(sign0[ms1, z1]), col(sign1[ms1, z1]),
+                        col(sign0[ms2, z2]), col(sign1[ms2, z2]),
+                        col(sign0[ms3, z3]), col(sign1[ms3, z3]),
+                        col(sign0[idx_s, z4]), col(sign1[idx_s, z4]),
+                        bias, np.zeros((s_pad, 7), np.float32)]
+                    qq_l.append(np.concatenate(cols, axis=1))
+    # stack order above is z1 fastest? loops: z4 outer … z1 inner →
+    # position p = z1 + 2·z2 + 4·z3 + 8·z4 ✓ (z1 varies fastest)
+    return K, S, s_pad, np.concatenate(qq_pm, 0), np.concatenate(qq_l, 0), \
+        bias
 
 
 _SKIP_TRACEBACK = False   # probe-only: time the forward pass alone
@@ -292,48 +343,184 @@ def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
     return kernel
 
 
+def _make_kernel4(zero_start: bool, lanes: int, n_states: int):
+    """Radix-4 ACS (v5) + bit-plane traceback. Four trellis steps per
+    sequential phase: one stacked (16·S, S)+(16·S, 16) MXU op yields all
+    16 path candidates, a 4-level max tree (z1 innermost — the same
+    nesting and lower-z tie preference as the sequential per-step rule)
+    selects the survivor and packs its 4 decision bits into one int8.
+    T must be divisible by 4 and log2(S) ≥ 4."""
+
+    def kernel(*refs):
+        if zero_start:
+            (lx_ref, qqpm_ref, qql_ref, bias_ref,
+             bits_ref, dec_ref, pm_ref) = refs
+        else:
+            (lx_ref, pm0_ref, qqpm_ref, qql_ref, bias_ref,
+             bits_ref, dec_ref, pm_ref) = refs
+        T4 = lx_ref.shape[0] // 16
+        bias = bias_ref[:]
+        s_pad = pm_ref.shape[0]
+        state = jax.lax.broadcasted_iota(jnp.int32, (s_pad, lanes), 0)
+        if zero_start:
+            pm_ref[:] = jnp.where(state == 0, 0.0, _NEG)
+        else:
+            pm_ref[:] = pm0_ref[:] + bias
+        qq_pm = qqpm_ref[:]                     # (16·S_pad, S_pad)
+        qq_l = qql_ref[:]                       # (16·S_pad, 16)
+
+        def fwd(g, _):
+            pm = pm_ref[:]
+            lx = lx_ref[pl.ds(16 * g, 16)].astype(jnp.float32)
+            c_all = jnp.dot(qq_pm, pm, preferred_element_type=jnp.float32) \
+                + jnp.dot(qq_l, lx, preferred_element_type=jnp.float32)
+            c = [c_all[i * s_pad:(i + 1) * s_pad] for i in range(16)]
+            # level 1: z1
+            d1 = [(c[2 * j + 1] > c[2 * j]).astype(jnp.float32)
+                  for j in range(8)]
+            m1 = [jnp.maximum(c[2 * j], c[2 * j + 1]) for j in range(8)]
+            # level 2: z2 (carry the winning z1)
+            d2 = [(m1[2 * j + 1] > m1[2 * j]).astype(jnp.float32)
+                  for j in range(4)]
+            z1c = [d1[2 * j] + d2[j] * (d1[2 * j + 1] - d1[2 * j])
+                   for j in range(4)]
+            m2 = [jnp.maximum(m1[2 * j], m1[2 * j + 1]) for j in range(4)]
+            # level 3: z3 (carry z1, z2)
+            d3 = [(m2[2 * j + 1] > m2[2 * j]).astype(jnp.float32)
+                  for j in range(2)]
+            z1c = [z1c[2 * j] + d3[j] * (z1c[2 * j + 1] - z1c[2 * j])
+                   for j in range(2)]
+            z2c = [d2[2 * j] + d3[j] * (d2[2 * j + 1] - d2[2 * j])
+                   for j in range(2)]
+            m3 = [jnp.maximum(m2[2 * j], m2[2 * j + 1]) for j in range(2)]
+            # level 4: z4
+            d4 = (m3[1] > m3[0]).astype(jnp.float32)
+            z1f = z1c[0] + d4 * (z1c[1] - z1c[0])
+            z2f = z2c[0] + d4 * (z2c[1] - z2c[0])
+            z3f = d3[0] + d4 * (d3[1] - d3[0])
+            dec_ref[g] = (z1f + 2.0 * z2f + 4.0 * z3f + 8.0 * d4
+                          ).astype(jnp.int8)
+            new_pm = jnp.maximum(m3[0], m3[1])
+            pm_ref[:] = new_pm - jnp.max(new_pm, axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, T4, fwd, 0)
+
+        n_bits = max((n_states - 1).bit_length(), 4)
+        if zero_start:
+            planes0 = tuple(jnp.zeros((1, lanes), jnp.float32)
+                            for _ in range(n_bits))
+        else:
+            pm = pm_ref[:]
+            m = jnp.max(pm, axis=0, keepdims=True)
+            idx_val = jnp.where(pm == m, state.astype(jnp.float32),
+                                jnp.float32(1e9))
+            s0 = jnp.min(idx_val, axis=0, keepdims=True)
+            planes = []
+            for i in range(n_bits - 1, -1, -1):
+                hi = jnp.floor(s0 / float(1 << i))
+                planes.append(hi)
+                s0 = s0 - hi * float(1 << i)
+            planes0 = tuple(planes[::-1])
+
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        masks8 = [((sub8 >> k) & 1).astype(jnp.float32) for k in range(3)]
+
+        def bwd(i, st):
+            g = T4 - 1 - i
+            d = dec_ref[g].astype(jnp.float32)
+            if n_states < s_pad:
+                d = d[:n_states]
+            for k in range(n_bits - 1, 2, -1):
+                half = d.shape[0] // 2
+                d = d[:half] + st[k] * (d[half:] - d[:half])
+            oh8 = jnp.ones((8, lanes), jnp.float32)
+            for k in range(3):
+                mk = masks8[k]
+                oh8 = oh8 * (mk * st[k] + (1.0 - mk) * (1.0 - st[k]))
+            d = jnp.sum(oh8 * d, axis=0, keepdims=True)      # 0..15
+            z4 = jnp.floor(d * 0.125)
+            d = d - 8.0 * z4
+            z3 = jnp.floor(d * 0.25)
+            d = d - 4.0 * z3
+            z2 = jnp.floor(d * 0.5)
+            z1 = d - 2.0 * z2
+            bits_ref[pl.ds(4 * g + 3, 1), :] = st[n_bits - 1]
+            bits_ref[pl.ds(4 * g + 2, 1), :] = st[n_bits - 2]
+            bits_ref[pl.ds(4 * g + 1, 1), :] = st[n_bits - 3]
+            bits_ref[pl.ds(4 * g, 1), :] = st[n_bits - 4]
+            return (z1, z2, z3, z4) + st[:n_bits - 4]
+
+        if not _SKIP_TRACEBACK:
+            jax.lax.fori_loop(0, T4, bwd, planes0)
+
+    return kernel
+
+
 @lru_cache(maxsize=None)
 def _kernel_for(zero_start: bool, lanes: int, renorm_every: int,
-                lx_bf16: bool, skip_tb: bool, n_states: int):
+                lx_bf16: bool, skip_tb: bool, n_states: int,
+                radix: int = 2):
     # skip_tb participates in the cache key so probe variants don't collide
+    if radix == 4:
+        return _make_kernel4(zero_start, lanes, n_states)
     return _make_kernel(zero_start, lanes, renorm_every, lx_bf16, n_states)
 
 
 def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
                 lanes: int = _B_LANES, renorm_every: int = 1,
-                lx_bf16: bool = False):
+                lx_bf16: bool = False, radix: int = 2):
     """Shared pallas_call driver. ``l0``/``l1``: (L, T) LLR planes for L
     codeword/chunk lanes (T even); ``pm0``: (L, S) initial metrics or None
-    for the zero-start (terminated) trellis. Returns (L, T) bit planes."""
-    _, S, s_pad, qq_pm, qq_l, pt, bias, msb = _stacked_tables(code)
+    for the zero-start (terminated) trellis. Returns (L, T) bit planes.
+    ``radix=4`` dispatches the v5 kernel (T divisible by 4, S ≥ 16)."""
+    if radix == 4:
+        _, S, s_pad, qq_pm, qq_l, bias = _stacked_tables4(code)
+    else:
+        _, S, s_pad, qq_pm, qq_l, pt, bias, msb = _stacked_tables(code)
     l0 = jnp.asarray(l0, jnp.float32)
     l1 = jnp.asarray(l1, jnp.float32)
     L, T = l0.shape
-    assert T % 2 == 0, "radix-2 kernel needs an even trellis length"
+    assert T % (2 * (radix // 2)) == 0 and T % radix == 0, \
+        "trellis length must divide the kernel radix"
     l_pad = -(-L // lanes) * lanes
     if l_pad != L:
         pad = jnp.zeros((l_pad - L, T), jnp.float32)
         l0 = jnp.concatenate([l0, pad])
         l1 = jnp.concatenate([l1, pad])
-    # interleaved per-composite-step LLR plane (see _stacked_tables): step t
-    # reads rows [8t, 8t+8) = [l0(2t), l1(2t), l0(2t+1), l1(2t+1), 1, 0·3]
-    # — one aligned (8, B) read instead of four dynamic row reads
-    T2 = T // 2
+    # interleaved per-phase LLR plane (see _stacked_tables): radix-2 phase
+    # t reads rows [8t, 8t+8) = [l0(2t), l1(2t), l0(2t+1), l1(2t+1), 1,
+    # 0·3]; radix-4 phase g reads 16 rows [l0(4g)…l1(4g+3), 1, 0·7] — one
+    # aligned read instead of 2·radix dynamic row reads
     l0t = l0.T
     l1t = l1.T
-    ones = jnp.ones((T2, 1, l_pad), jnp.float32)
-    zeros = jnp.zeros((T2, 3, l_pad), jnp.float32)
-    lx = jnp.concatenate([
-        l0t[0::2][:, None], l1t[0::2][:, None],
-        l0t[1::2][:, None], l1t[1::2][:, None], ones, zeros,
-        ], axis=1).reshape(T2 * 8, l_pad)
+    if radix == 4:
+        T4 = T // 4
+        ones = jnp.ones((T4, 1, l_pad), jnp.float32)
+        zeros = jnp.zeros((T4, 7, l_pad), jnp.float32)
+        lx = jnp.concatenate(
+            [l0t[0::4][:, None], l1t[0::4][:, None],
+             l0t[1::4][:, None], l1t[1::4][:, None],
+             l0t[2::4][:, None], l1t[2::4][:, None],
+             l0t[3::4][:, None], l1t[3::4][:, None], ones, zeros],
+            axis=1).reshape(T4 * 16, l_pad)
+        lx_rows = T4 * 16
+    else:
+        T2 = T // 2
+        ones = jnp.ones((T2, 1, l_pad), jnp.float32)
+        zeros = jnp.zeros((T2, 3, l_pad), jnp.float32)
+        lx = jnp.concatenate([
+            l0t[0::2][:, None], l1t[0::2][:, None],
+            l0t[1::2][:, None], l1t[1::2][:, None], ones, zeros,
+            ], axis=1).reshape(T2 * 8, l_pad)
+        lx_rows = T2 * 8
     if lx_bf16:
         # halves the LLR plane's VMEM (integer-ish LLRs stay exact; demap
         # LLRs round ~0.4%, inside Viterbi's quantization tolerance)
         lx = lx.astype(jnp.bfloat16)
     args = [lx]
     in_specs = [
-        pl.BlockSpec((T2 * 8, lanes), lambda i: (0, i),
+        pl.BlockSpec((lx_rows, lanes), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
     ]
     if pm0 is not None:
@@ -348,14 +535,14 @@ def _run_kernel(l0, l1, pm0, code: str, interpret: bool,
 
     bits = pl.pallas_call(
         _kernel_for(pm0 is None, lanes, renorm_every, lx_bf16,
-                    _SKIP_TRACEBACK, S),
+                    _SKIP_TRACEBACK, S, radix),
         grid=(l_pad // lanes,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((T, lanes), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, l_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T // 2, s_pad, lanes), jnp.int8),  # packed 2·z2+z1
+            pltpu.VMEM((T // radix, s_pad, lanes), jnp.int8),  # packed z's
             pltpu.VMEM((s_pad, lanes), jnp.float32),   # pm
         ],
         interpret=interpret,
@@ -410,12 +597,14 @@ def viterbi_chunks_pallas(c0, c1, pm0, code: str, interpret=None):
         interpret = jax.default_backend() != "tpu"
     if np.shape(c0)[-1] % 2:
         return _chunks_jnp(c0, c1, pm0, code)
-    s_pad = _kernel_tables(code)[2]
-    lanes = _pick_lanes(np.shape(c0)[-1], s_pad, np.shape(c0)[0])
+    S, s_pad = _kernel_tables(code)[1:3]
+    span = np.shape(c0)[-1]
+    radix = 4 if (span % 4 == 0 and S >= 16) else 2
+    lanes = _pick_lanes(span, s_pad, np.shape(c0)[0], radix)
     if lanes is None:
         return _chunks_jnp(c0, c1, pm0, code)
     return _run_kernel(c0, c1, pm0, code, interpret, lanes=lanes,
-                       lx_bf16=True)
+                       lx_bf16=True, radix=radix)
 
 
 def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
@@ -433,8 +622,9 @@ def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
         l = l[None, :]
     assert l.ndim == 2, "pallas path takes (B, n_coded)"
     n_steps = info_bits + tail_bits(code)
-    s_pad = _kernel_tables(code)[2]
-    lanes = _pick_lanes(n_steps, s_pad, l.shape[0])
+    S, s_pad = _kernel_tables(code)[1:3]
+    radix = 4 if (n_steps % 4 == 0 and S >= 16) else 2
+    lanes = _pick_lanes(n_steps, s_pad, l.shape[0], radix)
     if lanes is None or n_steps % 2:
         # over the VMEM budget, or odd trellis (radix-2 kernel needs even)
         out = _viterbi_jnp(l, info_bits, rate, code)
@@ -442,6 +632,6 @@ def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
 
     full = depuncture_llrs(l, info_bits, rate, code)
     bits = _run_kernel(full[..., 0::2], full[..., 1::2], None, code,
-                       interpret, lanes=lanes, lx_bf16=True)
+                       interpret, lanes=lanes, lx_bf16=True, radix=radix)
     out = bits[:, :info_bits].astype(jnp.uint8)
     return out[0] if squeeze else out
