@@ -194,6 +194,7 @@ def _stacked_tables4(code: str):
 
 
 _SKIP_TRACEBACK = False   # probe-only: time the forward pass alone
+_FORCE_RADIX4 = False     # measured 0.265 vs 0.237 ms (v4) — not a win
 
 
 def _make_kernel(zero_start: bool, lanes: int = _B_LANES,
@@ -599,7 +600,11 @@ def viterbi_chunks_pallas(c0, c1, pm0, code: str, interpret=None):
         return _chunks_jnp(c0, c1, pm0, code)
     S, s_pad = _kernel_tables(code)[1:3]
     span = np.shape(c0)[-1]
-    radix = 4 if (span % 4 == 0 and S >= 16) else 2
+    # radix-4 (v5) measured SLOWER on chip than radix-2+v4 traceback
+    # (0.265 vs 0.237 ms at the DVB-T operating point): halving the fwd
+    # phases does not pay for the 4-level select tree's extra VPU work
+    # per phase. Kept opt-in for the record.
+    radix = 4 if (_FORCE_RADIX4 and span % 4 == 0 and S >= 16) else 2
     lanes = _pick_lanes(span, s_pad, np.shape(c0)[0], radix)
     if lanes is None:
         return _chunks_jnp(c0, c1, pm0, code)
@@ -623,7 +628,7 @@ def viterbi_decode_soft_pallas(coded_llrs, info_bits: int, rate: str = "1/2",
     assert l.ndim == 2, "pallas path takes (B, n_coded)"
     n_steps = info_bits + tail_bits(code)
     S, s_pad = _kernel_tables(code)[1:3]
-    radix = 4 if (n_steps % 4 == 0 and S >= 16) else 2
+    radix = 4 if (_FORCE_RADIX4 and n_steps % 4 == 0 and S >= 16) else 2
     lanes = _pick_lanes(n_steps, s_pad, l.shape[0], radix)
     if lanes is None or n_steps % 2:
         # over the VMEM budget, or odd trellis (radix-2 kernel needs even)
