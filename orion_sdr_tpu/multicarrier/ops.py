@@ -30,11 +30,45 @@ def grid_map(grid: CarrierGrid, data_symbols, pilot_bins=None, pilot_values=None
     scattered-pilot waveforms where pilots rotate per symbol — pass arrays
     shaped (n_sym, n_pilots) or (n_pilots,)).
     """
-    d = jnp.asarray(data_symbols)
-    out = jnp.zeros(d.shape[:-1] + (grid.n_fft,), dtype=jnp.complex64)
-    out = out.at[..., grid.data_bins].set(d.astype(jnp.complex64))
+    d = jnp.asarray(data_symbols).astype(jnp.complex64)
     pb = grid.pilot_bins if pilot_bins is None else pilot_bins
     pv = grid.pilot_values if pilot_values is None else pilot_values
+    n_data = d.shape[-1]
+
+    if isinstance(pb, np.ndarray) or pb is None or isinstance(pb, (list, tuple)):
+        # Static pilot layout → ONE static gather instead of an at[].set
+        # scatter chain (XLA scatter is the slow op on TPU — the same
+        # conversion that took the DVB-T receive 61 → 3000 Msps). Each FFT
+        # bin reads from concat([data, pilots, 0]): nulls read the trailing
+        # zero slot, so the whole map is a take with a compile-time index.
+        pb = np.asarray(pb, dtype=np.int64) if pb is not None and np.size(pb) \
+            else np.zeros((0,), np.int64)
+        n_pil = pb.shape[-1] if pb.size else 0
+        pvj = jnp.broadcast_to(jnp.asarray(pv, jnp.complex64),
+                               d.shape[:-1] + (n_pil,)) if n_pil else \
+            jnp.zeros(d.shape[:-1] + (0,), jnp.complex64)
+        src = jnp.concatenate(
+            [d, pvj, jnp.zeros(d.shape[:-1] + (1,), jnp.complex64)], axis=-1)
+        zero_slot = n_data + n_pil
+        if pb.ndim <= 1:
+            idx = np.full(grid.n_fft, zero_slot, np.int32)
+            idx[grid.data_bins] = np.arange(n_data, dtype=np.int32)
+            if n_pil:
+                idx[pb] = n_data + np.arange(n_pil, dtype=np.int32)
+            return src[..., idx]
+        # per-symbol pilot layout (scattered pilots): pb (n_sym, n_pilots)
+        n_sym = pb.shape[0]
+        idx = np.full((n_sym, grid.n_fft), zero_slot, np.int32)
+        idx[:, grid.data_bins] = np.arange(n_data, dtype=np.int32)
+        np.put_along_axis(idx, pb.astype(np.int64),
+                          n_data + np.arange(n_pil, dtype=np.int32), axis=-1)
+        idxj = jnp.broadcast_to(jnp.asarray(idx),
+                                d.shape[:-2] + (n_sym, grid.n_fft))
+        return jnp.take_along_axis(src, idxj, axis=-1)
+
+    # Runtime-traced pilot bins: scatter fallback (rare path).
+    out = jnp.zeros(d.shape[:-1] + (grid.n_fft,), dtype=jnp.complex64)
+    out = out.at[..., grid.data_bins].set(d)
     if np.size(pb):
         pb = jnp.asarray(pb)
         pv = jnp.asarray(pv, dtype=jnp.complex64)
