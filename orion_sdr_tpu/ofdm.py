@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from .constellation import map_bits, decide, soft_llr, BITS_PER_SYMBOL
 from .multicarrier import (
-    CarrierPlan, CarrierGrid, grid_map, grid_extract,
+    CarrierPlan, CarrierGrid, grid_map, map_bits_grid, grid_extract,
     ofdm_assemble, symbol_taper, symbol_fft, TxLowpass,
 )
 from .dsp.osc import rotate
@@ -300,11 +300,18 @@ def ofdm_mod(cfg: OfdmConfig, bits, phase0=0.0, pilot_bins=None, pilot_values=No
     pad = n_sym * bps - bits.shape[-1]
     if pad:
         bits = jnp.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    syms = map_bits(bits, cfg.constellation)
-    syms = syms.reshape(syms.shape[:-1] + (n_sym, g.num_data_carriers))
-    if cfg.transform_precoding:
-        syms = dft_precode(syms)
-    freq = grid_map(g, syms, pilot_bins=pilot_bins, pilot_values=pilot_values)
+    if pilot_bins is None and pilot_values is None \
+            and not cfg.transform_precoding:
+        # fused map+place: no pair-deinterleave relayout (~40× on v5e;
+        # see multicarrier/ops.py::map_bits_grid)
+        freq = map_bits_grid(g, bits, cfg.constellation)
+    else:
+        syms = map_bits(bits, cfg.constellation)
+        syms = syms.reshape(syms.shape[:-1] + (n_sym, g.num_data_carriers))
+        if cfg.transform_precoding:
+            syms = dft_precode(syms)
+        freq = grid_map(g, syms, pilot_bins=pilot_bins,
+                        pilot_values=pilot_values)
     taper = symbol_taper(cfg.samples_per_ofdm_symbol(), cfg.carrier_plan.window_roll_off)
     t = ofdm_assemble(freq, cfg.carrier_plan.cp_len, taper=taper)
     t = t * cfg.gain
