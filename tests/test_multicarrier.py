@@ -71,6 +71,26 @@ class TestGridOps:
         out = grid_extract(g, f)
         np.testing.assert_allclose(np.asarray(out), d, atol=1e-7)
 
+    @pytest.mark.parametrize("order", ["bpsk", "qpsk", "qam16", "qam64", "qam256"])
+    def test_map_bits_grid_matches_unfused(self, order):
+        # fused constellation map + grid placement == map_bits → grid_map
+        from orion_sdr_tpu.multicarrier import map_bits_grid
+        rng = np.random.default_rng(7)
+        for pl in [simple_plan(edge_guard=4),
+                   CarrierPlan(64, 16).with_pilot_carriers(
+                       [(-10, 1 + 0j), (7, -1 + 0j)]).with_contiguous_data(edge_guard=4)]:
+            g = CarrierGrid(pl)
+            bps = con.BITS_PER_SYMBOL[order]
+            n_sym = 3
+            for shape in [(n_sym * bps * g.num_data_carriers,),
+                          (2, n_sym * bps * g.num_data_carriers)]:
+                bits = rng.integers(0, 2, shape).astype(np.int32)
+                syms = np.asarray(con.map_bits(bits, order))
+                syms = syms.reshape(syms.shape[:-1] + (n_sym, g.num_data_carriers))
+                ref = np.asarray(grid_map(g, syms))
+                got = np.asarray(map_bits_grid(g, bits, order))
+                np.testing.assert_allclose(got, ref, atol=5e-7)
+
     def test_fft_normalization_roundtrip(self):
         # unity forward / (1/N) inverse: assemble then symbol_fft recovers grid
         rng = np.random.default_rng(1)
