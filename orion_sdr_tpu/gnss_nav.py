@@ -163,11 +163,105 @@ def _rad(semi: float) -> float:
     return semi * _SEMI
 
 
-def nav_subframes_encode(eph: GpsEphemeris, tow_count_start: int = 0
+@dataclass(frozen=True)
+class GpsAlmanac:
+    """Subframe 4/5 almanac page (IS-GPS-200 20.3.3.5.1.2, Table 20-VI).
+    Angles in radians; ``delta_i`` is relative to the 0.3-semicircle
+    reference inclination."""
+    prn: int = 1
+    e: float = 0.0
+    t_oa: float = 0.0
+    delta_i: float = 0.0          # rad, relative to 0.3 sc
+    omega_dot: float = 0.0        # rad/s
+    sv_health: int = 0
+    sqrt_a: float = 0.0           # sqrt(m)
+    omega0: float = 0.0           # rad
+    omega: float = 0.0            # rad
+    m0: float = 0.0               # rad
+    a_f0: float = 0.0
+    a_f1: float = 0.0
+
+
+@dataclass(frozen=True)
+class GpsIono:
+    """Klobuchar ionospheric coefficients (subframe 4 page 18, 20.3.3.5.1.7).
+    alpha: s, s/sc, s/sc², s/sc³; beta: s, s/sc, s/sc², s/sc³."""
+    alpha: tuple = (0.0, 0.0, 0.0, 0.0)
+    beta: tuple = (0.0, 0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class GpsUtc:
+    """UTC parameters (subframe 4 page 18 words 6-10, 20.3.3.5.1.6)."""
+    a0: float = 0.0               # s
+    a1: float = 0.0               # s/s
+    t_ot: float = 0.0             # s
+    wn_t: int = 0
+    delta_t_ls: int = 0           # s (current leap seconds)
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 0
+
+
+# data ID for the current LNAV almanac structure (20.3.3.5.1.1)
+_DATA_ID = 1
+_IONO_UTC_SVID = 56               # subframe 4 page 18
+
+
+def almanac_page_words(alm: GpsAlmanac) -> List[int]:
+    """Eight data words (words 3..10-head) of one almanac page. The SV ID
+    field carries the PRN for pages assigned to satellites."""
+    e16 = _uns(alm.e, -21, 16)
+    di16 = _twos(_sc(alm.delta_i), -19, 16)
+    od16 = _twos(_sc(alm.omega_dot), -38, 16)
+    sqa24 = _uns(alm.sqrt_a, -11, 24)
+    om0_24 = _twos(_sc(alm.omega0), -23, 24)
+    w24 = _twos(_sc(alm.omega), -23, 24)
+    m0_24 = _twos(_sc(alm.m0), -23, 24)
+    af0 = _twos(alm.a_f0, -20, 11)
+    af1 = _twos(alm.a_f1, -38, 11)
+    return [
+        (_DATA_ID << 22) | ((alm.prn & 0x3F) << 16) | e16,
+        (_uns(alm.t_oa, 12, 8) << 16) | di16,
+        (od16 << 8) | (alm.sv_health & 0xFF),
+        sqa24,
+        om0_24,
+        w24,
+        m0_24,
+        # word 10 head (22 bits): a_f0 MSBs(8), a_f1(11), a_f0 LSBs(3)
+        ((af0 >> 3) << 14) | (af1 << 3) | (af0 & 0x7),
+    ]
+
+
+def iono_utc_page_words(iono: GpsIono, utc: GpsUtc) -> List[int]:
+    """Subframe 4 page 18 data words: Klobuchar α/β + UTC parameters."""
+    a = [_twos(v, s, 8) for v, s in zip(iono.alpha, (-30, -27, -24, -24))]
+    b = [_twos(v, s, 8) for v, s in zip(iono.beta, (11, 14, 16, 16))]
+    a1_24 = _twos(utc.a1, -50, 24)
+    a0_32 = _twos(utc.a0, -30, 32)
+    return [
+        (_DATA_ID << 22) | (_IONO_UTC_SVID << 16) | (a[0] << 8) | a[1],
+        (a[2] << 16) | (a[3] << 8) | b[0],
+        (b[1] << 16) | (b[2] << 8) | b[3],
+        a1_24,
+        a0_32 >> 8,
+        ((a0_32 & 0xFF) << 16) | (_uns(utc.t_ot, 12, 8) << 8)
+        | (utc.wn_t & 0xFF),
+        (_twos(float(utc.delta_t_ls), 0, 8) << 16)
+        | ((utc.wn_lsf & 0xFF) << 8) | (utc.dn & 0xFF),
+        _twos(float(utc.delta_t_lsf), 0, 8) << 14,   # word 10 head (22 bits)
+    ]
+
+
+def nav_subframes_encode(eph: GpsEphemeris, tow_count_start: int = 0,
+                         sf4_words: Optional[List[int]] = None,
+                         sf5_words: Optional[List[int]] = None
                          ) -> np.ndarray:
-    """Encode one full 1500-bit LNAV frame (subframes 1..5; 4/5 carry
-    zero-filled reserved pages). ``tow_count_start``: 1.5-s TOW count at
-    the start of subframe 1 (multiple of 4). Returns (1500,) uint8."""
+    """Encode one full 1500-bit LNAV frame (subframes 1..5).
+    ``sf4_words``/``sf5_words``: the eight data words of that subframe's
+    page this frame (see ``almanac_page_words`` / ``iono_utc_page_words``);
+    zero-filled reserved pages when omitted. ``tow_count_start``: 1.5-s TOW
+    count at the start of subframe 1 (multiple of 4). Returns (1500,) uint8."""
     if tow_count_start % 4:
         raise ValueError("subframes start on 6 s epochs (TOW multiple of 4)")
 
@@ -231,11 +325,17 @@ def nav_subframes_encode(eph: GpsEphemeris, tow_count_start: int = 0
         (iode8 << 14) | (_twos(_sc(e.idot), -43, 14)),  # word 10 head
     ]
     filler = [0] * 7 + [0]
+    sf4 = list(sf4_words) if sf4_words is not None else filler
+    sf5 = list(sf5_words) if sf5_words is not None else filler
+    for nm, sf in (("sf4", sf4), ("sf5", sf5)):
+        if len(sf) != 8:
+            raise ValueError(f"{nm}_words must be the 8 data words of the "
+                             "page (words 3..10-head)")
 
     out = []
     d29s = d30s = 0          # previous subframe's word 10 forces 0, 0
     for sfid, words in ((1, sf1), (2, sf2), (3, sf3),
-                        (4, filler), (5, filler)):
+                        (4, sf4), (5, sf5)):
         tow_next = tow_count_start + 4 * sfid      # TOW of NEXT subframe
         sw = sf_words(sfid, words, tow_next, d29s, d30s)
         out.extend(sw)
@@ -252,6 +352,9 @@ class GpsSubframe(NamedTuple):
 class GpsNavFrame(NamedTuple):
     subframes: List[GpsSubframe]
     ephemeris: Optional[GpsEphemeris]
+    almanacs: dict = {}                      # prn → GpsAlmanac
+    iono: Optional[GpsIono] = None
+    utc: Optional[GpsUtc] = None
 
 
 def nav_subframes_decode(bits) -> GpsNavFrame:
@@ -261,7 +364,7 @@ def nav_subframes_decode(bits) -> GpsNavFrame:
     b = np.asarray(bits).astype(np.uint8) % 2
     start = gps_nav_frame_sync(b)
     if start is None:
-        return GpsNavFrame([], None)
+        return GpsNavFrame([], None, {})
     # polarity: the TLM preamble transmits complemented by the previous
     # D30* (= 0 after a solved word 10), so an inverted preamble means an
     # inverted stream
@@ -269,6 +372,9 @@ def nav_subframes_decode(bits) -> GpsNavFrame:
         b = 1 - b
     subframes: List[GpsSubframe] = []
     raw: dict = {}
+    almanacs: dict = {}
+    iono: Optional[GpsIono] = None
+    utc: Optional[GpsUtc] = None
     pos = start
     while pos + 300 <= len(b):
         d29s = d30s = 0
@@ -292,6 +398,12 @@ def nav_subframes_decode(bits) -> GpsNavFrame:
         subframes.append(GpsSubframe(sfid, tow, words))
         if sfid in (1, 2, 3):
             raw[sfid] = words
+        elif sfid in (4, 5):
+            svid = (words[2] >> 16) & 0x3F
+            if 1 <= svid <= 32:
+                almanacs[svid] = _parse_almanac_page(words)
+            elif sfid == 4 and svid == _IONO_UTC_SVID:
+                iono, utc = _parse_iono_utc_page(words)
 
     eph = None
     if {1, 2, 3} <= raw.keys():
@@ -331,7 +443,91 @@ def nav_subframes_decode(bits) -> GpsNavFrame:
             omega_dot=_rad(_untwos(w3[8], -43, 24)),
             idot=_rad(_untwos((w3[9] >> 2) & 0x3FFF, -43, 14)),
         )
-    return GpsNavFrame(subframes, eph)
+    return GpsNavFrame(subframes, eph, almanacs, iono, utc)
+
+
+def _parse_almanac_page(words: List[int]) -> GpsAlmanac:
+    w = words
+    af0 = ((w[9] >> 16) & 0xFF) << 3 | ((w[9] >> 2) & 0x7)
+    return GpsAlmanac(
+        prn=(w[2] >> 16) & 0x3F,
+        e=(w[2] & 0xFFFF) * 2.0 ** -21,
+        t_oa=float(((w[3] >> 16) & 0xFF) * 4096),
+        delta_i=_rad(_untwos(w[3] & 0xFFFF, -19, 16)),
+        omega_dot=_rad(_untwos((w[4] >> 8) & 0xFFFF, -38, 16)),
+        sv_health=w[4] & 0xFF,
+        sqrt_a=w[5] * 2.0 ** -11,
+        omega0=_rad(_untwos(w[6], -23, 24)),
+        omega=_rad(_untwos(w[7], -23, 24)),
+        m0=_rad(_untwos(w[8], -23, 24)),
+        a_f0=_untwos(af0, -20, 11),
+        a_f1=_untwos((w[9] >> 5) & 0x7FF, -38, 11),
+    )
+
+
+def _parse_iono_utc_page(words: List[int]):
+    w = words
+    alpha = tuple(_untwos(v, s, 8) for v, s in zip(
+        ((w[2] >> 8) & 0xFF, w[2] & 0xFF, (w[3] >> 16) & 0xFF,
+         (w[3] >> 8) & 0xFF), (-30, -27, -24, -24)))
+    beta = tuple(_untwos(v, s, 8) for v, s in zip(
+        (w[3] & 0xFF, (w[4] >> 16) & 0xFF, (w[4] >> 8) & 0xFF, w[4] & 0xFF),
+        (11, 14, 16, 16)))
+    utc = GpsUtc(
+        a1=_untwos(w[5], -50, 24),
+        a0=_untwos((w[6] << 8) | ((w[7] >> 16) & 0xFF), -30, 32),
+        t_ot=float(((w[7] >> 8) & 0xFF) * 4096),
+        wn_t=w[7] & 0xFF,
+        delta_t_ls=int(_untwos((w[8] >> 16) & 0xFF, 0, 8)),
+        wn_lsf=(w[8] >> 8) & 0xFF,
+        dn=w[8] & 0xFF,
+        delta_t_lsf=int(_untwos((w[9] >> 16) & 0xFF, 0, 8)),
+    )
+    return GpsIono(alpha, beta), utc
+
+
+def alm_sat_pos(alm: GpsAlmanac, t_sow: float) -> np.ndarray:
+    """ECEF satellite position from an almanac page: the ephemeris Kepler
+    algorithm with the almanac's reduced parameter set (20.3.3.5.2.1 —
+    i = 0.3 semicircles + δi, no harmonic corrections, Δn = 0)."""
+    eph = GpsEphemeris(
+        e=alm.e, sqrt_a=alm.sqrt_a, m0=alm.m0, omega=alm.omega,
+        omega0=alm.omega0, omega_dot=alm.omega_dot,
+        i0=_rad(0.3) + alm.delta_i, t_oe=alm.t_oa,
+    )
+    return eph_sat_pos(eph, t_sow)
+
+
+def klobuchar_delay(iono: GpsIono, lat_rad: float, lon_rad: float,
+                    az_rad: float, el_rad: float, t_sow: float) -> float:
+    """Klobuchar single-frequency ionospheric delay in SECONDS on L1 for a
+    receiver at geodetic (lat, lon) observing a satellite at (az, el)
+    (IS-GPS-200 20.3.3.5.2.5, angles in the ICD's semicircle units
+    internally). Multiply by c for meters."""
+    a0, a1, a2, a3 = iono.alpha
+    b0, b1, b2, b3 = iono.beta
+    el_sc = max(el_rad / _SEMI, 0.0)
+    lat_sc = lat_rad / _SEMI
+    lon_sc = lon_rad / _SEMI
+    az = az_rad
+    # earth-centred angle to the ionospheric pierce point (semicircles)
+    psi = 0.0137 / (el_sc + 0.11) - 0.022
+    phi_i = lat_sc + psi * np.cos(az)
+    phi_i = min(max(phi_i, -0.416), 0.416)
+    lam_i = lon_sc + psi * np.sin(az) / np.cos(phi_i * _SEMI)
+    phi_m = phi_i + 0.064 * np.cos((lam_i - 1.617) * _SEMI)
+    t = 4.32e4 * lam_i + t_sow
+    t = t % 86400.0
+    amp = a0 + phi_m * (a1 + phi_m * (a2 + phi_m * a3))
+    per = b0 + phi_m * (b1 + phi_m * (b2 + phi_m * b3))
+    amp = max(amp, 0.0)
+    per = max(per, 72000.0)
+    x = 2.0 * np.pi * (t - 50400.0) / per
+    slant = 1.0 + 16.0 * (0.53 - el_sc) ** 3
+    if abs(x) < 1.57:
+        return float(slant * (5.0e-9 + amp * (1.0 - x * x / 2.0
+                                              + x ** 4 / 24.0)))
+    return float(slant * 5.0e-9)
 
 
 def eph_sat_pos(eph: GpsEphemeris, t_sow: float) -> np.ndarray:
@@ -399,7 +595,7 @@ def gps_decode_ephemeris(iq, fs: float, prn: int,
     if doppler_hz is None or code_phase_samples is None:
         acq = [a for a in gps_acquire(iq, fs, prns=[prn]) if a.prn == prn]
         if not acq:
-            return GpsNavFrame([], None)
+            return GpsNavFrame([], None, {})
         doppler_hz = acq[0].doppler_hz
         code_phase_samples = acq[0].code_phase_samples
     trk = gps_track(iq, fs, prn, doppler_hz, code_phase_samples)
