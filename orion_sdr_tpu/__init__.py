@@ -85,9 +85,12 @@ from .demodulate.wspr import wspr_demod, wspr_decode_band
 from .gnss import (GPS_NAV_PREAMBLE, GpsAcquisition, GpsTrack, gps_ca_code,
                    gps_ca_mod, gps_acquire, gps_track, gps_nav_frame_sync)
 from .gnss_nav import (GpsEphemeris, GpsNavFrame, GpsSubframe,
+                       GpsAlmanac, GpsIono, GpsUtc,
                        nav_word_encode, nav_word_check,
                        nav_subframes_encode, nav_subframes_decode,
-                       eph_sat_pos, gps_fix, gps_decode_ephemeris)
+                       almanac_page_words, iono_utc_page_words,
+                       eph_sat_pos, alm_sat_pos, klobuchar_delay,
+                       gps_fix, gps_decode_ephemeris)
 
 # ── AIS marine transponders (beyond the reference) ───────────────────────────
 from .codec.ais import AisPosition

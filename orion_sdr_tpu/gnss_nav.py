@@ -352,7 +352,11 @@ class GpsSubframe(NamedTuple):
 class GpsNavFrame(NamedTuple):
     subframes: List[GpsSubframe]
     ephemeris: Optional[GpsEphemeris]
-    almanacs: dict = {}                      # prn → GpsAlmanac
+    # prn → GpsAlmanac; ``None`` means "no almanac pages decoded" (a dict
+    # default on a NamedTuple would be one shared mutable object across
+    # every default-constructed instance). ``nav_subframes_decode`` always
+    # fills in a fresh dict.
+    almanacs: Optional[dict] = None
     iono: Optional[GpsIono] = None
     utc: Optional[GpsUtc] = None
 
@@ -399,7 +403,9 @@ def nav_subframes_decode(bits) -> GpsNavFrame:
         if sfid in (1, 2, 3):
             raw[sfid] = words
         elif sfid in (4, 5):
-            svid = (words[2] >> 16) & 0x3F
+            # int(): words accumulate numpy ints via _int_of — keep the
+            # public dict keyed by plain Python int
+            svid = int((words[2] >> 16) & 0x3F)
             if 1 <= svid <= 32:
                 almanacs[svid] = _parse_almanac_page(words)
             elif sfid == 4 and svid == _IONO_UTC_SVID:
@@ -450,12 +456,12 @@ def _parse_almanac_page(words: List[int]) -> GpsAlmanac:
     w = words
     af0 = ((w[9] >> 16) & 0xFF) << 3 | ((w[9] >> 2) & 0x7)
     return GpsAlmanac(
-        prn=(w[2] >> 16) & 0x3F,
+        prn=int((w[2] >> 16) & 0x3F),
         e=(w[2] & 0xFFFF) * 2.0 ** -21,
         t_oa=float(((w[3] >> 16) & 0xFF) * 4096),
         delta_i=_rad(_untwos(w[3] & 0xFFFF, -19, 16)),
         omega_dot=_rad(_untwos((w[4] >> 8) & 0xFFFF, -38, 16)),
-        sv_health=w[4] & 0xFF,
+        sv_health=int(w[4] & 0xFF),
         sqrt_a=w[5] * 2.0 ** -11,
         omega0=_rad(_untwos(w[6], -23, 24)),
         omega=_rad(_untwos(w[7], -23, 24)),
@@ -477,10 +483,10 @@ def _parse_iono_utc_page(words: List[int]):
         a1=_untwos(w[5], -50, 24),
         a0=_untwos((w[6] << 8) | ((w[7] >> 16) & 0xFF), -30, 32),
         t_ot=float(((w[7] >> 8) & 0xFF) * 4096),
-        wn_t=w[7] & 0xFF,
+        wn_t=int(w[7] & 0xFF),
         delta_t_ls=int(_untwos((w[8] >> 16) & 0xFF, 0, 8)),
-        wn_lsf=(w[8] >> 8) & 0xFF,
-        dn=w[8] & 0xFF,
+        wn_lsf=int((w[8] >> 8) & 0xFF),
+        dn=int(w[8] & 0xFF),
         delta_t_lsf=int(_untwos((w[9] >> 16) & 0xFF, 0, 8)),
     )
     return GpsIono(alpha, beta), utc

@@ -193,3 +193,105 @@ def test_capture_to_ephemeris_single_subframe_bits():
     frame = sdr.nav_subframes_decode(stream)
     assert frame.ephemeris is not None
     assert frame.ephemeris.sqrt_a == pytest.approx(EPH.sqrt_a, abs=2**-19)
+
+
+# ── subframe 4/5 wire format: almanac, iono/UTC, Klobuchar (ADVICE r4) ──────
+
+ALM = sdr.GpsAlmanac(
+    prn=7, e=0.0091, t_oa=319488.0, delta_i=0.0123, omega_dot=-2.51e-9,
+    sv_health=0, sqrt_a=5153.6, omega0=-1.9876, omega=0.8765, m0=-2.3456,
+    a_f0=3.8e-5, a_f1=-7.3e-12,
+)
+IONO = sdr.GpsIono(alpha=(1.1176e-8, 7.4506e-9, -5.9605e-8, -5.9605e-8),
+                   beta=(1.29e5, 4.9152e4, -1.966e5, 3.277e5))
+UTC = sdr.GpsUtc(a0=9.3e-9, a1=-2.7e-15, t_ot=405504.0, wn_t=221,
+                 delta_t_ls=18, wn_lsf=137, dn=7, delta_t_lsf=18)
+
+
+def test_almanac_iono_utc_page_roundtrip():
+    """Wire-format round-trip of the LNAV subframe 4/5 layer (IS-GPS-200
+    20.3.3.5.1.2 almanac page, 20.3.3.5.1.6/7 page 18): encode both pages
+    into a full frame, decode, and recover every field within one LSB."""
+    bits = sdr.nav_subframes_encode(
+        EPH, tow_count_start=8,
+        sf4_words=sdr.iono_utc_page_words(IONO, UTC),
+        sf5_words=sdr.almanac_page_words(ALM))
+    frame = sdr.nav_subframes_decode(bits)
+    assert frame.ephemeris is not None
+
+    assert set(frame.almanacs) == {7}
+    (key,) = frame.almanacs
+    assert type(key) is int                      # clean host-side API
+    a = frame.almanacs[7]
+    assert type(a.prn) is int and a.prn == ALM.prn
+    assert a.sv_health == ALM.sv_health
+    assert a.t_oa == ALM.t_oa                    # 4096 s LSB, exact here
+    assert abs(a.e - ALM.e) <= 2**-21
+    assert abs(a.sqrt_a - ALM.sqrt_a) <= 2**-11
+    assert abs(a.delta_i - ALM.delta_i) <= np.pi * 2**-19
+    assert abs(a.omega_dot - ALM.omega_dot) <= np.pi * 2**-38
+    for name in ("omega0", "omega", "m0"):
+        assert abs(getattr(a, name) - getattr(ALM, name)) <= np.pi * 2**-23
+    assert abs(a.a_f0 - ALM.a_f0) <= 2**-20
+    assert abs(a.a_f1 - ALM.a_f1) <= 2**-38
+
+    assert frame.iono is not None and frame.utc is not None
+    for got, want, lsb in zip(frame.iono.alpha, IONO.alpha,
+                              (2**-30, 2**-27, 2**-24, 2**-24)):
+        assert abs(got - want) <= lsb
+    for got, want, lsb in zip(frame.iono.beta, IONO.beta,
+                              (2**11, 2**14, 2**16, 2**16)):
+        assert abs(got - want) <= lsb
+    u = frame.utc
+    assert abs(u.a0 - UTC.a0) <= 2**-30
+    assert abs(u.a1 - UTC.a1) <= 2**-50
+    assert u.t_ot == UTC.t_ot
+    assert (u.wn_t, u.delta_t_ls, u.wn_lsf, u.dn, u.delta_t_lsf) == \
+        (UTC.wn_t, UTC.delta_t_ls, UTC.wn_lsf, UTC.dn, UTC.delta_t_lsf)
+    assert all(type(v) is int
+               for v in (u.wn_t, u.delta_t_ls, u.wn_lsf, u.dn,
+                         u.delta_t_lsf))
+
+
+def test_navframe_default_almanacs_not_shared():
+    """GpsNavFrame() without almanacs must not expose one shared mutable
+    dict across instances (ADVICE r4)."""
+    f1 = sdr.GpsNavFrame([], None)
+    f2 = sdr.GpsNavFrame([], None)
+    assert f1.almanacs is None and f2.almanacs is None
+
+
+def test_klobuchar_known_answers():
+    """Klobuchar model (IS-GPS-200 20.3.3.5.2.5) against the classic
+    Klobuchar-1987 broadcast set (40°N 260°E, el 20°, az 210°): expected
+    values from an independent step-by-step hand evaluation of the ICD
+    equations (pinned; night case is the 5 ns floor × slant)."""
+    iono_1987 = sdr.GpsIono(alpha=(3.82e-9, 1.49e-8, -1.79e-7, 0.0),
+                            beta=(1.43e5, 0.0, -3.28e5, 1.13e5))
+    lat, lon = np.deg2rad(40.0), np.deg2rad(-100.0)
+    az, el = np.deg2rad(210.0), np.deg2rad(20.0)
+    # night (t=593100 s): AMP clamps at 0 → slant × 5 ns = 10.880 ns
+    night = sdr.klobuchar_delay(iono_1987, lat, lon, az, el, 593100.0)
+    assert night == pytest.approx(1.08801243e-8, rel=1e-6)
+    # day (local ~14:00 at the pierce point): cosine term near peak
+    day = sdr.klobuchar_delay(IONO, lat, lon, az, el, 75440.0)
+    assert day == pytest.approx(2.98407515e-8, rel=1e-6)
+    assert day > night
+    # zenith reduces the slant factor toward 1
+    zen = sdr.klobuchar_delay(IONO, lat, lon, az, np.deg2rad(90.0), 75440.0)
+    assert zen < day
+
+
+def test_alm_sat_pos_matches_ephemeris_orbit():
+    """An almanac distilled from EPH (harmonics dropped, i = 0.3 sc + δi)
+    places the satellite within tens of km of the full ephemeris."""
+    alm = sdr.GpsAlmanac(
+        prn=1, e=EPH.e, t_oa=EPH.t_oe,
+        delta_i=EPH.i0 - 0.3 * np.pi, omega_dot=EPH.omega_dot,
+        sqrt_a=EPH.sqrt_a, omega0=EPH.omega0, omega=EPH.omega, m0=EPH.m0)
+    for dt in (0.0, 1800.0):
+        pa = sdr.alm_sat_pos(alm, EPH.t_oe + dt)
+        pe = sdr.eph_sat_pos(EPH, EPH.t_oe + dt)
+        assert np.linalg.norm(pa - pe) < 50e3
+        r = np.linalg.norm(pa)
+        assert 25.9e6 < r < 27.2e6
