@@ -527,7 +527,84 @@ def bench_dvb_t():
           "Msps/chip", 13.0, bound="lower" if rx_cl else None)
 
 
-# ── 6. Beyond-reference mode families (regression floors) ───────────────────
+# ── 6. TX composite (VERDICT r4 item 7: make TX driver-visible) ─────────────
+
+
+def bench_cofdm_tx():
+    """COFDM frame-mod composite: device OFDM mod (256/64 QPSK, fused
+    map_bits_grid path) + device LDPC N512R12 encode + host BCH t=8 encode,
+    composed sequentially with the link's per-sample weights — the richest
+    TX chain (modulate/ofdm_frame.rs; baseline ~87 Msps)."""
+    from orion_sdr_tpu.multicarrier import CarrierPlan
+    from orion_sdr_tpu.ofdm import OfdmConfig, ofdm_mod
+    from orion_sdr_tpu.fec.ldpc import ldpc_encode
+    from orion_sdr_tpu.frame.chain import shortened_bch_for
+
+    rng = np.random.default_rng(7)
+    plan = CarrierPlan(256, 64).with_contiguous_data(edge_guard=16)
+    cfg = OfdmConfig(plan, fs=1e6, constellation="qpsk")
+    bps = cfg.bits_per_ofdm_symbol()
+    sps = cfg.samples_per_ofdm_symbol()
+
+    def make_mod(n_sym):
+        bits = jnp.asarray(rng.integers(0, 2, (4, n_sym * bps)
+                                        ).astype(np.uint8))
+
+        @jax.jit
+        def f(b):
+            def body(carry, _):
+                bb, acc = carry
+                iq, _ = ofdm_mod(cfg, bb)
+                acc = acc + jnp.sum(jnp.real(iq) ** 2)
+                return (jnp.roll(bb, 1, axis=0), acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (b, jnp.float32(0)), None,
+                                       length=32)
+            return acc
+        return f, (bits,)
+
+    per_sym, mod_cl = _size_marginal_s(make_mod, 32, 256)
+    mod_rate = 4 * sps / (per_sym / 32)
+
+    def make_ldpc(B):
+        m = jnp.asarray(rng.integers(0, 2, (B, 256)).astype(np.uint8))
+
+        @jax.jit
+        def f(x):
+            def body(carry, _):
+                xx, acc = carry
+                cw = ldpc_encode("N512R12", xx)
+                acc = acc + jnp.sum(cw.astype(jnp.int32))
+                return (jnp.roll(xx, 1, axis=0)
+                        ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
+            (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None,
+                                       length=16)
+            return acc
+        return f, (m,)
+
+    per_info, ldpc_cl = _size_marginal_s(make_ldpc, 1024, 4096)
+    ldpc_rate = 256 / (per_info / 16)                # info bits/s
+
+    bch = shortened_bch_for(8)
+    bbits = rng.integers(0, 2, (8192, bch.k)).astype(np.uint8)
+    best = np.inf
+    bch.encode(bbits)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bch.encode(bbits)
+        best = min(best, time.perf_counter() - t0)
+    bch_rate = 8192 * bch.k / best                   # info bits/s
+
+    coded_per_sample = plan.num_data_carriers() * 2 / sps
+    ldpc_info_ps = coded_per_sample * 0.5
+    bch_info_ps = ldpc_info_ps * bch.k / bch.n
+    t_sample = (1.0 / mod_rate + ldpc_info_ps / ldpc_rate
+                + bch_info_ps / bch_rate)
+    _emit("cofdm_frame_mod_throughput", 1.0 / t_sample / 1e6,
+          "Msps/chip", 87.0,
+          bound="lower" if (mod_cl or ldpc_cl) else None)
+
+
+# ── 7. Beyond-reference mode families (regression floors) ───────────────────
 # One marginal-cost metric per round-3 mode family (VERDICT r3 item 4).
 # These programs have no reference counterpart, so ``vs_baseline`` is
 # computed against the round-4 chip measurement recorded here — a future
@@ -545,6 +622,9 @@ _FAMILY_FLOORS = {
     "gnss_acquisition_throughput": 900.0,
     "burst_modem_throughput": 30.0,
     "dvb_t_hier_receive_throughput": 1500.0,
+    # provisional until the r5 stability triple (sequential per-epoch scan:
+    # 8 sats × 2048 samples per ~µs-scale epoch step)
+    "gnss_tracking_throughput": 1.0,
 }
 
 
@@ -560,14 +640,19 @@ def _roll_body(rate_fn, *carry0):
     return make
 
 
-def bench_families():
-    rng = np.random.default_rng(11)
+def _emit_family(name, n_per_body, per_cl):
+    per_s, clamped = per_cl
+    rate = n_per_body / per_s / 1e6
+    _emit(name, rate, "Msps/chip", _FAMILY_FLOORS[name],
+          bound="lower" if clamped else None)
 
-    def emit(name, n_per_body, per_cl):
-        per_s, clamped = per_cl
-        rate = n_per_body / per_s / 1e6
-        _emit(name, rate, "Msps/chip", _FAMILY_FLOORS[name],
-              bound="lower" if clamped else None)
+
+def bench_families(only=None):
+    """Run every family bench, or exactly one (``only`` = name suffix of
+    the fam_* closure, e.g. "pfb") — the orchestrator runs each family as
+    its own retriable child group."""
+    rng = np.random.default_rng(11)
+    emit = _emit_family
 
     def fam_pfb():
         from orion_sdr_tpu.dsp.pfb import pfb_prototype, _pfb_run
@@ -709,8 +794,51 @@ def bench_families():
               _FAMILY_FLOORS["dvb_t_hier_receive_throughput"],
               bound="lower" if cl else None)
 
-    for fam in (fam_pfb, fam_css, fam_wspr, fam_stereo, fam_fsk2,
-                fam_gnss, fam_burst, fam_hier):
+    def fam_gnss_track():
+        # tracking+nav layer chip row (VERDICT r4 item 8): E/P/L Costas
+        # PLL + DLL scan, 8 satellites vmapped over one 2.048 MHz capture.
+        # n_epochs SIZE-marginal: the scan is the whole cost, and epochs
+        # are sequential, so the marginal is per-epoch device time.
+        from orion_sdr_tpu.gnss import _track_scan, _ca_pm_sampled
+        fs, n_sat = 2_048_000.0, 8
+        spms = 2048
+        codes = jnp.asarray(np.stack([_ca_pm_sampled(p, fs)
+                                      for p in range(1, n_sat + 1)]))
+        starts = jnp.asarray(np.full(n_sat, 8, np.int32))
+        f0s = jnp.asarray(np.linspace(-3000, 3000, n_sat, dtype=np.float32))
+
+        def make(n_epochs):
+            n = (n_epochs + 2) * spms
+            re = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+            im = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+            @jax.jit
+            def f(r, i):
+                z = r + 1j * i
+                prompts, freqs, bases, fracs = jax.vmap(
+                    lambda c, s, f0: _track_scan.__wrapped__(
+                        z, c, s, f0, fs, n_epochs, 7.2, 0.9, 0.12)
+                )(codes, starts, f0s)
+                return (jnp.sum(jnp.abs(prompts)) + jnp.sum(freqs)
+                        + jnp.sum(fracs))
+            return f, (re, im)
+
+        per_epoch, cl = _size_marginal_s(make, 100, 2000, trials=7)
+        # per-satellite samples tracked per second, summed over the bank
+        rate = n_sat * spms / per_epoch / 1e6
+        _emit("gnss_tracking_throughput", rate, "Msps/chip",
+              _FAMILY_FLOORS["gnss_tracking_throughput"],
+              bound="lower" if cl else None)
+
+    fams = (fam_pfb, fam_css, fam_wspr, fam_stereo, fam_fsk2,
+            fam_gnss, fam_burst, fam_hier, fam_gnss_track)
+    if only is not None:
+        for fam in fams:
+            if fam.__name__ == f"fam_{only}":
+                fam()                      # exceptions propagate: the
+                return                     # orchestrator handles retries
+        raise ValueError(f"unknown family {only!r}")
+    for fam in fams:
         try:
             fam()
         except Exception as e:                            # noqa: BLE001
@@ -718,50 +846,213 @@ def bench_families():
                               "error": str(e)[:200]}), flush=True)
 
 
-def _relay_alive(timeout_s: float = 300.0) -> bool:
-    """Probe the TPU in a SUBPROCESS with a hard timeout: when the axon
-    relay is down, device calls HANG rather than error (observed outages
-    of hours), which would hang the whole bench run. A dead probe lets the
-    bench fail fast with honest per-metric error records instead."""
+# ── Outage-proof runner (VERDICT r4 item 1) ─────────────────────────────────
+# The axon relay has two failure modes the round-4 record fell to:
+# (a) the worker intermittently CRASHES (UNAVAILABLE errors, ~1-2 min
+#     recovery), and (b) the relay goes UNREACHABLE for many minutes, in
+#     which case device calls HANG rather than error. A single in-process
+#     run cannot survive (b) — a hung call never returns. So the runner
+# executes each metric GROUP in a subprocess with a hard timeout (a hang
+# costs one group attempt, not the run), prints each metric line the
+# moment the child emits it (a driver kill mid-run keeps everything that
+# landed), and retries missing groups behind an exponential-backoff relay
+# probe until a run-wide deadline. The round-4 outage logs show good
+# windows minutes from bad ones — patience, not fail-fast, completes the
+# record. The reference always produces its performance table
+# (/root/reference/docs/performance.md:8-33); this is the TPU-relay
+# equivalent of "always produces".
+
+# group → (runner, metrics it must land). Orchestrator order = record order.
+GROUPS = [
+    ("fm", bench_fm, ["fm_demod_chain_throughput"]),
+    ("psk31", bench_psk31, ["psk31_roundtrip_throughput"]),
+    ("ft8", bench_ft8, ["ft8_batched_receive_throughput"]),
+    ("cofdm", bench_cofdm, ["cofdm_frame_decode_throughput",
+                            "cofdm_frame_decode_throughput_sms"]),
+    ("dvb_t", bench_dvb_t, ["dvb_t_decode_chain_throughput"]),
+    ("cofdm_tx", bench_cofdm_tx, ["cofdm_frame_mod_throughput"]),
+    ("pfb", lambda: bench_families("pfb"), ["pfb_channelizer_throughput"]),
+    ("css", lambda: bench_families("css"), ["css_dechirp_throughput"]),
+    ("wspr", lambda: bench_families("wspr"), ["wspr_energy_grid_throughput"]),
+    ("stereo", lambda: bench_families("stereo"), ["fm_stereo_rds_throughput"]),
+    ("fsk2", lambda: bench_families("fsk2"), ["fsk2_engine_throughput"]),
+    ("gnss", lambda: bench_families("gnss"), ["gnss_acquisition_throughput"]),
+    ("burst", lambda: bench_families("burst"), ["burst_modem_throughput"]),
+    ("hier", lambda: bench_families("hier"),
+     ["dvb_t_hier_receive_throughput"]),
+    ("gnss_track", lambda: bench_families("gnss_track"),
+     ["gnss_tracking_throughput"]),
+]
+
+_ENV = {
+    "budget_s": ("ORION_BENCH_BUDGET_S", 3600.0),      # run-wide deadline
+    "group_timeout_s": ("ORION_BENCH_GROUP_TIMEOUT_S", 900.0),
+    "probe_timeout_s": ("ORION_BENCH_PROBE_TIMEOUT_S", 120.0),
+    "backoff0_s": ("ORION_BENCH_BACKOFF0_S", 30.0),
+    "backoff_max_s": ("ORION_BENCH_BACKOFF_MAX_S", 300.0),
+}
+
+
+def _env(key):
+    import os
+    name, default = _ENV[key]
+    return float(os.environ.get(name, default))
+
+
+def _relay_alive(timeout_s=None) -> bool:
+    """Probe the TPU in a SUBPROCESS with a hard timeout: when the relay is
+    down, device calls HANG rather than error, which would hang the whole
+    bench run."""
     import subprocess
     import sys
     code = ("import jax, jax.numpy as jnp;"
             "print(float(jnp.sum(jnp.ones((64,64)))))")
     try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s or _env("probe_timeout_s"),
                            capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
-def main():
-    if not _relay_alive():
-        for name in ("fm_demod_chain_throughput", "psk31_roundtrip_throughput",
-                     "ft8_batched_receive_throughput",
-                     "cofdm_frame_decode_throughput",
-                     "dvb_t_decode_chain_throughput"):
-            print(json.dumps({"metric": name,
-                              "error": "TPU relay unreachable (probe hung)"}),
-                  flush=True)
-        return
-    for fn in (bench_fm, bench_psk31, bench_ft8, bench_cofdm, bench_dvb_t):
-        for attempt in (0, 1):
+def _wait_for_relay(deadline: float, probe=_relay_alive,
+                    sleep=time.sleep) -> bool:
+    """Block until the relay answers a probe or the deadline passes —
+    exponential backoff between probes (30 s → 5 min)."""
+    delay = _env("backoff0_s")
+    while True:
+        if probe():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        sleep(min(delay, remaining))
+        delay = min(delay * 2, _env("backoff_max_s"))
+
+
+def _run_group_child(name: str, timeout_s: float, on_record,
+                     cmd=None) -> tuple:
+    """Run ``python bench.py --only <name>`` with a hard timeout, feeding
+    each parsed JSON stdout record to ``on_record(rec, line)`` AS IT LANDS
+    (a later kill of this parent keeps everything already forwarded).
+    Returns (ok, error_text). ``cmd`` overrides the child command (tests)."""
+    import os
+    import subprocess
+    import sys
+    import threading
+    if cmd is None:
+        cmd = [sys.executable, os.path.abspath(__file__), "--only", name]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+
+    def pump():
+        for line in proc.stdout:
+            line = line.strip()
+            if not line:
+                continue
             try:
-                fn()
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(rec, dict) and "metric" in rec:
+                on_record(rec, line)
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    try:
+        proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        proc.kill()                      # exact PID we spawned, never a
+        proc.wait()                      # pattern kill
+        t.join(timeout=5)
+        return False, f"group '{name}' timed out after {timeout_s:.0f}s " \
+                      "(relay hang?)"
+    t.join(timeout=5)
+    if proc.returncode != 0:
+        err = (proc.stderr.read() or "").strip().splitlines()
+        return False, (err[-1][:200] if err
+                       else f"group '{name}' exited {proc.returncode}")
+    return True, ""
+
+
+def orchestrate(groups, run_child=_run_group_child,
+                wait_for_relay=_wait_for_relay, emit=None,
+                budget_s=None, group_timeout_s=None,
+                max_healthy_attempts: int = 3, sleep=time.sleep):
+    """Drive every group to completion or the deadline.
+
+    A group attempt that fails while the relay probe says HEALTHY counts
+    toward ``max_healthy_attempts`` (a deterministic bug must not eat the
+    whole budget); failures during an outage don't count — we wait the
+    outage out instead. Returns {metric: line} for everything landed."""
+    emit = emit or (lambda line: print(line, flush=True))
+    deadline = time.monotonic() + (budget_s if budget_s is not None
+                                   else _env("budget_s"))
+    group_timeout = (group_timeout_s if group_timeout_s is not None
+                     else _env("group_timeout_s"))
+    landed = {}
+    stashed_errors = {}
+
+    for name, _, metrics in groups:
+        healthy_failures = 0
+        while not all(m in landed for m in metrics):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 or healthy_failures >= max_healthy_attempts:
                 break
-            except Exception as e:                    # noqa: BLE001
-                if attempt == 0:
-                    # the axon relay intermittently drops (UNAVAILABLE) and
-                    # recovers in ~1-2 min — one cooled-down retry keeps a
-                    # transient outage from blanking the round's record
-                    time.sleep(120)
-                    continue
-                print(json.dumps({"metric": fn.__name__,
-                                  "error": str(e)[:200]}), flush=True)
-    # beyond-reference families last: a driver timeout mid-run still
-    # records the five BASELINE configs above
-    bench_families()
+
+            def on_record(rec, line, _metrics=metrics):
+                mt = rec.get("metric")
+                if mt in _metrics and "value" in rec and mt not in landed:
+                    landed[mt] = line
+                    emit(line)
+                elif "error" in rec:
+                    for m in _metrics:
+                        if m not in landed:
+                            stashed_errors[m] = line
+
+            ok, err = run_child(name, min(group_timeout, remaining),
+                                on_record)
+            if all(m in landed for m in metrics):
+                break
+            if err:
+                for m in metrics:
+                    if m not in landed:
+                        stashed_errors[m] = json.dumps(
+                            {"metric": m, "error": err[:200]})
+            # failed or incomplete: wait out any outage before retrying
+            relay_ok = wait_for_relay(deadline)
+            if not relay_ok:
+                break                      # budget exhausted waiting
+            healthy_failures += 1
+            # worker crashes recover in ~1-2 min even once the relay
+            # answers probes — cool down before the healthy retry
+            cooldown = min(60.0, max(0.0, deadline - time.monotonic()))
+            if healthy_failures < max_healthy_attempts and cooldown:
+                sleep(cooldown)
+
+    for name, _, metrics in groups:
+        for m in metrics:
+            if m not in landed:
+                emit(stashed_errors.get(m) or json.dumps(
+                    {"metric": m,
+                     "error": "no measurement landed before deadline"}))
+    return landed
+
+
+def main(argv=None):
+    import sys
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["--only"]:
+        name = argv[1]
+        for gname, fn, _ in GROUPS:
+            if gname == name:
+                fn()                       # exceptions → rc≠0 → retried
+                return
+        raise SystemExit(f"unknown group {name!r}")
+    if argv:
+        raise SystemExit(f"usage: bench.py [--only GROUP]; got {argv}")
+    orchestrate(GROUPS)
 
 
 if __name__ == "__main__":
