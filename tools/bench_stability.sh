@@ -1,20 +1,23 @@
 #!/bin/bash
-# Three consecutive bench.py runs (VERDICT r2 item 4 / r3 item 2: the
-# stability proof is all metrics within ±20% across runs). Outputs land in
-# docs/bench_stability_r4/run{1,2,3}.jsonl and a summary table is printed.
+# Three consecutive bench.py runs (VERDICT r4 item 2: the stability proof
+# is all metrics within ±20% across runs). Outputs land in
+# docs/bench_stability_r5/run{1,2,3}.jsonl and a summary table is printed.
+# bench.py is now self-healing (subprocess groups + backoff retries), so
+# each run gets the full orchestrator budget rather than an outer timeout.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p docs/bench_stability_r4
+OUT=docs/bench_stability_r5
+mkdir -p "$OUT"
 for i in 1 2 3; do
     echo "=== bench run $i ($(date -u +%H:%M:%S)) ===" >&2
-    timeout 4000 python -u bench.py > "docs/bench_stability_r4/run$i.jsonl" 2>/dev/null
-    echo "--- run $i done (rc=$?)" >&2
+    python -u bench.py > "$OUT/run$i.jsonl" 2>/dev/null
+    echo "--- run $i done (rc=$?) ($(date -u +%H:%M:%S))" >&2
 done
 python - <<'EOF'
 import json, collections
 vals = collections.defaultdict(list)
 for i in (1, 2, 3):
-    for line in open(f"docs/bench_stability_r4/run{i}.jsonl"):
+    for line in open(f"docs/bench_stability_r5/run{i}.jsonl"):
         line = line.strip()
         if not line.startswith("{"):
             continue
