@@ -356,7 +356,10 @@ def bench_cofdm():
     def make_bp(nb):
         return make_bp_rule(nb, "sum_product")
 
-    per_cw, bp_cl = _size_marginal_s(make_bp, 256, 1024)
+    # 512→2048-cw span (r5: the 256→1024 span left the SMS marginal at
+    # ~7 ms where ±2 ms relay jitter swung the sms composite 30% between
+    # stability runs; 3× the span puts both rules' diffs ≥20 ms)
+    per_cw, bp_cl = _size_marginal_s(make_bp, 512, 2048, trials=9)
     per_cw /= REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
@@ -365,7 +368,7 @@ def bench_cofdm():
     # recommended high-throughput operating point, emitted as a second
     # metric below
     per_cw_sms, sms_cl = _size_marginal_s(
-        lambda nb: make_bp_rule(nb, "scaled_min_sum"), 256, 1024)
+        lambda nb: make_bp_rule(nb, "scaled_min_sum"), 512, 2048, trials=9)
     per_cw_sms /= REPS
     bp_coded_rate_sms = g.n / per_cw_sms
 
@@ -601,8 +604,9 @@ def bench_cofdm_tx():
             return acc
         return f, (bits,)
 
-    # 32→1024-symbol span (the 32→256 span left the smoke run clamped)
-    per_sym, mod_cl = _size_marginal_s(make_mod, 32, 1024)
+    # 32→2048-symbol span (the 32→256 span clamped; 1024 still let ±2 ms
+    # jitter swing the composite 36% across the first r5 triple)
+    per_sym, mod_cl = _size_marginal_s(make_mod, 32, 2048, trials=9)
     mod_rate = 4 * sps / (per_sym / 32)
 
     def make_ldpc(B):
@@ -650,21 +654,25 @@ def bench_cofdm_tx():
 # computed against the round-4 chip measurement recorded here — a future
 # regression shows up as vs_baseline < 1 in the driver record.
 
+# Floors = 0.8 × the round-5 stability-triple median
+# (docs/bench_stability_r5/run{1,2,3}.jsonl — every metric within ±20%
+# except the two COFDM composites, whose spans were widened after;
+# VERDICT r4 item 2: floors within 2× of the stable reading so a real
+# regression actually trips them).
 _FAMILY_FLOORS = {
-    "pfb_channelizer_throughput": 9000.0,
-    "css_dechirp_throughput": 1300.0,  # r4 stability runs read 1738-1839;
-    # the original 2300 floor came from a pre-clamp-fix reading
-    "wspr_energy_grid_throughput": 1000.0,   # gather-free rewrite: was 10.5
-    "fm_stereo_rds_throughput": 40.0,     # FIR-bank fusion: was 11.9
-    "fsk2_engine_throughput": 450.0,  # r4 stability runs swung 624-7019 on
-    # an 8-body span near the jitter floor; span widened to 33, floor set
-    # under the low tail until a post-widening triple narrows it
-    "gnss_acquisition_throughput": 900.0,
-    "burst_modem_throughput": 30.0,
-    "dvb_t_hier_receive_throughput": 1500.0,
-    # provisional until the r5 stability triple (sequential per-epoch scan:
-    # 8 sats × 2048 samples per ~µs-scale epoch step)
-    "gnss_tracking_throughput": 1.0,
+    "pfb_channelizer_throughput": 7800.0,     # median 9764
+    "css_dechirp_throughput": 1530.0,         # median 1916 (post-clamp-fix
+    # triple confirms the r4 down-recalibration was an artifact: true rate
+    # sits ~1.9 G, between the r4 readings and the old 2300 floor)
+    "wspr_energy_grid_throughput": 27000.0,   # median 34052 (the r4 floor
+    # of 1000 dated from the 4-body span that clamped at the jitter floor)
+    "fm_stereo_rds_throughput": 44.0,         # median 54.8
+    "fsk2_engine_throughput": 455.0,          # median 569.8 at the 64-body
+    # span (r4's 624-7019 swing was the 33×3 harness, not the kernel)
+    "gnss_acquisition_throughput": 2690.0,    # median 3358
+    "burst_modem_throughput": 44.0,           # median 55.6
+    "dvb_t_hier_receive_throughput": 2050.0,  # median 2561 (4-pt slope)
+    "gnss_tracking_throughput": 224.0,        # median 279.7 (0.3% spread)
 }
 
 

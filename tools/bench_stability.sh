@@ -10,7 +10,9 @@ OUT=docs/bench_stability_r5
 mkdir -p "$OUT"
 for i in 1 2 3; do
     echo "=== bench run $i ($(date -u +%H:%M:%S)) ===" >&2
-    python -u bench.py > "$OUT/run$i.jsonl" 2>/dev/null
+    # relay slow phases can stretch a cached group to ~15 min; give each
+    # stability run more headroom than the driver default
+    ORION_BENCH_BUDGET_S=10800 python -u bench.py > "$OUT/run$i.jsonl" 2>/dev/null
     echo "--- run $i done (rc=$?) ($(date -u +%H:%M:%S))" >&2
 done
 python - <<'EOF'

@@ -188,12 +188,13 @@ def bench_waveform_tx():
                 return acc
             return f, (bits,)
 
-        # 32 in-scan reps x 112-symbol span: the old 8x48 put the diff at
-        # the relay jitter scale (VERDICT r3 weak #6 thin-margin rows)
-        per_sym, _ = _size_marginal_s(make, 16, 128)
+        # 32 in-scan reps x 480-symbol span: the r4 16->128 span still
+        # clamped the QPSK row at the jitter floor ("≥16.5 Gsps") — at
+        # ~480 symbols x 32 reps the fused mapper's diff clears ~1 ms
+        per_sym, cl = _size_marginal_s(make, 32, 512)
         per_sym /= 32
         row(f"OFDM mod only {order} (1024/128)", 4 * sps / per_sym / 1e6,
-            base)
+            base, bound="(clamped)" if cl else "")
 
 
 def bench_frame_tx():
