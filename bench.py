@@ -628,15 +628,48 @@ def bench_cofdm_tx():
     per_info, ldpc_cl = _size_marginal_s(make_ldpc, 1024, 8192)
     ldpc_rate = 256 / (per_info / 64)                # info bits/s
 
+    # outer BCH encode: the TX chain dispatches to the batched DEVICE
+    # encoder on TPU at ≥64 blocks (frame/chain.py::_outer_device_ok) —
+    # measure that operating path. The r5 triple showed the host-LFSR
+    # term both misrepresenting the chain AND dominating the composite's
+    # run-to-run swing (1-core container contention).
     bch = shortened_bch_for(8)
-    bbits = rng.integers(0, 2, (8192, bch.k)).astype(np.uint8)
-    best = np.inf
-    bch.encode(bbits)
-    for _ in range(3):
-        t0 = time.perf_counter()
+    bch_rate = None
+    if jax.default_backend() == "tpu":
+        try:
+            from orion_sdr_tpu.fec.bch_device import bch_encode_batch_device
+
+            def make_bch_enc(B):
+                m = jnp.asarray(rng.integers(0, 2, (B, bch.k)
+                                             ).astype(np.uint8))
+
+                @jax.jit
+                def f(x):
+                    def body(carry, _):
+                        xx, acc = carry
+                        cw = bch_encode_batch_device(bch.n, bch.k, 8, xx)
+                        acc = acc + jnp.sum(cw.astype(jnp.int32))
+                        return (jnp.roll(xx, 1, axis=0)
+                                ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
+                    (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)),
+                                               None, length=64)
+                    return acc
+                return f, (m,)
+
+            per_cw_e, _ = _size_marginal_s(make_bch_enc, 1024, 8192,
+                                           trials=9)
+            bch_rate = bch.k / (per_cw_e / 64)       # info bits/s
+        except Exception:                            # noqa: BLE001
+            bch_rate = None
+    if bch_rate is None:
+        bbits = rng.integers(0, 2, (8192, bch.k)).astype(np.uint8)
+        best = np.inf
         bch.encode(bbits)
-        best = min(best, time.perf_counter() - t0)
-    bch_rate = 8192 * bch.k / best                   # info bits/s
+        for _ in range(3):
+            t0 = time.perf_counter()
+            bch.encode(bbits)
+            best = min(best, time.perf_counter() - t0)
+        bch_rate = 8192 * bch.k / best               # info bits/s
 
     coded_per_sample = plan.num_data_carriers() * 2 / sps
     ldpc_info_ps = coded_per_sample * 0.5
@@ -661,11 +694,12 @@ def bench_cofdm_tx():
 # regression actually trips them).
 _FAMILY_FLOORS = {
     "pfb_channelizer_throughput": 7800.0,     # median 9764
-    "css_dechirp_throughput": 1530.0,         # median 1916 (post-clamp-fix
+    "css_dechirp_throughput": 1400.0,         # r5 range 1610-1963 (post-clamp-fix
     # triple confirms the r4 down-recalibration was an artifact: true rate
     # sits ~1.9 G, between the r4 readings and the old 2300 floor)
-    "wspr_energy_grid_throughput": 27000.0,   # median 34052 (the r4 floor
-    # of 1000 dated from the 4-body span that clamped at the jitter floor)
+    "wspr_energy_grid_throughput": 15000.0,   # r5 range 18.9-39.3 G (the
+    # r4 floor of 1000 dated from the clamped 4-body span; the 1024-body
+    # span should narrow this — floor sits under the observed low tail)
     "fm_stereo_rds_throughput": 44.0,         # median 54.8
     "fsk2_engine_throughput": 455.0,          # median 569.8 at the 64-body
     # span (r4's 624-7019 swing was the 33×3 harness, not the kernel)
@@ -711,8 +745,10 @@ def bench_families(only=None):
         make = _roll_body(
             lambda r, i: jnp.sum(jnp.abs(_pfb_run(r + 1j * i, proto, C))),
             re, im)
+        # 384 bodies ≈ 40 ms span: weather-dependent ±2-4 ms jitter swung
+        # the 64-body (~6 ms) span 40% across the r5 triple
         emit("pfb_channelizer_throughput", n,
-             _marginal_s(make, n_long=65, trials=3, full=True))
+             _marginal_s(make, n_long=385, trials=5, full=True))
 
     def fam_css():
         from orion_sdr_tpu.demodulate.css import _dechirp_fft, _base
@@ -742,11 +778,12 @@ def bench_families(only=None):
             lambda r, i: jnp.sum(_energy_grid.__wrapped__(
                 r, i, dts, dfs, WSPR_FS, 1500.0)),
             re, im)
-        # 64-body span: the old 4-body span clamped at the jitter floor
-        # every r4 run (value pinned at exactly 5439.5 twice — a floor
-        # artifact, not a measurement)
+        # 1024-body span ≈ 40 ms: the r4 4-body span clamped at the floor
+        # (5439.5 pinned twice); the r5 64-body span (~2.6 ms) still swung
+        # 65% under weather jitter — each body is only ~40 µs of device
+        # time at the true ~34 Gsps
         emit("wspr_energy_grid_throughput", n,
-             _marginal_s(make, n_long=65, trials=5, full=True))
+             _marginal_s(make, n_long=1025, trials=5, full=True))
 
     def fam_stereo():
         from orion_sdr_tpu.demodulate.fm_stereo import _stereo_device
@@ -761,7 +798,7 @@ def bench_families(only=None):
                     + jnp.sum(pil))
         make = _roll_body(rate_fn, re, im)
         emit("fm_stereo_rds_throughput", n,
-             _marginal_s(make, n_long=9, trials=3, full=True))
+             _marginal_s(make, n_long=17, trials=5, full=True))
 
     def fam_fsk2():
         from orion_sdr_tpu.demodulate.afsk import fsk2_decision
@@ -820,8 +857,9 @@ def bench_families(only=None):
                 s.real, s.imag, "qam16", 0.03))(syms)
             return jnp.sum(jnp.abs(y))
         make = _roll_body(rate_fn, re, im)
+        # 40 bodies ≈ 45 ms span (8 bodies swung 43% under weather jitter)
         emit("burst_modem_throughput", Bc * n,
-             _marginal_s(make, n_long=9, trials=3, full=True))
+             _marginal_s(make, n_long=41, trials=5, full=True))
 
     def fam_hier():
         from orion_sdr_tpu.demodulate.dvb_t_frame import _receive_frame_body
