@@ -268,7 +268,9 @@ def bench_ft8():
             return acc
         return f, (re, im, llr)
 
-    per_w, clamped = _size_marginal_s(make, 12, 256)
+    # 12→512 reps (~21 ms span: the 256-rep span read 7.0-14.7 Gsps across
+    # r5 triple-3 under ±4 ms weather jitter)
+    per_w, clamped = _size_marginal_s(make, 12, 512, trials=9)
     per_window = per_w / B                           # reps-marginal
     _emit("ft8_batched_receive_throughput", n / per_window / 1e6,
           "Msps/chip", 35.0, bound="lower" if clamped else None)
@@ -981,6 +983,28 @@ GROUPS = [
      ["gnss_tracking_throughput"]),
 ]
 
+# Minimum PLAUSIBLE chip reading per metric (~0.8× the lowest good-weather
+# r5 reading). A value below this is almost certainly a relay SLOW PHASE —
+# the chip itself runs 10-50× slower for ~10-20 min stretches (observed:
+# psk31 collapsed 17359→651.6 for exactly one group in one run) — so the
+# orchestrator re-measures the group after a cooldown instead of recording
+# the collapse, keeping the best candidate. A TRUE regression fails every
+# retry and is still recorded (as the best of three sub-floor readings).
+_SANITY_FLOORS = {
+    "fm_demod_chain_throughput": 3800.0,
+    "psk31_roundtrip_throughput": 14000.0,
+    "ft8_batched_receive_throughput": 6000.0,
+    "cofdm_frame_decode_throughput": 950.0,
+    "cofdm_frame_decode_throughput_sms": 1700.0,
+    "dvb_t_decode_chain_throughput": 850.0,
+    "cofdm_frame_mod_throughput": 6800.0,
+}
+
+
+def _sanity_floor(metric: str) -> float:
+    return _SANITY_FLOORS.get(metric, _FAMILY_FLOORS.get(metric, 0.0))
+
+
 _ENV = {
     # measured: a cold child can spend ~15 min in SERVER-SIDE COMPILE for
     # one big scan program (fm smoke: 14m46s wall, 5 s CPU) before the
@@ -991,6 +1015,7 @@ _ENV = {
     "probe_timeout_s": ("ORION_BENCH_PROBE_TIMEOUT_S", 120.0),
     "backoff0_s": ("ORION_BENCH_BACKOFF0_S", 30.0),
     "backoff_max_s": ("ORION_BENCH_BACKOFF_MAX_S", 300.0),
+    "weather_cooldown_s": ("ORION_BENCH_WEATHER_COOLDOWN_S", 240.0),
 }
 
 
@@ -1086,27 +1111,43 @@ def orchestrate(groups, run_child=_run_group_child,
     A group attempt that fails while the relay probe says HEALTHY counts
     toward ``max_healthy_attempts`` (a deterministic bug must not eat the
     whole budget); failures during an outage don't count — we wait the
-    outage out instead. Returns {metric: line} for everything landed."""
+    outage out instead. A value BELOW the metric's sanity floor
+    (``_sanity_floor``) is treated as a relay slow-phase artifact: it is
+    held as a candidate, the group re-measures after a cooldown (up to
+    ``max_weather_retries``), and the BEST candidate is recorded if no
+    at-or-above-floor reading ever lands. Returns {metric: line} for
+    everything landed."""
     emit = emit or (lambda line: print(line, flush=True))
     deadline = time.monotonic() + (budget_s if budget_s is not None
                                    else _env("budget_s"))
     group_timeout = (group_timeout_s if group_timeout_s is not None
                      else _env("group_timeout_s"))
+    max_weather_retries = 2
     landed = {}
     stashed_errors = {}
+    candidates = {}                  # metric → (value, line), best sub-floor
 
     for name, _, metrics in groups:
         healthy_failures = 0
+        weather_retries = 0
         while not all(m in landed for m in metrics):
             remaining = deadline - time.monotonic()
             if remaining <= 0 or healthy_failures >= max_healthy_attempts:
                 break
+            got_subfloor = []
 
-            def on_record(rec, line, _metrics=metrics):
+            def on_record(rec, line, _metrics=metrics,
+                          _subfloor=got_subfloor):
                 mt = rec.get("metric")
                 if mt in _metrics and "value" in rec and mt not in landed:
-                    landed[mt] = line
-                    emit(line)
+                    if rec["value"] >= _sanity_floor(mt):
+                        landed[mt] = line
+                        emit(line)
+                    else:
+                        _subfloor.append(mt)
+                        best = candidates.get(mt)
+                        if best is None or rec["value"] > best[0]:
+                            candidates[mt] = (rec["value"], line)
                 elif "error" in rec:
                     for m in _metrics:
                         if m not in landed:
@@ -1116,6 +1157,15 @@ def orchestrate(groups, run_child=_run_group_child,
                                 on_record)
             if all(m in landed for m in metrics):
                 break
+            if ok and got_subfloor and not err:
+                # chip answered but implausibly slow — relay slow phase;
+                # cool down and re-measure, keeping the best candidate
+                if weather_retries >= max_weather_retries:
+                    break
+                weather_retries += 1
+                sleep(min(_env("weather_cooldown_s"),
+                          max(0.0, deadline - time.monotonic())))
+                continue
             if err:
                 for m in metrics:
                     if m not in landed:
@@ -1131,6 +1181,12 @@ def orchestrate(groups, run_child=_run_group_child,
             cooldown = min(60.0, max(0.0, deadline - time.monotonic()))
             if healthy_failures < max_healthy_attempts and cooldown:
                 sleep(cooldown)
+        # no at-floor reading: record the best sub-floor candidate (a true
+        # regression shows up here, measured max_weather_retries+1 times)
+        for m in metrics:
+            if m not in landed and m in candidates:
+                landed[m] = candidates[m][1]
+                emit(candidates[m][1])
 
     for name, _, metrics in groups:
         for m in metrics:

@@ -164,6 +164,54 @@ def test_budget_exhausted_during_outage_reports_missing():
     assert "error" in by["m3"]
 
 
+def test_slow_phase_reading_remeasured_and_best_kept():
+    """A reading far below the metric's sanity floor (relay slow phase:
+    psk31 read 651 vs its usual ~18000 for one group of one run) must be
+    re-measured after a cooldown; the eventual good reading is recorded,
+    and the collapsed value never reaches the driver record."""
+    lines, emit = _mk_emit()
+    state = {"attempts": 0, "slept": []}
+
+    def run_child(name, timeout_s, on_record):
+        state["attempts"] += 1
+        val = 651.6 if state["attempts"] == 1 else 18000.0
+        r = _rec("psk31_roundtrip_throughput", val)
+        on_record(r, json.dumps(r))
+        return True, ""
+
+    bench.orchestrate(
+        [("psk31", None, ["psk31_roundtrip_throughput"])],
+        run_child=run_child, wait_for_relay=lambda d: True, emit=emit,
+        budget_s=600, sleep=lambda s: state["slept"].append(s))
+    assert state["attempts"] == 2
+    assert state["slept"]                     # cooled down before retry
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 1 and recs[0]["value"] == 18000.0
+
+
+def test_true_regression_still_recorded_as_best_subfloor():
+    """Every measurement lands below the sanity floor (a real regression):
+    after max_weather_retries the BEST sub-floor value is recorded — an
+    honest (low) number, never an error row."""
+    lines, emit = _mk_emit()
+    state = {"attempts": 0}
+
+    def run_child(name, timeout_s, on_record):
+        state["attempts"] += 1
+        r = _rec("fm_demod_chain_throughput", 900.0 + state["attempts"])
+        on_record(r, json.dumps(r))
+        return True, ""
+
+    bench.orchestrate(
+        [("fm", None, ["fm_demod_chain_throughput"])],
+        run_child=run_child, wait_for_relay=lambda d: True, emit=emit,
+        budget_s=600, sleep=lambda s: None)
+    assert state["attempts"] == 3             # 1 + max_weather_retries
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) == 1 and recs[0]["value"] == 903.0
+    assert "error" not in recs[0]
+
+
 def test_run_group_child_kills_hung_child():
     """The hang failure mode end-to-end: a child that never exits is
     killed at the timeout (exact PID, no pattern kill) and reported."""
