@@ -268,9 +268,8 @@ def bench_ft8():
             return acc
         return f, (re, im, llr)
 
-    # 12→512 reps (~21 ms span: the 256-rep span read 7.0-14.7 Gsps across
-    # r5 triple-3 under ±4 ms weather jitter)
-    per_w, clamped = _size_marginal_s(make, 12, 512, trials=9)
+    # 12→1024 reps (~42 ms span: 512 reps still swung 7.7-10.9 Gsps)
+    per_w, clamped = _size_marginal_s(make, 12, 1024, trials=9)
     per_window = per_w / B                           # reps-marginal
     _emit("ft8_batched_receive_throughput", n / per_window / 1e6,
           "Msps/chip", 35.0, bound="lower" if clamped else None)
@@ -358,10 +357,9 @@ def bench_cofdm():
     def make_bp(nb):
         return make_bp_rule(nb, "sum_product")
 
-    # 512→2048-cw span (r5: the 256→1024 span left the SMS marginal at
-    # ~7 ms where ±2 ms relay jitter swung the sms composite 30% between
-    # stability runs; 3× the span puts both rules' diffs ≥20 ms)
-    per_cw, bp_cl = _size_marginal_s(make_bp, 512, 2048, trials=9)
+    # 512→3072-cw span (the 2048 span left the SMS diff at ~14 ms, which
+    # still swung its composite 39% in one triple; SP ≈ 52 ms, SMS ≈ 22 ms)
+    per_cw, bp_cl = _size_marginal_s(make_bp, 512, 3072, trials=9)
     per_cw /= REPS
     bp_coded_rate = g.n / per_cw                     # coded bits/s
 
@@ -370,7 +368,7 @@ def bench_cofdm():
     # recommended high-throughput operating point, emitted as a second
     # metric below
     per_cw_sms, sms_cl = _size_marginal_s(
-        lambda nb: make_bp_rule(nb, "scaled_min_sum"), 512, 2048, trials=9)
+        lambda nb: make_bp_rule(nb, "scaled_min_sum"), 512, 3072, trials=9)
     per_cw_sms /= REPS
     bp_coded_rate_sms = g.n / per_cw_sms
 
@@ -476,10 +474,11 @@ def bench_dvb_t():
             return jnp.sum(llrs) + jnp.sum(jnp.abs(cells))
         return f, (re, im)
 
-    # 1156-symbol span (~6.3 ms at the honest rate): the 544-symbol
-    # span left the diff at ~2.9 ms, and +-1 ms relay jitter swung the
-    # composite 736-1117 across the round-4 stability runs
-    per_sym_rx, rx_cl = _size_marginal_s(make_rx, 68, 1224, trials=25)
+    # 4-point interleaved slope (r5: the 68→1224 two-point diff swung the
+    # composite 1160-1959 in one triple — same weather sensitivity the
+    # hier metric had, same fix)
+    per_sym_rx, rx_cl = _slope_marginal_s(make_rx, (68, 544, 1088, 1632),
+                                          trials=13)
     rx_rate = B * sps / per_sym_rx                   # samples/s
 
     # chunked Pallas Viterbi: 256 chunk lanes × 1216-step trellis (a frame
@@ -602,14 +601,14 @@ def bench_cofdm_tx():
                 acc = acc + jnp.sum(jnp.real(iq) ** 2)
                 return (jnp.roll(bb, 1, axis=0), acc), 0.0
             (_, acc), _ = jax.lax.scan(body, (b, jnp.float32(0)), None,
-                                       length=32)
+                                       length=64)
             return acc
         return f, (bits,)
 
-    # 32→2048-symbol span (the 32→256 span clamped; 1024 still let ±2 ms
-    # jitter swing the composite 36% across the first r5 triple)
-    per_sym, mod_cl = _size_marginal_s(make_mod, 32, 2048, trials=9)
-    mod_rate = 4 * sps / (per_sym / 32)
+    # 64 reps × 32→4096-symbol span ≈ 20 ms raw (every narrower form
+    # clamped or swung ≥24% across the r5 triples)
+    per_sym, mod_cl = _size_marginal_s(make_mod, 32, 4096, trials=9)
+    mod_rate = 4 * sps / (per_sym / 64)
 
     def make_ldpc(B):
         m = jnp.asarray(rng.integers(0, 2, (B, 256)).astype(np.uint8))
@@ -623,12 +622,12 @@ def bench_cofdm_tx():
                 return (jnp.roll(xx, 1, axis=0)
                         ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
             (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)), None,
-                                       length=64)
+                                       length=128)
             return acc
         return f, (m,)
 
-    per_info, ldpc_cl = _size_marginal_s(make_ldpc, 1024, 8192)
-    ldpc_rate = 256 / (per_info / 64)                # info bits/s
+    per_info, ldpc_cl = _size_marginal_s(make_ldpc, 1024, 8192, trials=9)
+    ldpc_rate = 256 / (per_info / 128)               # info bits/s
 
     # outer BCH encode: the TX chain dispatches to the batched DEVICE
     # encoder on TPU at ≥64 blocks (frame/chain.py::_outer_device_ok) —
@@ -654,13 +653,13 @@ def bench_cofdm_tx():
                         return (jnp.roll(xx, 1, axis=0)
                                 ^ (acc.astype(jnp.uint8) & 0), acc), 0.0
                     (_, acc), _ = jax.lax.scan(body, (x, jnp.int32(0)),
-                                               None, length=64)
+                                               None, length=128)
                     return acc
                 return f, (m,)
 
             per_cw_e, _ = _size_marginal_s(make_bch_enc, 1024, 8192,
                                            trials=9)
-            bch_rate = bch.k / (per_cw_e / 64)       # info bits/s
+            bch_rate = bch.k / (per_cw_e / 128)      # info bits/s
         except Exception:                            # noqa: BLE001
             bch_rate = None
     if bch_rate is None:
@@ -765,8 +764,10 @@ def bench_families(only=None):
             lambda r, i: jnp.sum(_dechirp_fft(r + 1j * i, ur, ui,
                                               n_sym, spsym, m_)),
             re, im)
+        # 1024 bodies ≈ 33 ms span (the 256-body ~8 ms span let one r5
+        # run read an 8× HIGH fluke, 16777 Msps)
         emit("css_dechirp_throughput", n,
-             _marginal_s(make, n_long=257, trials=3, full=True))
+             _marginal_s(make, n_long=1025, trials=5, full=True))
 
     def fam_wspr():
         from orion_sdr_tpu.demodulate.wspr import _energy_grid
