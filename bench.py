@@ -109,10 +109,18 @@ def _slope_marginal_s(make, sizes, trials=9):
             t0 = time.perf_counter()
             _fetch(f(*args))
             ts[k].append(time.perf_counter() - t0)
-    meds = [float(np.median(t)) for t in ts]
+    # Theil–Sen: median of PER-TRIAL pairwise slopes. A least-squares fit
+    # follows a single corrupted reading (one jitter spike on one size of
+    # one trial swung the r5 hier metric 44-90%); the median of
+    # trials × C(sizes,2) slopes ignores it. Per-trial pairing also keeps
+    # each slope's two measurements temporally adjacent (drift-immune).
     x = np.asarray(sizes, np.float64)
-    y = np.asarray(meds, np.float64)
-    slope = float(np.polyfit(x, y, 1)[0])
+    slopes = []
+    for t in range(trials):
+        for i in range(len(sizes)):
+            for j in range(i + 1, len(sizes)):
+                slopes.append((ts[j][t] - ts[i][t]) / (x[j] - x[i]))
+    slope = float(np.median(slopes))
     span = slope * (x.max() - x.min())
     clamped = span < _JITTER_FLOOR_S
     if clamped:
